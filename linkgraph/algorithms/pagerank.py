@@ -1,0 +1,255 @@
+"""PageRank — normalized power iteration with damping + dangling-mass
+redistribution, from scratch on DataFrame ops.
+
+The reference delegates to ``nx.pagerank`` or GraphFrames/GraphX
+(``mercury/graph/core/graph.py:681-690``); this is the from-scratch
+replacement the north rule demands (BASELINE.json:6). Semantics match
+``networkx.pagerank`` (normalized to sum 1, dangling mass redistributed
+uniformly):
+
+    r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/W(u)  +  D/N )
+    D     = Σ_{u: out_degree(u)=0} r(u)
+
+Scale design (100 TB / 10^12 files):
+- Edges are pre-normalized ONCE (w/W(u)) and persisted hash-partitioned by
+  ``src`` — every superstep's join then shuffles only the (small) rank table,
+  never the edge table.
+- One Spark action per superstep: L1 delta, next dangling mass and active
+  count come from a single aggregate over (new ⋈ old) ranks.
+- Map-side partial aggregation handles hub in-degree skew for the contribution
+  sum (algebraic agg); AQE skew-join splits hot ``src`` partitions on the join.
+- Per-vertex math in a vectorized Arrow ``pandas_udf`` (BASELINE.json:15 —
+  no per-row Python).
+- Lineage truncated per superstep (localCheckpoint); every
+  ``checkpoint_interval`` steps the score table + metrics snapshot to a
+  CheckpointManager, making the run resumable mid-iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from linkgraph.checkpoint import CheckpointManager
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # [id, pagerank]
+    iterations: int
+    converged: bool
+    history: list = field(default_factory=list)  # per-superstep metric dicts
+    num_nodes: int = 0
+    num_edges: int = 0
+
+
+def _make_update_kernel(damping: float, n: int, dangling_mass: float):
+    """Vectorized Arrow kernel for the per-vertex affine update."""
+    base = (1.0 - damping) / n + damping * dangling_mass / n
+
+    def _update(contrib: pd.Series) -> pd.Series:
+        return base + damping * contrib.fillna(0.0)
+
+    return F.pandas_udf(_update, DoubleType())
+
+
+def pagerank(
+    graph: LinkGraph,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    use_arrow_kernel: bool = True,
+) -> PageRankResult:
+    """Run power iteration until L1(r' - r) <= tol or max_iter supersteps."""
+    spark = graph.edges.sparkSession
+    with static_plans(spark):
+        return _pagerank_loop(
+            graph,
+            damping,
+            tol,
+            max_iter,
+            num_partitions,
+            checkpoint,
+            checkpoint_interval,
+            resume,
+            use_arrow_kernel,
+        )
+
+
+def _pagerank_loop(
+    graph: LinkGraph,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    num_partitions: int | None,
+    checkpoint: CheckpointManager | None,
+    checkpoint_interval: int,
+    resume: bool,
+    use_arrow_kernel: bool,
+) -> PageRankResult:
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    n = graph.number_of_nodes()
+    if n == 0:
+        raise ValueError("empty graph")
+
+    w = graph.weight_col()
+    # Out-weight per source; pre-normalize edges once. Persisted partitioned
+    # by src so the per-superstep join only shuffles the rank table.
+    out_w = graph.edges.groupBy(SRC).agg(F.sum(w).alias("_out_w"))
+    edges_norm = (
+        graph.edges.select(SRC, DST, w.alias("_w"))
+        .join(out_w, SRC)
+        .select(SRC, DST, (F.col("_w") / F.col("_out_w")).alias("frac"))
+        .repartition(num_partitions, SRC)
+        .persist()
+    )
+    m = edges_norm.count()  # materialize once; also the bench denominator
+
+    # Node state with dangling flag (no out-edges): left_anti against sources.
+    node_state = (
+        graph.nodes.select(ID)
+        .join(
+            out_w.select(F.col(SRC).alias(ID)).withColumn("_has_out", F.lit(True)),
+            ID,
+            "left",
+        )
+        .select(ID, F.coalesce(F.col("_has_out"), F.lit(False)).alias("_dangling"))
+        .withColumn("_dangling", ~F.col("_dangling"))
+        .repartition(num_partitions, ID)
+        .persist()
+    )
+    n_dangling = node_state.filter("_dangling").count()
+
+    start_step = 0
+    history: list[dict] = []
+    if resume and checkpoint is not None and checkpoint.latest_step() is not None:
+        start_step = checkpoint.latest_step()
+        man = checkpoint.manifest(start_step)
+        ranks = (
+            checkpoint.load(start_step, "ranks")
+            .repartition(num_partitions, ID)
+            .persist()
+        )
+        dangling_mass = man["metrics"]["dangling_mass"]
+        history = man["metrics"].get("history", [])
+    else:
+        # narrow projection of node_state: inherits its hash(id) partitioning
+        ranks = node_state.select(ID, F.lit(1.0 / n).alias("pagerank")).persist()
+        dangling_mass = n_dangling / n
+    ranks.count()
+
+    converged = False
+    it = start_step
+    for it in range(start_step + 1, max_iter + 1):
+        contrib = (
+            edges_norm.join(
+                ranks.select(F.col(ID).alias("_rid"), "pagerank"),
+                F.col(SRC) == F.col("_rid"),
+            )
+            .groupBy(DST)
+            .agg(F.sum(F.col("pagerank") * F.col("frac")).alias("_contrib"))
+        )
+        if use_arrow_kernel:
+            kernel = _make_update_kernel(damping, n, dangling_mass)
+            new_rank_col = kernel(F.col("_contrib"))
+        else:
+            new_rank_col = (
+                F.lit((1.0 - damping) / n + damping * dangling_mass / n)
+                + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
+            )
+        new_ranks = node_state.join(contrib, F.col(ID) == F.col(DST), "left").select(
+            ID, F.col("_dangling"), new_rank_col.alias("pagerank")
+        )
+        # Truncate iterative lineage (the reference's checkpoint() pattern,
+        # louvain.py:171-172). eager=False: the checkpoint materializes inside
+        # the stats job below — exactly ONE Spark job per superstep.
+        new_ranks = new_ranks.localCheckpoint(eager=False)
+
+        # ONE action: L1 delta, next-step dangling mass, active vertices.
+        stats = (
+            new_ranks.join(
+                ranks.select(F.col(ID).alias("_oid"), F.col("pagerank").alias("_old")),
+                F.col(ID) == F.col("_oid"),
+            )
+            .agg(
+                F.sum(F.abs(F.col("pagerank") - F.col("_old"))).alias("l1"),
+                F.sum(
+                    F.when(F.col("_dangling"), F.col("pagerank")).otherwise(0.0)
+                ).alias("dmass"),
+                F.sum(
+                    F.when(
+                        F.abs(F.col("pagerank") - F.col("_old")) > tol / max(n, 1),
+                        1,
+                    ).otherwise(0)
+                ).alias("active"),
+            )
+            .collect()[0]
+        )
+        l1, dangling_mass, active = (
+            float(stats["l1"]),
+            float(stats["dmass"]),
+            int(stats["active"]),
+        )
+        ranks_old = ranks
+        ranks = new_ranks.select(ID, "pagerank")
+        step_metrics = {
+            "step": it,
+            "l1_delta": l1,
+            "active_vertices": active,
+            "dangling_mass": dangling_mass,
+        }
+        history.append(step_metrics)
+
+        if checkpoint is not None and (
+            it % checkpoint_interval == 0 or l1 <= tol or it == max_iter
+        ):
+            # frontier = still-active vertices with their per-vertex delta.
+            frontier = (
+                new_ranks.join(
+                    ranks_old.select(
+                        F.col(ID).alias("_oid"), F.col("pagerank").alias("_old")
+                    ),
+                    F.col(ID) == F.col("_oid"),
+                )
+                .select(ID, (F.col("pagerank") - F.col("_old")).alias("delta"))
+                .filter(F.abs(F.col("delta")) > tol / max(n, 1))
+            )
+            checkpoint.save(
+                it,
+                {"ranks": ranks, "frontier": frontier},
+                {
+                    "l1_delta": l1,
+                    "active_vertices": active,
+                    "dangling_mass": dangling_mass,
+                    "history": history,
+                },
+            )
+        ranks_old.unpersist()
+        if l1 <= tol:
+            converged = True
+            break
+
+    edges_norm.unpersist()
+    node_state.unpersist()
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        history=history,
+        num_nodes=n,
+        num_edges=m,
+    )

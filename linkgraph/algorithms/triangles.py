@@ -1,0 +1,103 @@
+"""Triangle counting — degree-ordered edge orientation + join intersection.
+
+NOT present in the reference (no triangle code under ``mercury/``); required
+by the north rule (BASELINE.json:6). Classic MapReduce scheme (Suri &
+Vassilvitskii; cf. HERO, SIGMOD'24 in PAPERS.md): orient each undirected edge
+from the lower-(degree, id) endpoint to the higher one — every triangle then
+has exactly one "pivot" node with two out-edges, and is counted exactly once
+by joining the oriented edge list with itself and probing the closing edge.
+
+Scale notes: orientation bounds out-degree by O(sqrt(m)) on any graph, so the
+wedge join (e1.dst = e2.src... actually pivot self-join on src) never
+explodes on hubs — hubs become high-IN-degree, which the closing-edge hash
+join handles; AQE skew-join splits the hot partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+
+
+def _oriented_edges(graph: LinkGraph) -> DataFrame:
+    """Distinct undirected edges oriented low→high by (degree, id)."""
+    und = (
+        graph.edges.select(
+            F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias(ID))
+        .union(und.select(F.col("b").alias(ID)))
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col(ID).alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col(ID).alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    return e
+
+
+def _triangle_triples(graph: LinkGraph) -> DataFrame:
+    """All triangles as (x, y, z) node triples, each exactly once."""
+    e = _oriented_edges(graph).persist()
+    e.count()
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    # wedge (x; y, z) has y < z by id; probe the undirected edge set in the
+    # same canonical order. Orientation is a bijection on the distinct edge
+    # set, so `closing` is distinct by construction.
+    closing = e.select(F.least("u", "v").alias("y"), F.greatest("u", "v").alias("z"))
+    tri = wedges.join(closing.hint("shuffle_hash"), ["y", "z"], "leftsemi")
+    return tri, e
+
+
+def triangle_count(graph: LinkGraph) -> int:
+    """Global triangle count (exact)."""
+    tri, e = _triangle_triples(graph)
+    n = tri.count()
+    e.unpersist()
+    return n
+
+
+def triangle_counts_per_vertex(graph: LinkGraph) -> DataFrame:
+    """Per-vertex triangle participation counts, zero-filled over all nodes
+    (matches networkx ``triangles``)."""
+    tri, e = _triangle_triples(graph)
+    corners = (
+        tri.select(F.col("x").alias(ID))
+        .union(tri.select(F.col("y").alias(ID)))
+        .union(tri.select(F.col("z").alias(ID)))
+    )
+    counts = corners.groupBy(ID).agg(F.count(F.lit(1)).alias("triangles"))
+    out = (
+        graph.nodes.select(ID)
+        .join(counts, ID, "left")
+        .select(ID, F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -1,0 +1,219 @@
+"""LinkGraph — an immutable property graph over two Spark DataFrames.
+
+Reproduces the data model of the reference's ``mercury.graph.core.Graph``
+(``mercury/graph/core/graph.py:108-550``) with a single distributed backend:
+
+- edges canonicalized to ``src, dst[, weight, ...attrs]`` (graph.py:527-530)
+- nodes canonicalized to ``id[, ...attrs]``, deduplicated (graph.py:533)
+- nodes inferred as distinct(src) ∪ distinct(dst) when absent (graph.py:535-537)
+- undirectedness emulated by materializing reversed edges + distinct
+  (graph.py:542-548)
+- keys remapping dict {src, dst, id, weight, directed} with the same defaults
+  (graph.py:143-157)
+
+Unlike the reference there is no networkx/GraphFrames/DGL conversion layer and
+no driver-side dict metrics: every metric is a DataFrame (``graph.py:627,671,
+690,716-720`` collect to dicts — a driver bottleneck this engine drops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC, DST, WEIGHT, ID = "src", "dst", "weight", "id"
+
+DEFAULT_KEYS = {"src": SRC, "dst": DST, "id": ID, "weight": WEIGHT, "directed": True}
+
+
+class LinkGraph:
+    """Immutable directed/undirected, optionally weighted property graph.
+
+    Parameters
+    ----------
+    edges : DataFrame with source/destination columns (names remappable via
+        ``keys``), optional weight column, arbitrary extra attribute columns.
+    nodes : optional DataFrame with an id column (remappable) + attributes.
+        Inferred from edges when absent.
+    keys : column remapping {"src": ..., "dst": ..., "id": ..., "weight": ...,
+        "directed": bool} — same contract as the reference (graph.py:143-157).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        nodes: DataFrame | None = None,
+        keys: dict | None = None,
+    ):
+        k = dict(DEFAULT_KEYS)
+        if keys:
+            k.update(keys)
+        self._directed = bool(k.get("directed", True))
+
+        e = edges
+        if k["src"] != SRC:
+            e = e.withColumnRenamed(k["src"], SRC)
+        if k["dst"] != DST:
+            e = e.withColumnRenamed(k["dst"], DST)
+        if k["weight"] != WEIGHT and k["weight"] in e.columns:
+            e = e.withColumnRenamed(k["weight"], WEIGHT)
+        if SRC not in e.columns or DST not in e.columns:
+            raise ValueError(
+                f"edges must carry '{k['src']}' and '{k['dst']}' columns; "
+                f"got {edges.columns}"
+            )
+        self._weighted = WEIGHT in e.columns
+
+        if nodes is not None:
+            n = nodes
+            if k["id"] != ID:
+                n = n.withColumnRenamed(k["id"], ID)
+            if ID not in n.columns:
+                raise ValueError(
+                    f"nodes must carry an '{k['id']}' column; got {nodes.columns}"
+                )
+            n = n.dropDuplicates([ID])
+        else:
+            # Node inference, exactly graph.py:535-537.
+            n = (
+                e.select(F.col(SRC).alias(ID))
+                .union(e.select(F.col(DST).alias(ID)))
+                .distinct()
+            )
+
+        if not self._directed:
+            # Undirected = edges ∪ reversed, deduplicated (graph.py:542-548).
+            rev = e.select(
+                F.col(DST).alias(SRC),
+                F.col(SRC).alias(DST),
+                *[c for c in e.columns if c not in (SRC, DST)],
+            )
+            e = e.unionByName(rev).dropDuplicates([SRC, DST])
+
+        self._edges = e
+        self._nodes = n
+
+    # ------------------------------------------------------------------ core
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._edges
+
+    @property
+    def nodes(self) -> DataFrame:
+        return self._nodes
+
+    @property
+    def is_directed(self) -> bool:
+        return self._directed
+
+    @property
+    def is_weighted(self) -> bool:
+        return self._weighted
+
+    def number_of_nodes(self) -> int:
+        return self._nodes.count()
+
+    def number_of_edges(self) -> int:
+        return self._edges.count()
+
+    def weight_col(self) -> F.Column:
+        """Edge weight as a Column; literal 1.0 when unweighted."""
+        return F.col(WEIGHT).cast("double") if self._weighted else F.lit(1.0)
+
+    # ------------------------------------------------------ degrees (A1)
+
+    def out_degree(self) -> DataFrame:
+        """Per-node out-degree, zero-filled over all nodes (graph.py:645-654)."""
+        d = self._edges.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        return self._zero_fill(d, "out_degree")
+
+    def in_degree(self) -> DataFrame:
+        d = self._edges.groupBy(F.col(DST).alias(ID)).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+        return self._zero_fill(d, "in_degree")
+
+    def degree(self) -> DataFrame:
+        """Total degree via union-of-endpoints, one shuffle instead of two
+        joins (pattern from louvain.py:316-323)."""
+        ends = self._edges.select(F.col(SRC).alias(ID)).union(
+            self._edges.select(F.col(DST).alias(ID))
+        )
+        d = ends.groupBy(ID).agg(F.count(F.lit(1)).alias("degree"))
+        return self._zero_fill(d, "degree")
+
+    def weighted_degree(self) -> DataFrame:
+        """Sum of incident edge weights (louvain.py:316-323 union trick)."""
+        w = self.weight_col()
+        ends = self._edges.select(F.col(SRC).alias(ID), w.alias("w")).union(
+            self._edges.select(F.col(DST).alias(ID), w.alias("w"))
+        )
+        d = ends.groupBy(ID).agg(F.sum("w").alias("weighted_degree"))
+        return self._zero_fill(d, "weighted_degree")
+
+    def _zero_fill(self, counts: DataFrame, col: str) -> DataFrame:
+        return (
+            self._nodes.select(ID)
+            .join(counts, ID, "left")
+            .select(ID, F.coalesce(F.col(col), F.lit(0)).alias(col))
+        )
+
+    # ------------------------------------------- CSR-style grouped adjacency
+
+    def grouped_adjacency(
+        self, num_partitions: int | None = None, reverse: bool = False
+    ) -> DataFrame:
+        """Salted-free CSR-style grouped edge lists: one row per source with a
+        sorted array of (dst, weight) structs — the distributed analogue of the
+        reference's flat-array CSR (graphembeddings.py:157-182). Consumed by
+        applyInPandas kernels (walk sampling, set intersection).
+
+        Returns DataFrame[src, adj: array<struct<dst,weight>>, deg: long].
+        """
+        s, d = (DST, SRC) if reverse else (SRC, DST)
+        e = self._edges.select(
+            F.col(s).alias(SRC), F.col(d).alias(DST), self.weight_col().alias("w")
+        )
+        if num_partitions:
+            e = e.repartition(num_partitions, SRC)
+        return e.groupBy(SRC).agg(
+            F.sort_array(F.collect_list(F.struct(DST, "w"))).alias("adj"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+
+    # --------------------------------------------------------- ego subgraph
+
+    def ego_subgraph(self, node_id, depth: int = 1, limit: int | None = None):
+        """BFS-expanded ego subgraph (Moebius viz logic, moebius.py:266-331,
+        minus the UI): returns (nodes_df, edges_df) restricted to nodes within
+        ``depth`` hops of ``node_id``, optionally capped at ``limit`` nodes.
+        Iterative union+distinct frontier expansion as moebius.py:266-294,
+        but with joins instead of driver-side sets.
+        """
+        spark = self._edges.sparkSession
+        frontier = spark.createDataFrame([(node_id,)], [ID])
+        reached = frontier
+        for _ in range(depth):
+            nbrs = (
+                self._edges.join(frontier, F.col(SRC) == F.col(ID), "leftsemi")
+                .select(F.col(DST).alias(ID))
+                .union(
+                    self._edges.join(
+                        frontier, F.col(DST) == F.col(ID), "leftsemi"
+                    ).select(F.col(SRC).alias(ID))
+                )
+                .distinct()
+            )
+            frontier = nbrs.join(reached, ID, "left_anti")
+            reached = reached.union(frontier).distinct()
+        if limit:
+            reached = reached.limit(limit)
+        reached = reached.cache()
+        sub_edges = self._edges.join(
+            reached, F.col(SRC) == F.col(ID), "leftsemi"
+        ).join(reached.withColumnRenamed(ID, "_rid"), F.col(DST) == F.col("_rid"), "leftsemi")
+        sub_nodes = self._nodes.join(reached.select(ID), ID, "leftsemi")
+        return sub_nodes, sub_edges

@@ -1,0 +1,56 @@
+"""Connected components — exact up to relabeling vs networkx oracle
+(BASELINE.json:6), both methods, directed treated as undirected."""
+
+import networkx as nx
+import pytest
+
+from linkgraph import LinkGraph, connected_components
+from tests.fixtures import random_digraph
+
+
+def _nx_components(edges, nodes=None):
+    g = nx.Graph()
+    if nodes:
+        g.add_nodes_from(nodes)
+    g.add_edges_from([(e[0], e[1]) for e in edges])
+    out = {}
+    for comp in nx.connected_components(g):
+        root = min(comp)
+        for v in comp:
+            out[v] = (root, len(comp))
+    return out
+
+
+def _ours(spark, edges, method, nodes=None, cols=("src", "dst")):
+    df = spark.createDataFrame([e[: len(cols)] for e in edges], list(cols))
+    ndf = spark.createDataFrame([(x,) for x in nodes], ["id"]) if nodes else None
+    g = LinkGraph(df, nodes=ndf)
+    res = connected_components(g, method=method)
+    return {r["id"]: (r["component"], r["component_size"]) for r in res.collect()}
+
+
+@pytest.mark.parametrize("method", ["two_star", "min_label"])
+def test_simple_two_components(spark, method):
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    got = _ours(spark, edges, method, nodes=["a", "b", "c", "x", "y", "lonely"])
+    ref = _nx_components(edges, nodes=["a", "b", "c", "x", "y", "lonely"])
+    assert got == ref
+    assert got["lonely"] == ("lonely", 1)
+
+
+@pytest.mark.parametrize("method", ["two_star", "min_label"])
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_graphs_match_networkx(spark, method, seed):
+    # sparse → many components; directed edges must be treated as undirected
+    edges = random_digraph(120, 0.012, seed=seed)
+    nodes = list(range(120))
+    got = _ours(spark, edges, method, nodes=nodes)
+    ref = _nx_components(edges, nodes=nodes)
+    assert got == ref
+
+
+def test_long_path_two_star(spark):
+    # path graph: worst case for min-label, fine for two_star's O(log^2 n)
+    edges = [(i, i + 1) for i in range(200)]
+    got = _ours(spark, edges, "two_star")
+    assert all(v == (0, 201) for v in got.values())

@@ -1,0 +1,82 @@
+"""Core LinkGraph API — parity with reference Graph semantics
+(unit_tests/test_core_graph.py known answers, FIXTURES.md F2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import LinkGraph
+from tests.fixtures import PERSON_EDGES, PERSON_NODES
+
+
+@pytest.fixture(scope="module")
+def person_graph(spark):
+    e = spark.createDataFrame(PERSON_EDGES, ["Person_A", "Person_B", "Duration"])
+    n = spark.createDataFrame([(x,) for x in PERSON_NODES], ["Name"])
+    return LinkGraph(
+        e,
+        nodes=n,
+        keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration", "id": "Name"},
+    )
+
+
+def test_counts(person_graph):
+    assert person_graph.number_of_nodes() == 7
+    assert person_graph.number_of_edges() == 10
+    assert person_graph.is_directed
+    assert person_graph.is_weighted
+
+
+def test_degrees(person_graph):
+    deg = {r["id"]: r["degree"] for r in person_graph.degree().collect()}
+    ind = {r["id"]: r["in_degree"] for r in person_graph.in_degree().collect()}
+    out = {r["id"]: r["out_degree"] for r in person_graph.out_degree().collect()}
+    # Known answers from reference unit_tests/test_core_graph.py:116-158
+    assert deg["Alice"] == 3
+    assert ind["Alice"] == 0
+    assert out["Alice"] == 3
+    assert sum(deg.values()) == 2 * person_graph.number_of_edges()
+
+
+def test_node_inference(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    g = LinkGraph(e)
+    assert g.number_of_nodes() == 3
+    assert not g.is_weighted
+    assert g.weighted_degree().filter(F.col("id") == "b").collect()[0][1] == 2.0
+
+
+def test_undirected_doubling(spark):
+    e = spark.createDataFrame(PERSON_EDGES, ["src", "dst", "weight"])
+    g = LinkGraph(e, keys={"directed": False})
+    # graph.py:542-548: union with reversed, dedup → 20 edges
+    assert g.number_of_edges() == 20
+    assert not g.is_directed
+
+
+def test_bad_columns_raise(spark):
+    e = spark.createDataFrame([("a", "b")], ["x", "y"])
+    with pytest.raises(ValueError):
+        LinkGraph(e)
+
+
+def test_grouped_adjacency(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 1.0)], ["src", "dst", "weight"]
+    )
+    g = LinkGraph(e)
+    adj = {r["src"]: r for r in g.grouped_adjacency().collect()}
+    assert adj["a"]["deg"] == 2
+    assert [x["dst"] for x in adj["a"]["adj"]] == ["b", "c"]
+
+
+def test_ego_subgraph(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
+    )
+    g = LinkGraph(e)
+    nodes, edges = g.ego_subgraph("a", depth=1)
+    ids = {r["id"] for r in nodes.collect()}
+    assert ids == {"a", "b"}
+    nodes2, edges2 = g.ego_subgraph("a", depth=2)
+    assert {r["id"] for r in nodes2.collect()} == {"a", "b", "c"}
+    assert edges2.count() == 2

@@ -1,0 +1,70 @@
+"""LPA structural tests + triangle counts vs networkx oracle."""
+
+import networkx as nx
+import pytest
+
+from linkgraph import (
+    LinkGraph,
+    label_propagation,
+    triangle_count,
+    triangle_counts_per_vertex,
+)
+from tests.fixtures import karate_edges, random_digraph
+
+
+def test_lpa_disconnected_cliques(spark):
+    def clique(prefix, k):
+        names = [f"{prefix}{i}" for i in range(k)]
+        return [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+
+    edges = clique("a", 4) + clique("b", 5) + clique("c", 3)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    labels = {r["id"]: r["label"] for r in label_propagation(g).collect()}
+    # each clique converges to one label; cliques don't merge
+    groups = {}
+    for node, lab in labels.items():
+        groups.setdefault(lab, set()).add(node[0])
+    assert all(len(members) == 1 for members in groups.values())
+    assert len({lab for n, lab in labels.items() if n.startswith("a")}) == 1
+    assert len({lab for n, lab in labels.items() if n.startswith("b")}) == 1
+
+
+def test_lpa_deterministic(spark):
+    edges = random_digraph(50, 0.1, seed=5)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    a = sorted(label_propagation(g, max_iter=10).collect())
+    b = sorted(label_propagation(g, max_iter=10).collect())
+    assert a == b
+
+
+def _nx_graph(edges):
+    g = nx.Graph()
+    g.add_edges_from([(e[0], e[1]) for e in edges])
+    return g
+
+
+def test_triangles_karate(spark):
+    edges = karate_edges()
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    ref = nx.triangles(_nx_graph(edges))
+    assert triangle_count(g) == sum(ref.values()) // 3
+    got = {r["id"]: r["triangles"] for r in triangle_counts_per_vertex(g).collect()}
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_triangles_random(spark, seed):
+    edges = random_digraph(80, 0.08, seed=seed)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    ref = nx.triangles(_nx_graph(edges))
+    got = {r["id"]: r["triangles"] for r in triangle_counts_per_vertex(g).collect()}
+    # zero-filled over all nodes present in edges
+    for k, v in ref.items():
+        assert got[k] == v
+    assert triangle_count(g) == sum(ref.values()) // 3
+
+
+def test_triangle_none(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    assert triangle_count(g) == 0

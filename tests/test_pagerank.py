@@ -1,0 +1,128 @@
+"""PageRank parity vs networkx oracle (BASELINE.json:6 — allclose 1e-6),
+dangling handling, checkpoint/resume equivalence."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from linkgraph import CheckpointManager, LinkGraph, pagerank
+from tests.fixtures import karate_edges, random_digraph
+
+
+def _nx_pagerank(edges, directed=True, weighted=False, n_nodes=None):
+    """networkx-semantics PageRank oracle in dense numpy (nx.pagerank needs
+    scipy, absent here): normalized, dangling mass redistributed uniformly."""
+    g = nx.DiGraph() if directed else nx.Graph()
+    if n_nodes:
+        g.add_nodes_from(range(n_nodes))
+    for e in edges:
+        if weighted:
+            g.add_edge(e[0], e[1], weight=e[2])
+        else:
+            g.add_edge(e[0], e[1])
+    nodes = sorted(g.nodes())
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros((n, n))
+    for u, v, data in g.edges(data=True):
+        w = data.get("weight", 1.0)
+        p[idx[u], idx[v]] += w
+        if not directed:
+            p[idx[v], idx[u]] += w
+    out = p.sum(axis=1)
+    dangling = out == 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = np.where(out[:, None] > 0, p / np.where(out[:, None] == 0, 1, out[:, None]), 0)
+    alpha = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(1000):
+        d_mass = r[dangling].sum()
+        r_new = (1 - alpha) / n + alpha * (p.T @ r + d_mass / n)
+        if np.abs(r_new - r).sum() < 1e-13:
+            r = r_new
+            break
+        r = r_new
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _assert_parity(result, oracle, atol=1e-6):
+    got = {r["id"]: r["pagerank"] for r in result.ranks.collect()}
+    assert set(got) == set(oracle)
+    ours = np.array([got[k] for k in sorted(oracle)])
+    ref = np.array([oracle[k] for k in sorted(oracle)])
+    assert np.allclose(ours, ref, atol=atol), np.abs(ours - ref).max()
+    assert abs(ours.sum() - 1.0) < 1e-9
+
+
+def test_karate_parity(spark):
+    edges = karate_edges()
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = LinkGraph(df, keys={"directed": False})
+    res = pagerank(g, tol=1e-7, use_arrow_kernel=False)
+    assert res.converged
+    _assert_parity(res, _nx_pagerank(edges, directed=False))
+
+
+def test_directed_with_dangling(spark):
+    # b and d are dangling (no out-edges)
+    edges = [("a", "b"), ("a", "c"), ("c", "d"), ("e", "a")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    res = pagerank(LinkGraph(df), tol=1e-7, use_arrow_kernel=False)
+    _assert_parity(res, _nx_pagerank(edges))
+
+
+def test_weighted_random_graph(spark):
+    edges = random_digraph(60, 0.08, seed=7, weighted=True)
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    res = pagerank(LinkGraph(df), tol=1e-7, use_arrow_kernel=False)
+    _assert_parity(res, _nx_pagerank(edges, weighted=True, n_nodes=60))
+
+
+def test_arrow_and_native_kernels_agree(spark):
+    edges = random_digraph(40, 0.1, seed=3)
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    g = LinkGraph(df)
+    # fixed 8 supersteps: implementations must agree exactly, no convergence needed
+    a = {r["id"]: r["pagerank"] for r in pagerank(g, tol=0.0, max_iter=8).ranks.collect()}
+    b = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(g, tol=0.0, max_iter=8, use_arrow_kernel=False).ranks.collect()
+    }
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_ckpt):
+    """A run interrupted mid-iteration and resumed must match an
+    uninterrupted run (BASELINE.json:14 resumability)."""
+    edges = random_digraph(50, 0.08, seed=11)
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    g = LinkGraph(df)
+
+    # 12 uninterrupted supersteps vs 6 + checkpoint + resume to 12:
+    # identical scores, exact — resumability without needing convergence.
+    full = pagerank(g, tol=0.0, max_iter=12, use_arrow_kernel=False)
+    mgr = CheckpointManager(tmp_ckpt, spark)
+    pagerank(g, tol=0.0, max_iter=6, checkpoint=mgr, checkpoint_interval=3, use_arrow_kernel=False)
+    assert mgr.latest_step() == 6
+    man = mgr.manifest(6)
+    assert "l1_delta" in man["metrics"] and "ranks" in man["tables"]
+    assert man["tables"]["ranks"]["partition_rows"]  # per-partition lineage
+
+    resumed = pagerank(g, tol=0.0, max_iter=12, checkpoint=mgr, resume=True, use_arrow_kernel=False)
+    assert resumed.iterations == 12
+    a = {r["id"]: r["pagerank"] for r in full.ranks.collect()}
+    b = {r["id"]: r["pagerank"] for r in resumed.ranks.collect()}
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_metrics_history(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    res = pagerank(
+        LinkGraph(spark.createDataFrame(edges, ["src", "dst"])),
+        tol=1e-7,
+        use_arrow_kernel=False,
+    )
+    assert res.history
+    l1s = [h["l1_delta"] for h in res.history]
+    assert l1s[-1] <= 1e-7
+    assert all(h["active_vertices"] >= 0 for h in res.history)
