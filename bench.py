@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline queries:
+- pagerank_corpus     — converged PageRank (tol 1e-6) over the synthetic
+                        source-code-repo edge graph (BASELINE.json input_hint);
+                        also reports edges/sec per superstep.
+- cc_corpus           — large-star/small-star connected components, same graph
+- lpa_corpus          — 5 LPA supersteps, same graph
+- triangles_imports   — triangle count over the import-relation subgraph
+- pagerank_copurchase — converged PageRank on the sf-dir supplier co-purchase graph
+- weighted_degree     — weighted degree over sf-dir lineitem graph
+- ann_cosine_top10    — brute-force cosine top-k over sf-dir embeddings
+- dedup_exact         — exact duplicate grouping over sf-dir documents
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     LG_BENCH_FILES (corpus size, default 300000).
+
+The N→4N scaling-efficiency evidence (BASELINE.md §3) is produced by
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    n_files = int(os.environ.get("LG_BENCH_FILES", 300_000))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from linkgraph import (
+        LinkGraph,
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from linkgraph.corpus import derive_edges, ingest, synthesize_corpus
+    from linkgraph.queries import (
+        copurchase_edges,
+        q_ann_cosine_top10,
+        q_dedup_exact_documents,
+        q_weighted_degree_lineitem,
+    )
+    from linkgraph.session import get_session
+
+    spark = get_session("linkgraph-bench", cores=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extra: dict = {"cpus": cpus, "n_files": n_files}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 2)
+        return out
+
+    # ---- corpus setup (untimed as a query; recorded in extra) ----
+    tmp = tempfile.mkdtemp(prefix="lg_bench_")
+    t0 = time.time()
+    corpus = ingest(
+        synthesize_corpus(
+            spark, n_files=n_files, n_repos=max(50, n_files // 1000),
+            commits_per_file=2, seed=42, num_partitions=cpus * 2,
+        )
+    )
+    corpus.write.mode("overwrite").parquet(f"{tmp}/corpus")
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+    edges = derive_edges(corpus, cochange_cap=16)
+    edges.write.mode("overwrite").parquet(f"{tmp}/edges")
+    edges = spark.read.parquet(f"{tmp}/edges")
+    m_edges = edges.count()
+    extra["corpus_setup_sec"] = round(time.time() - t0, 2)
+    extra["corpus_edges"] = m_edges
+
+    g = LinkGraph(edges.select("src", "dst", "weight"))
+
+    def _pagerank_corpus():
+        res = pagerank(g, tol=1e-6, max_iter=100, use_arrow_kernel=False)
+        res.ranks.select(F.sum("pagerank")).collect()
+        extra["pagerank_iterations"] = res.iterations
+        extra["pagerank_converged"] = res.converged
+        return res
+
+    res = timed("pagerank_corpus", _pagerank_corpus)
+    if res.iterations:
+        extra["pagerank_edges_per_sec_per_superstep"] = round(
+            res.num_edges * res.iterations / timings["pagerank_corpus"], 1
+        )
+
+    timed(
+        "cc_corpus",
+        lambda: connected_components(g, method="two_star")
+        .groupBy("component_size").count().collect(),
+    )
+    timed("lpa_corpus", lambda: label_propagation(g, max_iter=5).limit(1).collect())
+
+    g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
+    tri = timed("triangles_imports", lambda: triangle_count(g_imp))
+    extra["triangles_imports"] = tri
+
+    def _pr_cop():
+        gg = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+        r = pagerank(gg, tol=1e-6, max_iter=100, use_arrow_kernel=False)
+        r.ranks.limit(1).collect()
+        return r
+
+    timed("pagerank_copurchase", _pr_cop)
+    timed("weighted_degree", lambda: q_weighted_degree_lineitem(spark, sf_dir).count())
+    timed("ann_cosine_top10", lambda: q_ann_cosine_top10(spark, sf_dir).collect())
+    timed("dedup_exact", lambda: q_dedup_exact_documents(spark, sf_dir).count())
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 2)
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else None)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

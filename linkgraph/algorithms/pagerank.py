@@ -152,9 +152,12 @@ def _pagerank_loop(
         dangling_mass = n_dangling / n
     ranks.count()
 
+    import time as _time
+
     converged = False
     it = start_step
     for it in range(start_step + 1, max_iter + 1):
+        _t0 = _time.time()
         contrib = (
             edges_norm.join(
                 ranks.select(F.col(ID).alias("_rid"), "pagerank"),
@@ -211,6 +214,7 @@ def _pagerank_loop(
             "l1_delta": l1,
             "active_vertices": active,
             "dangling_mass": dangling_mass,
+            "wall_sec": round(_time.time() - _t0, 3),
         }
         history.append(step_metrics)
 

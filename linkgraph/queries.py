@@ -1,0 +1,330 @@
+"""Driver-contract queries: each builds a graph from the TPC-H-ish testdata
+tables (TESTDATA.md) through the public engine API and returns a DataFrame
+whose column names/types match the DuckDB oracle SQL in ``oracle_sql()``.
+
+Graphs derived from testdata (FIXTURES.md F11):
+- orders graph:      'c'||o_custkey → 'o'||o_orderkey
+- lineitem graph:    's'||l_suppkey → 'p'||l_partkey  (weight l_quantity)
+- nation-region:     'n'||n_nationkey ↔ 'r'||n_regionkey (undirected)
+- supplier co-purchase: suppliers sharing a part (a < b, distinct)
+- events graph:      'u'||user_id → 'e'||event_type
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph import (
+    LinkGraph,
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+
+DAMPING = 0.85
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tag(col: str, prefix: str) -> F.Column:
+    return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+
+# ----------------------------------------------------------------- graphs
+
+
+def orders_graph(spark, sf_dir) -> LinkGraph:
+    o = _t(spark, sf_dir, "orders")
+    return LinkGraph(
+        o.select(_tag("o_custkey", "c").alias("src"), _tag("o_orderkey", "o").alias("dst"))
+    )
+
+
+def lineitem_graph(spark, sf_dir) -> LinkGraph:
+    li = _t(spark, sf_dir, "lineitem")
+    return LinkGraph(
+        li.select(
+            _tag("l_suppkey", "s").alias("src"),
+            _tag("l_partkey", "p").alias("dst"),
+            F.col("l_quantity").alias("weight"),
+        )
+    )
+
+
+def nation_region_graph(spark, sf_dir) -> LinkGraph:
+    n = _t(spark, sf_dir, "nation")
+    return LinkGraph(
+        n.select(_tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")),
+        keys={"directed": False},
+    )
+
+
+def copurchase_edges(spark, sf_dir) -> DataFrame:
+    """Supplier pairs sharing a part — co-occurrence edge derivation."""
+    sp = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            _tag("a.l_suppkey", "s").alias("src"), _tag("b.l_suppkey", "s").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def events_graph(spark, sf_dir) -> LinkGraph:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    return LinkGraph(
+        e.select(_tag("user_id", "u").alias("src"), _tag("event_type", "e").alias("dst"))
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_out_degree_customers(spark, sf_dir):
+    return orders_graph(spark, sf_dir).out_degree()
+
+
+def q_in_degree_parts(spark, sf_dir):
+    return lineitem_graph(spark, sf_dir).in_degree()
+
+
+def q_weighted_degree_lineitem(spark, sf_dir):
+    return lineitem_graph(spark, sf_dir).weighted_degree()
+
+
+def q_degree_events(spark, sf_dir):
+    return events_graph(spark, sf_dir).degree()
+
+
+def q_cc_nation_region(spark, sf_dir):
+    return connected_components(nation_region_graph(spark, sf_dir), method="two_star")
+
+
+def q_triangle_count_copurchase(spark, sf_dir):
+    g = LinkGraph(copurchase_edges(spark, sf_dir))
+    n = triangle_count(g)
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+def q_pagerank_nation_region_5(spark, sf_dir):
+    """Fixed 5 supersteps (SQL-expressible by unrolling); integer-stable
+    output as round(rank * 1e6)."""
+    g = nation_region_graph(spark, sf_dir)
+    res = pagerank(g, damping=DAMPING, tol=0.0, max_iter=5, use_arrow_kernel=False)
+    return res.ranks.select(
+        "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_millionths")
+    )
+
+
+def q_pagerank_copurchase(spark, sf_dir):
+    """Converged PageRank on the supplier co-purchase graph (rows-only check:
+    iterative fixpoint is not ANSI-SQL-expressible)."""
+    g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+    res = pagerank(g, tol=1e-6, max_iter=120, use_arrow_kernel=False)
+    return res.ranks.select(
+        "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_millionths")
+    )
+
+
+def q_lpa_events(spark, sf_dir):
+    return label_propagation(events_graph(spark, sf_dir), max_iter=10)
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+def q_token_count_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def q_alpha_ratio_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.length("text")
+        )
+        .alias("alpha_ratio"),
+    )
+
+
+def q_ann_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-k against the embedding of vec_id=0 — all
+    JVM-side higher-order functions (zip_with + aggregate), no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            dot("embedding", "qe")
+            / (F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe"))),
+            5,
+        ).alias("cos5"),
+    )
+    return scored.orderBy(F.desc("cos5"), F.asc("vec_id")).limit(10)
+
+
+# -------------------------------------------------------------- oracle SQL
+
+
+def _pagerank_unrolled_sql(n_iters: int = 5, damping: float = DAMPING) -> str:
+    """ANSI SQL for fixed-iteration PageRank on the undirected nation-region
+    graph, unrolled (DuckDB 1.0 recursive CTEs can't aggregate per step)."""
+    d = damping
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT nodes.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * coalesce(c.s, CAST(0 AS DOUBLE)) AS r "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r{i-1}.r / deg.d) AS s "
+            f"FROM e JOIN r{i-1} ON e.src = r{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON nodes.id = c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(r * 1000000) AS BIGINT) AS pr_millionths FROM r{n_iters}"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "out_degree_customers": """
+        WITH e AS (SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        cnt AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src)
+        SELECT n.id AS id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS out_degree
+        FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
+    """,
+    "in_degree_parts": """
+        WITH e AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        cnt AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst)
+        SELECT n.id AS id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS in_degree
+        FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
+    """,
+    "weighted_degree_lineitem": """
+        WITH e AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                          CAST(l_quantity AS DOUBLE) AS w FROM lineitem),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        ends AS (SELECT src AS id, w FROM e UNION ALL SELECT dst, w FROM e),
+        s AS (SELECT id, sum(w) AS wd FROM ends GROUP BY id)
+        SELECT n.id AS id, CAST(coalesce(s.wd, 0) AS DOUBLE) AS weighted_degree
+        FROM nodes n LEFT JOIN s ON n.id = s.id
+    """,
+    "degree_events": """
+        WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        ends AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+        c AS (SELECT id, count(*) AS c FROM ends GROUP BY id)
+        SELECT n.id AS id, CAST(coalesce(c.c, 0) AS BIGINT) AS degree
+        FROM nodes n LEFT JOIN c ON n.id = c.id
+    """,
+    "cc_nation_region": """
+        WITH e AS (SELECT 'n' || n_nationkey AS a, 'r' || n_regionkey AS b FROM nation),
+        comp AS (SELECT b, min(a) AS component,
+                        CAST(count(*) + 1 AS BIGINT) AS component_size
+                 FROM (SELECT DISTINCT a, b FROM e) GROUP BY b)
+        SELECT e.a AS id, comp.component, comp.component_size
+        FROM (SELECT DISTINCT a, b FROM e) e JOIN comp ON e.b = comp.b
+        UNION ALL
+        SELECT b AS id, component, component_size FROM comp
+    """,
+    "triangle_count_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+              FROM sp a JOIN sp b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        eo AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e)
+        SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM eo e1 JOIN eo e2 ON e1.v = e2.u JOIN eo e3
+        ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    "pagerank_nation_region_5": _pagerank_unrolled_sql(5),
+    "dedup_exact_documents": """
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "token_count_documents": """
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+        FROM documents
+    """,
+    "alpha_ratio_documents": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS DOUBLE) AS alpha_ratio
+        FROM documents
+    """,
+    "ann_cosine_top10": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(e.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+             sqrt(list_sum(list_transform(q.qe, y -> y::DOUBLE * y::DOUBLE)))) AS cos
+          FROM embeddings e, q)
+        SELECT vec_id, CAST(round(cos, 5) AS DOUBLE) AS cos5
+        FROM scored ORDER BY cos5 DESC, vec_id LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "out_degree_customers": q_out_degree_customers,
+    "in_degree_parts": q_in_degree_parts,
+    "weighted_degree_lineitem": q_weighted_degree_lineitem,
+    "degree_events": q_degree_events,
+    "cc_nation_region": q_cc_nation_region,
+    "triangle_count_copurchase": q_triangle_count_copurchase,
+    "pagerank_nation_region_5": q_pagerank_nation_region_5,
+    "pagerank_copurchase": q_pagerank_copurchase,  # rows-only (iterative)
+    "lpa_events": q_lpa_events,  # rows-only (iterative)
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "token_count_documents": q_token_count_documents,
+    "alpha_ratio_documents": q_alpha_ratio_documents,
+    "ann_cosine_top10": q_ann_cosine_top10,
+}
