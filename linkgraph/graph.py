@@ -184,6 +184,36 @@ class LinkGraph:
             F.count(F.lit(1)).alias("deg"),
         )
 
+    # ------------------------------------------------------ id encoding
+
+    def encode_ids(self, check_collisions: bool = False):
+        """Dictionary-encode arbitrary node ids to dense 64-bit longs via
+        xxhash64 — a map-side-only encoding (no global window, unlike the
+        reference's single-partition ``row_number().over(Window.orderBy)``
+        at louvain.py:129). Collision odds at n nodes ≈ n²/2^65 (negligible
+        below ~10^8 nodes; for 10^12-scale use a sorted-bucket dictionary
+        instead — ``check_collisions=True`` verifies injectivity).
+
+        Returns (encoded LinkGraph, mapping DataFrame[id, code]).
+        """
+        mapping = self._nodes.select(ID, F.xxhash64(ID).alias("code"))
+        if check_collisions:
+            n_ids = mapping.count()
+            n_codes = mapping.select("code").distinct().count()
+            if n_codes != n_ids:
+                raise ValueError(
+                    f"xxhash64 id collision: {n_ids} ids -> {n_codes} codes; "
+                    "use an explicit dictionary"
+                )
+        extra = [c for c in self._edges.columns if c not in (SRC, DST)]
+        edges_enc = self._edges.select(
+            F.xxhash64(SRC).alias(SRC), F.xxhash64(DST).alias(DST), *extra
+        )
+        nodes_enc = self._nodes.select(F.xxhash64(ID).alias(ID))
+        g = LinkGraph(edges_enc, nodes=nodes_enc, keys={"directed": True})
+        g._directed = self._directed  # doubling already materialized
+        return g, mapping
+
     # --------------------------------------------------------- ego subgraph
 
     def ego_subgraph(self, node_id, depth: int = 1, limit: int | None = None):

@@ -32,6 +32,10 @@ ENGINE_CONF = {
     "spark.ui.enabled": "false",
     # Iterative supersteps re-submit many small stages; never stall on locality.
     "spark.locality.wait": "0",
+    # Superstep joins are equi-joins of a large cached edge table against a
+    # small rank table: shuffled-hash (build small side, stream edges) beats
+    # sort-merge, which would re-sort the edge side every superstep.
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 

