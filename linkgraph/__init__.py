@@ -20,6 +20,13 @@ from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.label_propagation import label_propagation
 from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
+from linkgraph.algorithms.louvain import louvain_communities
+from linkgraph.algorithms.spread_activation import spread_activation
+from linkgraph.algorithms.transition import transition_matrix, transition_power
+from linkgraph.algorithms.random_walker import random_walks
+from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
+from linkgraph.algorithms.spectral import spectral_clustering
+from linkgraph.algorithms.closeness import closeness_centrality, shortest_path_lengths
 
 __all__ = [
     "LinkGraph",
@@ -30,6 +37,16 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangle_counts_per_vertex",
+    "louvain_communities",
+    "spread_activation",
+    "transition_matrix",
+    "transition_power",
+    "random_walks",
+    "Node2Vec",
+    "node2vec_walks",
+    "spectral_clustering",
+    "closeness_centrality",
+    "shortest_path_lengths",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,83 @@
+"""Closeness centrality via (landmark-sampled) multi-source BFS.
+
+The reference computes all-pairs shortest paths with GraphFrames
+``shortestPaths(landmarks=all nodes)`` and then
+``closeness = (N-1) / Σ distances`` via the SQL higher-order function
+``aggregate(map_values(distances), 0, (acc, x) -> acc + x)``
+(``mercury/graph/core/graph.py:656-671``). All-pairs BFS is O(V·E) — exact
+only for small graphs; at scale pass ``landmarks`` (a sample of nodes) for
+the standard landmark approximation.
+
+BFS here is an iterative frontier join: distances from node x to landmark l
+follow edge direction (as GraphFrames shortestPaths does), so the frontier
+expands from landmarks along REVERSED edges, one superstep per hop, with a
+left_anti dedup against settled distances.
+
+Deviation: nodes that reach no landmark (sum of distances 0) get closeness
+0.0 instead of a division-by-zero null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def shortest_path_lengths(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> DataFrame:
+    """DataFrame[id, landmark, dist] — hop distance id→landmark along edges."""
+    spark = graph.edges.sparkSession
+    if landmarks is None:
+        lm = graph.nodes.select(F.col(ID).alias("landmark"))
+    elif isinstance(landmarks, list):
+        lm = spark.createDataFrame([(x,) for x in landmarks], ["landmark"])
+    else:
+        lm = landmarks.select(F.col(landmarks.columns[0]).alias("landmark"))
+
+    with static_plans(spark):
+        rev = graph.edges.select(
+            F.col(DST).alias("u"), F.col(SRC).alias("v")
+        ).distinct().localCheckpoint(eager=True)
+
+        settled = lm.select(
+            F.col("landmark").alias(ID), F.col("landmark"), F.lit(0).alias("dist")
+        ).localCheckpoint(eager=True)
+        frontier = settled
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(rev, frontier[ID] == rev["u"])
+                .select(F.col("v").alias(ID), "landmark", F.lit(hop).alias("dist"))
+                .distinct()
+                .join(settled.select(ID, "landmark"), [ID, "landmark"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return settled
+
+
+def closeness_centrality(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> DataFrame:
+    """DataFrame[id, closeness] = (N-1) / Σ_landmark dist(id → landmark)."""
+    n = graph.number_of_nodes()
+    dists = shortest_path_lengths(graph, landmarks, max_hops)
+    sums = dists.groupBy(ID).agg(F.sum("dist").alias("_s"))
+    return (
+        graph.nodes.select(ID)
+        .join(sums, ID, "left")
+        .select(
+            ID,
+            F.when(
+                F.coalesce(F.col("_s"), F.lit(0)) > 0, F.lit(float(n - 1)) / F.col("_s")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

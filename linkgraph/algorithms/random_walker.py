@@ -1,0 +1,97 @@
+"""Weighted random-walk path expansion from seed nodes.
+
+Same dataflow as the reference's ``SparkRandomWalker``
+(``mercury/graph/ml/spark_randomwalker.py:16-186``): starting from
+``source_id`` node(s), every epoch extends each active path along ALL
+out-edges of its current node (an expansion, not a sample), tracking the
+path probability as a running product of ``weight / Σ weight over src``
+(:111-127). Optional ``n_sampling_edges`` caps per-node fan-out by weighted
+random top-k (``rand()·norm_weight`` + row_number window, :168-186).
+
+The per-row Python UDF append (``udf_select_element_2``,
+spark_node2vec.py:22-29) is replaced by native ``concat(path, array(dst))``
+Column expressions; frontier is localCheckpointed per epoch (the reference's
+checkpoint pattern). ``rand`` is seeded per epoch for reproducibility (the
+reference leaves it unseeded, spark_randomwalker.py:173).
+
+Returns DataFrame[random_walks: array<string>, weights: array<double>] —
+one row per expanded path; weights[k] is the probability of the length-k
+prefix (spark_randomwalker.py:60-62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def random_walks(
+    graph: LinkGraph,
+    source_id,
+    num_epochs: int = 10,
+    n_sampling_edges: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    sources = source_id if isinstance(source_id, list) else [source_id]
+    with static_plans(graph.edges.sparkSession):
+        return _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed)
+
+
+def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
+    w = graph.weight_col()
+    edges = (
+        graph.edges.select(
+            F.col(SRC).cast("string").alias(SRC),
+            F.col(DST).cast("string").alias(DST),
+            (w / F.sum(w).over(Window.partitionBy(SRC))).alias("norm_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    state = (
+        graph.nodes.select(F.col(ID).cast("string").alias(ID))
+        .filter(F.col(ID).isin([str(s) for s in sources]))
+        .select(
+            F.array(F.col(ID)).alias("path"),
+            F.array(F.lit(1.0)).alias("weights"),
+            F.col(ID).alias("curr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(num_epochs):
+        if n_sampling_edges:
+            rnd = F.rand(seed + i) * F.col("norm_sum")
+            topk = Window.partitionBy(SRC).orderBy(F.desc("_wr"))
+            out_edges = (
+                edges.withColumn("_wr", rnd)
+                .withColumn("_rn", F.row_number().over(topk))
+                .filter(F.col("_rn") <= n_sampling_edges)
+                .drop("_wr", "_rn")
+            )
+        else:
+            out_edges = edges
+        joined = state.join(out_edges, state["curr"] == out_edges[SRC], "left")
+        appended = F.col(DST).isNotNull()
+        state = joined.select(
+            F.when(appended, F.concat("path", F.array(F.col(DST))))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            F.when(
+                appended,
+                F.concat(
+                    "weights",
+                    F.array(F.element_at("weights", -1) * F.col("norm_sum")),
+                ),
+            )
+            .otherwise(F.col("weights"))
+            .alias("weights"),
+            F.col(DST).alias("curr"),  # null freezes dead-ended paths
+        ).localCheckpoint(eager=True)
+
+    return state.select(
+        F.col("path").alias("random_walks"), F.col("weights").alias("weights")
+    ).filter(F.col("random_walks").isNotNull())

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 from linkgraph import (
     LinkGraph,
+    closeness_centrality,
     connected_components,
     label_propagation,
     pagerank,
+    transition_matrix,
     triangle_count,
 )
 
@@ -195,6 +197,25 @@ def q_ann_cosine_top10(spark, sf_dir):
     return scored.orderBy(F.desc("cos5"), F.asc("vec_id")).limit(10)
 
 
+def q_transition_events(spark, sf_dir):
+    """Row-stochastic transition matrix of the events graph — SQL-expressible
+    (weights are 1.0, so prob = 1/out-degree; dangling nodes self-loop)."""
+    return transition_matrix(events_graph(spark, sf_dir))
+
+
+def q_closeness_nation_region(spark, sf_dir):
+    """Directed closeness on the nation→region graph (each nation reaches
+    exactly its region at distance 1; regions reach nothing → 0.0)."""
+    return closeness_centrality(nation_region_directed(spark, sf_dir))
+
+
+def nation_region_directed(spark, sf_dir) -> LinkGraph:
+    n = _t(spark, sf_dir, "nation")
+    return LinkGraph(
+        n.select(_tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst"))
+    )
+
+
 # -------------------------------------------------------------- oracle SQL
 
 
@@ -280,6 +301,27 @@ ORACLE_SQL: dict[str, str] = {
         ON e3.u = e1.u AND e3.v = e2.v
     """,
     "pagerank_nation_region_5": _pagerank_unrolled_sql(5),
+    "transition_events": """
+        WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b),
+        outc AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e)
+        SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outc.c AS prob
+        FROM e JOIN outc ON e.src = outc.src
+        UNION ALL
+        SELECT n.id AS src, n.id AS dst, CAST(1.0 AS DOUBLE) AS prob
+        FROM nodes n LEFT JOIN outc ON n.id = outc.src WHERE outc.src IS NULL
+    """,
+    "closeness_nation_region": """
+        WITH e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+                   FROM nation),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes)
+        SELECT n.id AS id,
+               CAST(CASE WHEN n.id LIKE 'n%' THEN (nn.n - 1) * 1.0 ELSE 0.0 END
+                    AS DOUBLE) AS closeness
+        FROM nodes n CROSS JOIN nn
+    """,
     "dedup_exact_documents": """
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                CAST(count(*) AS BIGINT) AS n_copies
@@ -321,6 +363,8 @@ QUERIES = {
     "cc_nation_region": q_cc_nation_region,
     "triangle_count_copurchase": q_triangle_count_copurchase,
     "pagerank_nation_region_5": q_pagerank_nation_region_5,
+    "transition_events": q_transition_events,
+    "closeness_nation_region": q_closeness_nation_region,
     "pagerank_copurchase": q_pagerank_copurchase,  # rows-only (iterative)
     "lpa_events": q_lpa_events,  # rows-only (iterative)
     "dedup_exact_documents": q_dedup_exact_documents,

@@ -1,0 +1,130 @@
+"""Random walker (F7 semantics), node2vec walk counts, spectral clustering
+co-membership (F6), closeness vs networkx oracle."""
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph import LinkGraph
+from linkgraph.algorithms.closeness import closeness_centrality
+from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
+from linkgraph.algorithms.random_walker import random_walks
+from linkgraph.algorithms.spectral import spectral_clustering
+
+# F7 dead-end graph: (A,B,2),(B,C,1),(C,B,4),(C,D,3); D is a dead end
+F7 = [("A", "B", 2.0), ("B", "C", 1.0), ("C", "B", 4.0), ("C", "D", 3.0)]
+
+
+@pytest.fixture(scope="module")
+def f7(spark):
+    df = spark.createDataFrame(F7, ["src", "dst", "weight"])
+    return LinkGraph(df)
+
+
+def test_random_walker_paths(spark, f7):
+    res = random_walks(f7, "A", num_epochs=3).collect()
+    # expansion from A: A->B->C->{B,D} = 2 paths of length 4
+    paths = sorted(tuple(r["random_walks"]) for r in res)
+    assert paths == [("A", "B", "C", "B"), ("A", "B", "C", "D")]
+    for r in res:
+        ws = r["weights"]
+        assert ws[0] == 1.0
+        assert len(ws) == len(r["random_walks"])
+        # probability product decreases monotonically
+        assert all(ws[i + 1] <= ws[i] + 1e-12 for i in range(len(ws) - 1))
+    # probabilities of extensions from a node sum to the parent probability
+    by_prefix = {tuple(r["random_walks"]): r["weights"][-1] for r in res}
+    assert by_prefix[("A", "B", "C", "B")] + by_prefix[("A", "B", "C", "D")] == (
+        pytest.approx(1.0)
+    )
+
+
+def test_random_walker_dead_end_freezes(spark, f7):
+    res = random_walks(f7, "D", num_epochs=4).collect()
+    assert len(res) == 1
+    assert list(res[0]["random_walks"]) == ["D"]
+
+
+def test_random_walker_edge_sampling(spark, f7):
+    full = random_walks(f7, "A", num_epochs=6).count()
+    capped = random_walks(f7, "A", num_epochs=6, n_sampling_edges=1).count()
+    assert capped <= full  # sampling reduces walk count (reference :15-32)
+    assert capped == 1
+
+
+def test_node2vec_walk_counts(spark, f7):
+    # reference test_ml_spark_node2vec.py:104-127 — sampling_ratio=1,
+    # 2 epochs: node D is a dead end, its length-1 path is dropped → 3 paths
+    w1 = node2vec_walks(f7, sampling_ratio=1.0, num_epochs=2, num_paths_per_node=1)
+    assert w1.count() == 3
+    w3 = node2vec_walks(f7, sampling_ratio=1.0, num_epochs=2, num_paths_per_node=3)
+    assert w3.count() == 9
+    # walks follow edges
+    for r in w1.collect():
+        p = list(r["random_walks"])
+        edges = {(s, d) for s, d, _ in F7}
+        assert all((p[i], p[i + 1]) in edges for i in range(len(p) - 1))
+
+
+def test_node2vec_walks_deterministic(spark, f7):
+    a = sorted(map(str, node2vec_walks(f7, 1.0, 3, 1, seed=5).collect()))
+    b = sorted(map(str, node2vec_walks(f7, 1.0, 3, 1, seed=5).collect()))
+    assert a == b
+
+
+def test_node2vec_embeddings(spark, f7, tmp_path):
+    m = Node2Vec(dimension=4, num_epochs=3, w2v_min_count=1, seed=1).fit(f7)
+    emb = m.embedding()
+    assert emb.count() <= 4 and "word" in emb.columns
+    sim = m.get_most_similar_nodes("B", k=2)
+    assert sim.count() == 2
+    # save/load roundtrip
+    path = str(tmp_path / "w2v")
+    m.save(path)
+    m2 = Node2Vec.load(path)
+    assert m2.embedding().count() == emb.count()
+
+
+def test_spectral_two_cliques(spark):
+    def clique(members):
+        return [(a, b, 1.0) for i, a in enumerate(members) for b in members[i + 1:]]
+
+    edges = clique(["a", "b", "c", "d"]) + clique(["x", "y", "z", "w"]) + [
+        ("a", "x", 0.1)
+    ]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    res = spectral_clustering(g, k=2, max_iter=20)
+    labels = {r["id"]: r["cluster"] for r in res.labels.collect()}
+    assert len(labels) == 8
+    assert len({labels[v] for v in "abcd"}) == 1
+    assert len({labels[v] for v in "xyzw"}) == 1
+    assert labels["a"] != labels["x"]
+    assert -0.5 <= res.modularity <= 1.0
+
+
+def test_spectral_bad_k(spark):
+    g = LinkGraph(spark.createDataFrame([("a", "b", 1.0)], ["src", "dst", "weight"]))
+    with pytest.raises(ValueError):
+        spectral_clustering(g, k=1)
+
+
+def test_closeness_matches_networkx(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = LinkGraph(df, keys={"directed": False})
+    got = {r["id"]: r["closeness"] for r in closeness_centrality(g).collect()}
+    nxg = nx.Graph(edges)
+    ref = nx.closeness_centrality(nxg)
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_closeness_landmarks_subset(spark):
+    edges = [("a", "b"), ("b", "c")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False})
+    got = {r["id"]: r["closeness"] for r in
+           closeness_centrality(g, landmarks=["a"]).collect()}
+    # d(a,a)=0 → closeness 0 (deviation doc'd); d(b→a)=1 → 2/1; d(c→a)=2 → 2/2
+    assert got["b"] == pytest.approx(2.0)
+    assert got["c"] == pytest.approx(1.0)
+    assert got["a"] == 0.0
