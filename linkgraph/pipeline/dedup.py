@@ -1,0 +1,327 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shapes (100 TB): every method reduces to
+    shingle/feature extraction (scan-local, JVM or Arrow)
+    → banded bucketing (one shuffle on a short key)
+    → candidate verification within buckets (bounded joins)
+    → connected components over dup pairs → canonical representative
+so no step is all-pairs. Hub buckets (boilerplate text) are capped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.pipeline.text import doc_fingerprint
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts: returns
+    [<id_col>, n_copies, fingerprint] with the minimum id as representative."""
+    fp = doc_fingerprint(df.select(id_col, text_col), text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    ).select(id_col, "n_copies", "fingerprint")
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def _shingle_expr(text_col: str, k: int) -> F.Column:
+    # substring with a Column start index needs expr; transform over a
+    # position sequence keeps everything codegen'd.
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length(lower({text_col})) - {k - 1}, 1)),"
+        f" i -> substring(lower({text_col}), i, {k})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    explode distinct shingles → self-join on shingle (frequency-capped to
+    kill boilerplate hubs) → |A∩B| per pair → J = |A∩B|/(|A|+|B|−|A∩B|).
+    Returns [a, b, jaccard] with a < b, jaccard ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), _shingle_expr(text_col, k).alias("_sh")
+    ).select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+    sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.col("a._n").alias("na"),
+            F.col("b._n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    return inter.select(
+        "a",
+        "b",
+        (
+            F.col("ix").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ix")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes independent min-aggregations
+    of xxhash64(shingle, seed_j) over the exploded distinct shingle set.
+    Returns [<id_col>, sig: array<long>]."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(_shingle_expr(text_col, shingle_k)).alias("s")
+    )
+    mins = sh.groupBy("_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    return mins.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash → banded LSH bucketing → candidate pairs → exact Jaccard
+    verification → connected components → canonical representative.
+
+    Returns [<id_col>, rep] mapping every near-duplicate doc to the minimum
+    id of its duplicate cluster (docs with no dup map to themselves).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # cap pathological buckets (boilerplate): keep first max_bucket per bucket
+    win = Window.partitionBy("band", "bucket").orderBy("_id")
+    capped = banded.withColumn("_rn", F.row_number().over(win)).filter(
+        F.col("_rn") <= max_bucket
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("a"), F.col("b._id").alias("b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard on shingle sets
+    sh = df.select(
+        F.col(id_col).alias("_id"), _shingle_expr(text_col, shingle_k).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sa")), "a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("_sa", "_sb")).cast("double")
+                / F.size(F.array_union("_sa", "_sb")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    # duplicate clusters = connected components over verified pairs
+    from linkgraph.algorithms.components import connected_components
+
+    ids = df.select(F.col(id_col).alias("id"))
+    pairs = verified.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    g = LinkGraph(pairs, nodes=ids)
+    cc = connected_components(g, method="two_star", with_sizes=False)
+    return cc.select(F.col("id").alias(id_col), F.col("component").alias("rep"))
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow kernel
+    (mapInPandas): token xxhash-like mixing and per-bit vote in numpy —
+    the pattern BASELINE.json:15 mandates for per-row math Spark can't
+    express natively. Returns [<id_col>, simhash: long]."""
+    src = df.select(F.col(id_col).alias("_id"), F.lower(F.col(text_col)).alias("_t"))
+
+    def kernel(batches):
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+        def mix(h):
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) & mask
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53) & mask
+            return h ^ (h >> np.uint64(33))
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["_t"].fillna("")):
+                toks = text.split()
+                if not toks:
+                    continue
+                # FNV-1a per token, then avalanche — all vectorizable; the
+                # token hash itself is a tight numpy loop over the batch
+                hs = np.fromiter(
+                    (hash_token(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                hs = mix(hs)
+                bits_mat = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = (2 * bits_mat.astype(np.int64) - 1).sum(axis=0)
+                sig = np.sum(
+                    (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64),
+                    dtype=np.uint64,
+                )
+                out[i] = np.array([sig], dtype=np.uint64).view(np.int64)[0]
+            yield pd.DataFrame({"_id": pdf["_id"], "simhash": out})
+
+    def hash_token(t: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in t.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    id_type = dict(src.dtypes)["_id"]
+    out = src.mapInPandas(kernel, f"_id {id_type}, simhash long")
+    return out.select(F.col("_id").alias(id_col), "simhash")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block the 64-bit signature into ``blocks``
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket-join
+    on (block, chunk), verify with bit_count(xor) ≤ max_hamming.
+    Returns [a, b, hamming]."""
+    sig = simhash(df, id_col, text_col)
+    width = 64 // blocks
+    # shiftrightunsigned with a per-element shift needs the SQL form (the
+    # Python helper only takes a literal int shift)
+    chunk_arr = F.expr(
+        f"transform(sequence(0, {blocks - 1}),"
+        f" b -> shiftrightunsigned(simhash, b * {width}) & {(1 << width) - 1})"
+    )
+    chunks = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.posexplode(chunk_arr).alias("blk", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    band_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH (deterministic seeded
+    planes), banded bucket join, exact cosine verification.
+    Returns [a, b, cosine]."""
+    from linkgraph.pipeline.similarity import cosine_expr, hyperplane_signature
+
+    sig = hyperplane_signature(emb, id_col, vec_col, planes)
+    bands = planes // band_planes
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("bits"), b * band_planes + 1, band_planes), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.select(
+        "a", "b", cosine_expr("_va", "_vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force cosine top-k — the exact baseline. Dot products
+  via JVM higher-order functions (zip_with + aggregate), no UDF; the query
+  side is broadcast so the scan is shuffle-free.
+- lsh_cosine_topk: random-hyperplane LSH bucketing as the scale path —
+  candidates share a signature band with the query; exact cosine re-ranking
+  within candidates. Deterministic seeded hyperplanes (splitmix64), built as
+  an Arrow pandas_udf batch kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a, b) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against the embedding of ``query_id``."""
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        id_col, cosine_expr(vec_col, "_q").alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-Gaussian hyperplanes from splitmix64 bits."""
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    gamma = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + gamma
+    z = idx
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+    z = z ^ (z >> np.uint64(31))
+    u = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # U(0,1)
+    # sum of 4 uniforms ≈ gaussian enough for LSH sign tests
+    g = u.reshape(-1, 4).sum(axis=1) if (dim * n_planes) % 4 == 0 else u
+    if g.shape[0] < dim * n_planes:
+        g = np.concatenate([g] * 4)[: dim * n_planes]
+    return (g[: dim * n_planes] - g[: dim * n_planes].mean()).reshape(n_planes, dim)
+
+
+def hyperplane_signature(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds ``bits``: array<int> of hyperplane sign bits — Arrow batch kernel."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def signs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat.astype(np.float64) @ planes.T > 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    return emb.select(id_col, vec_col, signs(F.col(vec_col)).alias("bits"))
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band with the query,
+    re-ranked by exact cosine. Recall grows with bands (n_planes/band_planes).
+    """
+    assert n_planes % band_planes == 0
+    bands = n_planes // band_planes
+    sig = hyperplane_signature(emb, id_col, vec_col, n_planes, seed)
+    band_col = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(F.slice(F.col("bits"), b * band_planes + 1, band_planes), b),
+        )
+    )
+    banded = sig.select(id_col, vec_col, band_col.alias("band", "bucket"))
+    qb = banded.filter(F.col(id_col) == query_id).select(
+        F.col("band").alias("qband"), F.col("bucket").alias("qbucket")
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    cand = (
+        banded.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("qband")) & (F.col("bucket") == F.col("qbucket")),
+            "leftsemi",
+        )
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        id_col, cosine_expr(vec_col, "_q").alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

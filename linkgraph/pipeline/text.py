@@ -1,0 +1,97 @@
+"""Text analysis over a document table — all JVM-side Column expressions
+(no Python in the hot path): token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Designed for the 100 TB training-data pipeline case: every function is a
+narrow projection over the scan (column-pruned, predicate-pushdown-friendly),
+no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "qui", "une", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "auf", "den"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (0 for blank text)."""
+    return df.withColumn(
+        out,
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / alpha ratio / punctuation ratio / stopword ratio / mean word
+    length — the standard cheap quality filters for pretraining corpora."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    tokens = F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(t)), r"\W+")
+    )
+    stop_hits = F.size(
+        F.filter(tokens, lambda x: x.isin(*LANG_MARKERS["en"]))
+    )
+    n_tok = F.size(tokens)
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)  # noqa: E731
+    return df.select(
+        "*",
+        n.cast("long").alias("q_len"),
+        safe(alpha, n).alias("q_alpha_ratio"),
+        safe(punct, n).alias("q_punct_ratio"),
+        safe(stop_hits, n_tok).alias("q_stopword_ratio"),
+        safe(alpha, n_tok).alias("q_mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Deterministic stopword-marker language ID over LANG_MARKERS.
+
+    Scores each language by the count of marker-word occurrences
+    (regexp_extract_all with word boundaries); argmax wins, ties broken by
+    language order; no hits → 'und'. A heuristic, not a model — the point is
+    the scan-shaped, shuffle-free plumbing.
+    """
+    lowered = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(
+                lowered, F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(0)
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties
+        s = scores[lang]
+        best = F.when(s >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    cols = [F.col(c) for c in df.columns]
+    return df.select(
+        *cols,
+        best.alias(out),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    engine-portable (DuckDB md5 matches), used as the exact-dup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm))

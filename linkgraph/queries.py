@@ -216,6 +216,84 @@ def nation_region_directed(spark, sf_dir) -> LinkGraph:
     )
 
 
+def q_lang_id_documents(spark, sf_dir):
+    from linkgraph.pipeline.text import lang_id
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_id(d).select("doc_id", "lang_pred")
+
+
+def q_quality_documents(spark, sf_dir):
+    from linkgraph.pipeline.text import quality_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_scores(d).select(
+        "doc_id",
+        "q_len",
+        F.round("q_alpha_ratio", 6).alias("alpha6"),
+        F.round("q_punct_ratio", 6).alias("punct6"),
+    )
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from linkgraph.pipeline.text import doc_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_fingerprint(d).select("doc_id", "fingerprint")
+
+
+def q_ngram_jaccard_documents(spark, sf_dir):
+    from linkgraph.pipeline.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, k=5, threshold=0.2, max_shingle_freq=10**9)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard6"))
+
+
+def q_minhash_dedup_documents(spark, sf_dir):
+    """MinHash+LSH dedup clusters (rows-only: xxhash64 is engine-specific)."""
+    from linkgraph.pipeline.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_dedup(d, jaccard_threshold=0.5)
+
+
+def q_simhash_documents(spark, sf_dir):
+    """SimHash signatures (rows-only: signature bits are engine-specific)."""
+    from linkgraph.pipeline.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(d)
+
+
+def q_lsh_cosine_top10(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
+    from linkgraph.pipeline.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e, query_id=0, k=10, n_planes=16, band_planes=2).select(
+        "vec_id", F.round("cosine", 5).alias("cos5")
+    )
+
+
+def _lang_id_sql() -> str:
+    from linkgraph.pipeline.text import LANG_MARKERS
+
+    score_cols = ",\n".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b')) AS s_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + mx + " < 1 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+        WITH scored AS (SELECT doc_id, {score_cols} FROM documents)
+        SELECT doc_id, {case} AS lang_pred FROM scored
+    """
+
+
 # -------------------------------------------------------------- oracle SQL
 
 
@@ -341,6 +419,44 @@ ORACLE_SQL: dict[str, str] = {
                          / length(text) END AS DOUBLE) AS alpha_ratio
         FROM documents
     """,
+    "lang_id_documents": _lang_id_sql(),
+    "quality_documents": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS q_len,
+               CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / length(text) END, 6) AS DOUBLE) AS alpha6,
+               CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text,
+                         '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+                         / length(text) END, 6) AS DOUBLE) AS punct6
+        FROM documents
+    """,
+    "fingerprint_documents": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "ngram_jaccard_documents": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(lower(text)) - 4, 1)),
+                     i -> substr(lower(text), i, 5))) AS s
+          FROM documents
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ix AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ix
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT ix.a, ix.b,
+               CAST(round(CAST(ix.ix AS DOUBLE) / (sa.n + sb.n - ix.ix), 6) AS DOUBLE)
+               AS jaccard6
+        FROM ix JOIN sizes sa ON ix.a = sa.doc_id JOIN sizes sb ON ix.b = sb.doc_id
+        WHERE CAST(ix.ix AS DOUBLE) / (sa.n + sb.n - ix.ix) >= 0.2
+    """,
     "ann_cosine_top10": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -371,4 +487,11 @@ QUERIES = {
     "token_count_documents": q_token_count_documents,
     "alpha_ratio_documents": q_alpha_ratio_documents,
     "ann_cosine_top10": q_ann_cosine_top10,
+    "lang_id_documents": q_lang_id_documents,
+    "quality_documents": q_quality_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "ngram_jaccard_documents": q_ngram_jaccard_documents,
+    "minhash_dedup_documents": q_minhash_dedup_documents,  # rows-only
+    "simhash_documents": q_simhash_documents,  # rows-only
+    "lsh_cosine_top10": q_lsh_cosine_top10,  # rows-only (approximate)
 }

@@ -1,0 +1,149 @@
+"""Training-data pipeline ops: text analysis, dedup (exact/minhash/simhash/
+jaccard), similarity search, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.dedup import (
+    embedding_cosine_dups,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from linkgraph.pipeline.multimodal import (
+    decode_image,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from linkgraph.pipeline.similarity import cosine_topk, lsh_cosine_topk
+from linkgraph.pipeline.text import doc_fingerprint, lang_id, quality_scores, token_count
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and the cat"),
+    (2, "The quick brown fox jumps over the lazy dog and the cat"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog and the rat"),  # near dup of 1
+    (4, "el rapido zorro marron salta sobre el perro con los gatos"),
+    (5, "completely different content about databases and spark engines"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[1] == 12 and tc[6] == 0
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[6]["q_alpha_ratio"] == 0.0
+    assert 0.7 < q[1]["q_alpha_ratio"] < 0.9
+    assert q[1]["q_stopword_ratio"] > q[4]["q_stopword_ratio"]
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[4] == "es"
+    assert got[6] == "und"
+
+
+def test_exact_dedup(spark, docs):
+    reps = exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in reps}
+    assert by_id[1] == 2  # docs 1 and 2 collapse
+    assert 2 not in by_id
+    assert by_id[3] == 1
+    # fingerprint is normalization-insensitive
+    fp = doc_fingerprint(spark.createDataFrame(
+        [(1, "A  b\tc"), (2, "a b c ")], ["doc_id", "text"]))
+    vals = [r["fingerprint"] for r in fp.collect()]
+    assert vals[0] == vals[1]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_dedup(spark, docs):
+    reps = {r["doc_id"]: r["rep"] for r in
+            minhash_lsh_dedup(docs, jaccard_threshold=0.5).collect()}
+    assert reps[1] == reps[2] == reps[3] == 1  # near-dup cluster → min id
+    assert reps[4] == 4 and reps[5] == 5
+
+
+def test_simhash(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical signature
+    ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    ham15 = bin((sh[1] ^ sh[5]) & (2**64 - 1)).count("1")
+    assert ham13 < ham15  # near dup closer than unrelated
+    dups = {(r["a"], r["b"]) for r in
+            simhash_near_dups(docs, max_hamming=ham13).collect()}
+    assert (1, 2) in dups and (1, 3) in dups
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(5, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # id+100 = tiny perturbation of id (near-dup)
+        rows.append((i + 100, [float(x + 0.01 * rng.normal()) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk(spark, emb):
+    top = cosine_topk(emb, query_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 100  # its perturbation
+    assert top[1]["cosine"] > 0.99
+
+
+def test_lsh_cosine_topk_recall(spark, emb):
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=2).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_cosine_topk(emb, 0, k=2, n_planes=16, band_planes=2).collect()]
+    assert approx[0] == exact[0]
+    assert set(exact) & set(approx)
+
+
+def test_embedding_cosine_dups(spark, emb):
+    dups = {(r["a"], r["b"]) for r in
+            embedding_cosine_dups(emb, threshold=0.99, planes=16,
+                                  band_planes=2).collect()}
+    assert all((i, i + 100) in dups for i in range(5))
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n_rows=30)
+    assert media.count() == 30
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == 16 for r in rows)
+    norms = [float(np.linalg.norm(r["features"])) for r in rows]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # deterministic across re-computation
+    again = {r["media_id"]: list(r["features"]) for r in
+             extract_features(media, dim=16).collect()}
+    first = {r["media_id"]: list(r["features"]) for r in rows}
+    assert first == again
+
+    frames = sample_frames(media, every_n=5)
+    assert frames.count() > 0
+    assert frames.filter("frame_idx % 5 != 0").count() == 0
+
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_image(media)
