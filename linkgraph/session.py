@@ -62,15 +62,22 @@ def get_session(
             active.sparkContext.setCheckpointDir(checkpoint_dir)
         return active
 
+    from pyspark import SparkConf
+
+    submitted = SparkConf()  # carries spark-submit --master/--conf properties
     cores = cores or default_parallelism()
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    builder = SparkSession.builder.appName(app_name)
+    if not submitted.contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     conf = dict(ENGINE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
     conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
-        builder = builder.config(k, v)
+        # spark-submit / cluster-manager conf always wins over engine defaults
+        if not submitted.contains(k):
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if checkpoint_dir:

@@ -1,0 +1,82 @@
+"""GraphEmbedding/Embeddings (A12) and betweenness (A5)."""
+
+import numpy as np
+import pytest
+
+from linkgraph import LinkGraph
+from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.embeddings import Embeddings, GraphEmbedding
+
+# F8 4-cycle weighted graph (reference test_embeddings_graphembeddings.py:20-36)
+F8 = [("A", "C", 780.0), ("B", "D", 670.0), ("C", "A", 893.0), ("D", "B", 890.0)]
+
+
+def test_csr_build(spark):
+    df = spark.createDataFrame(F8, ["src", "dst", "weight"])
+    ge = GraphEmbedding(dimension=4, n_jumps=50, seed=1).fit(LinkGraph(df))
+    assert ge.node_ids == ["A", "B", "C", "D"]
+    assert list(ge.r_len) == [1, 1, 1, 1]
+    assert ge.TotW == pytest.approx(780 + 670 + 893 + 890)
+    # A's single out-edge goes to C
+    assert ge.r_col[ge.r_ini[0]] == ge.node_ids.index("C")
+
+
+def test_embedding_trains_structure(spark):
+    # two tight clusters connected weakly: embeddings of intra-cluster pairs
+    # should end up more similar than inter-cluster pairs
+    def clique(ns):
+        return [(a, b, 10.0) for i, a in enumerate(ns) for b in ns[i + 1:]]
+
+    edges = clique(["a1", "a2", "a3"]) + clique(["b1", "b2", "b3"]) + [
+        ("a1", "b1", 0.1)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    g = LinkGraph(df, keys={"directed": False})
+    ge = GraphEmbedding(dimension=8, n_jumps=2000, learn_step=5, seed=3).fit(g)
+    sim = ge.get_most_similar_nodes("a1", k=2)
+    assert set(sim["word"]) & {"a2", "a3"}
+
+
+def test_embedding_save_load(spark, tmp_path):
+    df = spark.createDataFrame(F8, ["src", "dst", "weight"])
+    ge = GraphEmbedding(dimension=4, n_jumps=30, seed=1).fit(LinkGraph(df))
+    p = str(tmp_path / "ge.npz")
+    ge.save(p)
+    ge2 = GraphEmbedding.load(p)
+    assert ge2.node_ids == ge.node_ids
+    assert np.allclose(ge2.embeddings_.as_numpy(), ge.embeddings_.as_numpy())
+    assert ge2["A"].shape == (4,)
+
+
+def test_embeddings_rotation_math():
+    em = Embeddings(dimension=4, num_elements=3, seed=0)
+    before = em.as_numpy().copy()
+    conv = np.array([[0, 1]])
+    em.fit(converge=conv)
+    after = em.as_numpy()
+    # row 0 moved toward row 1; rows 1,2 untouched
+    assert not np.allclose(before[0], after[0])
+    assert np.allclose(before[1], after[1]) and np.allclose(before[2], after[2])
+
+    def cos(u, v):
+        return np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+
+    assert cos(after[0], after[1]) > cos(before[0], before[1])
+    with pytest.raises(ValueError, match="Unknown Distance Metric"):
+        em.get_most_similar_embeddings(0, metric="bogus")
+
+
+def test_betweenness_star(spark):
+    # star: center has all betweenness
+    edges = [("c", x) for x in ["a", "b", "d", "e"]]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False})
+    bc = {r["id"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    assert bc["c"] == pytest.approx(1.0)
+    assert all(bc[x] == 0.0 for x in "abde")
+
+
+def test_betweenness_guard(spark):
+    edges = [("a", "b")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    with pytest.raises(ValueError, match="driver-local"):
+        betweenness_centrality(g, max_nodes=1)
