@@ -123,6 +123,21 @@ def main():
     shutil.rmtree(tmp, ignore_errors=True)
     total = round(sum(timings.values()), 2)
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else None)
+
+    # BASELINE.md-aligned extras: wall to 1e-6 convergence is the
+    # pagerank_corpus timing; scaling efficiency comes from the latest
+    # scripts/bench_scaling.py run (BENCH/BASELINE.md).
+    extra["pagerank_wall_to_tol_sec"] = timings.get("pagerank_corpus")
+    try:
+        import re
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "BASELINE.md")) as f:
+            m = re.search(r"= (\d+\.\d+)\*\* \(target", f.read())
+        if m:
+            extra["scaling_efficiency_n_to_4n"] = float(m.group(1))
+    except OSError:
+        pass
     print(
         json.dumps(
             {

@@ -98,7 +98,6 @@ def _pagerank_loop(
     use_arrow_kernel: bool,
 ) -> PageRankResult:
     spark = graph.edges.sparkSession
-    sc = spark.sparkContext
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

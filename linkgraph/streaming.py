@@ -1,0 +1,102 @@
+"""Structured Streaming operators for incremental link-graph maintenance.
+
+The reference has NO streaming surface (verified: no readStream/writeStream
+under ``mercury/``, SURVEY.md §2.10) — its iteration is batch supersteps.
+This module adds the streaming counterparts a continuously-ingested corpus
+needs, as Structured Streaming dataflows:
+
+- ``edges_from_event_stream``   — map an event stream to timestamped edges
+- ``windowed_degrees``          — event-time windowed degree counts with a
+                                  watermark for late data
+- ``running_degrees``           — exact running per-node degree via
+                                  ``applyInPandasWithState`` (custom stateful
+                                  operator, Arrow-batched)
+
+All are plain streaming DataFrames: sink/trigger/checkpointLocation are the
+caller's choice (tests use availableNow + memory sink).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def edges_from_event_stream(
+    events: DataFrame,
+    src_col: str = "user_id",
+    dst_col: str = "event_type",
+    ts_col: str = "ts",
+    weight_col: str | None = "value",
+) -> DataFrame:
+    """Canonicalize a streaming event table to (src, dst, ts[, weight])."""
+    cols = [
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        # watermarks require TIMESTAMP; parquet often carries TIMESTAMP_NTZ
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("double").alias("weight"))
+    return events.select(*cols)
+
+
+def windowed_degrees(
+    edge_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Event-time windowed degree per node (both endpoints), late data
+    bounded by the watermark. Output: (window, id, degree) in append mode
+    once the watermark passes."""
+    ends = edge_stream.select(F.col("src").alias("id"), "ts").unionByName(
+        edge_stream.select(F.col("dst").alias("id"), "ts")
+    )
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        ends.withWatermark("ts", watermark)
+        .groupBy(w.alias("window"), "id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+_RUN_STATE = StructType([StructField("degree", LongType())])
+_RUN_OUT = StructType(
+    [StructField("id", StringType()), StructField("degree", LongType())]
+)
+
+
+def running_degrees(edge_stream: DataFrame) -> DataFrame:
+    """Exact running degree per node across all micro-batches — a custom
+    stateful operator in ``applyInPandasWithState`` (Arrow batches, state =
+    one long per node). Emits the updated total for every node touched in
+    the batch (update semantics)."""
+
+    def update(key, pdfs, state: GroupState):
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        prev = state.get[0] if state.exists else 0
+        total = prev + add
+        state.update((total,))
+        yield pd.DataFrame({"id": [key[0]], "degree": [total]})
+
+    ends = edge_stream.select(F.col("src").alias("id")).unionByName(
+        edge_stream.select(F.col("dst").alias("id"))
+    )
+    return ends.groupBy("id").applyInPandasWithState(
+        update,
+        outputStructType=_RUN_OUT,
+        stateStructType=_RUN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

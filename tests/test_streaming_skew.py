@@ -1,0 +1,95 @@
+"""Structured Streaming operators (availableNow + memory sink) and skew
+utilities (salted two-phase agg, hub splitting)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.skew import split_hubs, two_phase_sum
+from linkgraph.streaming import (
+    edges_from_event_stream,
+    running_degrees,
+    windowed_degrees,
+)
+
+
+def _run_stream(q_df, name, mode):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture(scope="module")
+def edge_stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    rows = [
+        (1, "click", "2024-01-01 10:05:00", 1.0),
+        (1, "view", "2024-01-01 10:15:00", 1.0),
+        (2, "click", "2024-01-01 10:20:00", 1.0),
+        (1, "click", "2024-01-01 11:05:00", 1.0),
+        (3, "buy", "2024-01-01 11:30:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_s", "value"])
+    df.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _read_stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def test_windowed_degrees(spark, edge_stream_dir):
+    es = edges_from_event_stream(_read_stream(spark, edge_stream_dir))
+    deg = windowed_degrees(es, window="1 hour", watermark="5 minutes")
+    # complete mode: append only emits a window after a LATER batch advances
+    # the watermark past it; availableNow ends before that happens
+    _run_stream(deg, "win_deg", "complete")
+    rows = spark.sql("SELECT * FROM win_deg").collect()
+    got = {(r["window"]["start"].hour, r["id"]): r["degree"] for r in rows}
+    # hour 10: user 1 x2, user 2 x1, click x2, view x1; hour 11: 1, 3, click, buy
+    assert got[(10, "1")] == 2
+    assert got[(10, "click")] == 2
+    assert got[(11, "1")] == 1
+    assert got[(11, "buy")] == 1
+
+
+def test_running_degrees_stateful(spark, edge_stream_dir):
+    es = edges_from_event_stream(_read_stream(spark, edge_stream_dir))
+    run = running_degrees(es)
+    _run_stream(run, "run_deg", "update")
+    rows = spark.sql("SELECT * FROM run_deg").collect()
+    got = {r["id"]: r["degree"] for r in rows}
+    assert got["1"] == 3
+    assert got["click"] == 3
+    assert got["3"] == 1
+
+
+def test_two_phase_sum_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k1", float(i % 7)) for i in range(200)] + [("k2", 1.0)] * 50,
+        ["k", "v"],
+    )
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r["k"]: r["s"] for r in two_phase_sum(df, "k", "v", "s", buckets=8).collect()}
+    assert salted == plain
+
+
+def test_split_hubs(spark):
+    rows = [("hub", f"d{i}") for i in range(500)] + [("small", "x")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = split_hubs(df, "src", degree_threshold=100, buckets=8)
+    assert out.count() == 501
+    hub_salts = out.filter("src = 'hub'").select("_salt").distinct().count()
+    small_salts = out.filter("src = 'small'").select("_salt").distinct().collect()
+    assert hub_salts > 1  # hub rows spread over buckets
+    assert small_salts[0][0] == 0  # non-hub keeps salt 0
