@@ -133,7 +133,7 @@ def main():
 
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "BASELINE.md")) as f:
-            m = re.search(r"= (\d+\.\d+)\*\* \(target", f.read())
+            m = re.search(r"(\d+\.\d+)\*\* \(target", f.read())
         if m:
             extra["scaling_efficiency_n_to_4n"] = float(m.group(1))
     except OSError:

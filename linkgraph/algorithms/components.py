@@ -135,19 +135,19 @@ def _cc_min_label(graph: LinkGraph, max_iter: int) -> DataFrame:
             .groupBy("v")
             .agg(F.min("component").alias("_nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels[ID] == nbr_min["v"], "left")
-            .select(ID, F.least("component", "_nbr").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        # carry the old label through: convergence check is a scan, no join
+        staged = labels.join(nbr_min, labels[ID] == nbr_min["v"], "left").select(
+            ID,
+            F.col("component").alias("_old"),
+            F.least("component", "_nbr").alias("component"),
+        ).localCheckpoint(eager=False)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ID)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            staged.agg(
+                F.sum(F.when(F.col("component") != F.col("_old"), 1).otherwise(0))
+            ).collect()[0][0]
+            or 0
         )
-        labels = new_labels
+        labels = staged.select(ID, "component")
         if changed == 0:
             break
     und.unpersist()

@@ -66,19 +66,20 @@ def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .select(F.col("v"), F.col("label").alias("_new"))
         )
-        new_labels = (
-            labels.join(best, labels[ID] == best["v"], "left")
-            .select(ID, F.coalesce("_new", "label").alias("label"))
-            .localCheckpoint(eager=True)
+        # carry the old label through: convergence check is a scan, no join
+        staged = labels.join(best, labels[ID] == best["v"], "left").select(
+            ID,
+            F.col("label").alias("_old"),
+            F.coalesce("_new", "label").alias("label"),
         )
+        staged = staged.localCheckpoint(eager=False)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ID)
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            staged.agg(
+                F.sum(F.when(F.col("label") != F.col("_old"), 1).otherwise(0))
+            ).collect()[0][0]
+            or 0
         )
-        labels = new_labels
+        labels = staged.select(ID, "label")
         if changed == 0:
             break
     und.unpersist()

@@ -138,18 +138,23 @@ def _pagerank_loop(
     if resume and checkpoint is not None and checkpoint.latest_step() is not None:
         start_step = checkpoint.latest_step()
         man = checkpoint.manifest(start_step)
-        ranks = (
-            checkpoint.load(start_step, "ranks")
+        loaded = checkpoint.load(start_step, "ranks").withColumnRenamed(
+            "pagerank", "_pr"
+        )
+        state = (
+            node_state.join(loaded, ID)
+            .select(ID, "_dangling", F.col("_pr").alias("pagerank"))
             .repartition(num_partitions, ID)
-            .persist()
         )
         dangling_mass = man["metrics"]["dangling_mass"]
         history = man["metrics"].get("history", [])
     else:
         # narrow projection of node_state: inherits its hash(id) partitioning
-        ranks = node_state.select(ID, F.lit(1.0 / n).alias("pagerank")).persist()
+        state = node_state.select(ID, "_dangling", F.lit(1.0 / n).alias("pagerank"))
         dangling_mass = n_dangling / n
-    ranks.count()
+    # state carries (id, _dangling, pagerank) so the per-superstep update and
+    # the convergence stats need NO extra joins against node_state/old ranks.
+    state = state.localCheckpoint(eager=True)
 
     import time as _time
 
@@ -159,7 +164,7 @@ def _pagerank_loop(
         _t0 = _time.time()
         contrib = (
             edges_norm.join(
-                ranks.select(F.col(ID).alias("_rid"), "pagerank"),
+                state.select(F.col(ID).alias("_rid"), "pagerank"),
                 F.col(SRC) == F.col("_rid"),
             )
             .groupBy(DST)
@@ -173,41 +178,36 @@ def _pagerank_loop(
                 F.lit((1.0 - damping) / n + damping * dangling_mass / n)
                 + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
             )
-        new_ranks = node_state.join(contrib, F.col(ID) == F.col(DST), "left").select(
-            ID, F.col("_dangling"), new_rank_col.alias("pagerank")
+        # state hash(id) ⋈ contrib hash(dst): co-partitioned, no exchange;
+        # the old rank rides along as _old so stats is a pure scan.
+        new_state = state.join(contrib, F.col(ID) == F.col(DST), "left").select(
+            ID,
+            F.col("_dangling"),
+            F.col("pagerank").alias("_old"),
+            new_rank_col.alias("pagerank"),
         )
         # Truncate iterative lineage (the reference's checkpoint() pattern,
         # louvain.py:171-172). eager=False: the checkpoint materializes inside
         # the stats job below — exactly ONE Spark job per superstep.
-        new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_state = new_state.localCheckpoint(eager=False)
 
-        # ONE action: L1 delta, next-step dangling mass, active vertices.
-        stats = (
-            new_ranks.join(
-                ranks.select(F.col(ID).alias("_oid"), F.col("pagerank").alias("_old")),
-                F.col(ID) == F.col("_oid"),
-            )
-            .agg(
-                F.sum(F.abs(F.col("pagerank") - F.col("_old"))).alias("l1"),
-                F.sum(
-                    F.when(F.col("_dangling"), F.col("pagerank")).otherwise(0.0)
-                ).alias("dmass"),
-                F.sum(
-                    F.when(
-                        F.abs(F.col("pagerank") - F.col("_old")) > tol / max(n, 1),
-                        1,
-                    ).otherwise(0)
-                ).alias("active"),
-            )
-            .collect()[0]
-        )
+        # ONE action, ZERO joins: L1 delta, next dangling mass, active count.
+        stats = new_state.agg(
+            F.sum(F.abs(F.col("pagerank") - F.col("_old"))).alias("l1"),
+            F.sum(
+                F.when(F.col("_dangling"), F.col("pagerank")).otherwise(0.0)
+            ).alias("dmass"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("pagerank") - F.col("_old")) > tol / max(n, 1), 1
+                ).otherwise(0)
+            ).alias("active"),
+        ).collect()[0]
         l1, dangling_mass, active = (
             float(stats["l1"]),
             float(stats["dmass"]),
             int(stats["active"]),
         )
-        ranks_old = ranks
-        ranks = new_ranks.select(ID, "pagerank")
         step_metrics = {
             "step": it,
             "l1_delta": l1,
@@ -220,20 +220,12 @@ def _pagerank_loop(
         if checkpoint is not None and (
             it % checkpoint_interval == 0 or l1 <= tol or it == max_iter
         ):
-            # frontier = still-active vertices with their per-vertex delta.
-            frontier = (
-                new_ranks.join(
-                    ranks_old.select(
-                        F.col(ID).alias("_oid"), F.col("pagerank").alias("_old")
-                    ),
-                    F.col(ID) == F.col("_oid"),
-                )
-                .select(ID, (F.col("pagerank") - F.col("_old")).alias("delta"))
-                .filter(F.abs(F.col("delta")) > tol / max(n, 1))
-            )
+            frontier = new_state.select(
+                ID, (F.col("pagerank") - F.col("_old")).alias("delta")
+            ).filter(F.abs(F.col("delta")) > tol / max(n, 1))
             checkpoint.save(
                 it,
-                {"ranks": ranks, "frontier": frontier},
+                {"ranks": new_state.select(ID, "pagerank"), "frontier": frontier},
                 {
                     "l1_delta": l1,
                     "active_vertices": active,
@@ -241,7 +233,7 @@ def _pagerank_loop(
                     "history": history,
                 },
             )
-        ranks_old.unpersist()
+        state = new_state.select(ID, "_dangling", "pagerank")
         if l1 <= tol:
             converged = True
             break
@@ -249,7 +241,7 @@ def _pagerank_loop(
     edges_norm.unpersist()
     node_state.unpersist()
     return PageRankResult(
-        ranks=ranks,
+        ranks=state.select(ID, "pagerank"),
         iterations=it,
         converged=converged,
         history=history,
