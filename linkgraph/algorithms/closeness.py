@@ -27,11 +27,27 @@ from linkgraph.session import static_plans
 
 
 def shortest_path_lengths(
-    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+    graph: LinkGraph,
+    landmarks: DataFrame | list | None = None,
+    max_hops: int = 50,
+    max_all_pairs_nodes: int = 100_000,
 ) -> DataFrame:
-    """DataFrame[id, landmark, dist] — hop distance id→landmark along edges."""
+    """DataFrame[id, landmark, dist] — hop distance id→landmark along edges.
+
+    ``landmarks=None`` means ALL nodes are landmarks — exact all-pairs BFS,
+    O(V·E). That is the reference's semantics but only sane on small graphs,
+    so it is size-guarded like betweenness: above ``max_all_pairs_nodes``
+    pass an explicit landmark sample instead.
+    """
     spark = graph.edges.sparkSession
     if landmarks is None:
+        n = graph.number_of_nodes()
+        if n > max_all_pairs_nodes:
+            raise ValueError(
+                f"all-pairs BFS (landmarks=None) is O(V*E); graph has {n} "
+                f"nodes > max_all_pairs_nodes={max_all_pairs_nodes}. Pass a "
+                "landmark sample for the standard approximation."
+            )
         lm = graph.nodes.select(F.col(ID).alias("landmark"))
     elif isinstance(landmarks, list):
         lm = spark.createDataFrame([(x,) for x in landmarks], ["landmark"])

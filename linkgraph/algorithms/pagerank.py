@@ -18,8 +18,11 @@ Scale design (100 TB / 10^12 files):
   count come from a single aggregate over (new ⋈ old) ranks.
 - Map-side partial aggregation handles hub in-degree skew for the contribution
   sum (algebraic agg); AQE skew-join splits hot ``src`` partitions on the join.
-- Per-vertex math in a vectorized Arrow ``pandas_udf`` (BASELINE.json:15 —
-  no per-row Python).
+- Per-vertex math stays in whole-stage codegen by default (the update is a
+  trivial affine expression — a Python-worker round-trip per superstep buys
+  nothing). ``use_arrow_kernel=True`` switches to the vectorized Arrow
+  ``pandas_udf`` form (BASELINE.json:15 — never per-row Python) as the
+  extension hook for non-affine per-vertex updates.
 - Lineage truncated per superstep (localCheckpoint); every
   ``checkpoint_interval`` steps the score table + metrics snapshot to a
   CheckpointManager, making the run resumable mid-iteration.
@@ -59,6 +62,19 @@ def _make_update_kernel(damping: float, n: int, dangling_mass: float):
     return F.pandas_udf(_update, DoubleType())
 
 
+def update_expr(
+    damping: float, n: int, dangling_mass: float, use_arrow_kernel: bool = False
+) -> F.Column:
+    """The per-vertex rank update over ``_contrib``. Default is the native
+    Column form (whole-stage codegen, no Python worker round-trip); the Arrow
+    kernel is the extension hook for non-affine per-vertex math."""
+    if use_arrow_kernel:
+        return _make_update_kernel(damping, n, dangling_mass)(F.col("_contrib"))
+    return F.lit((1.0 - damping) / n + damping * dangling_mass / n) + F.lit(
+        damping
+    ) * F.coalesce(F.col("_contrib"), F.lit(0.0))
+
+
 def pagerank(
     graph: LinkGraph,
     damping: float = 0.85,
@@ -68,7 +84,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
-    use_arrow_kernel: bool = True,
+    use_arrow_kernel: bool = False,
 ) -> PageRankResult:
     """Run power iteration until L1(r' - r) <= tol or max_iter supersteps."""
     spark = graph.edges.sparkSession
@@ -170,14 +186,7 @@ def _pagerank_loop(
             .groupBy(DST)
             .agg(F.sum(F.col("pagerank") * F.col("frac")).alias("_contrib"))
         )
-        if use_arrow_kernel:
-            kernel = _make_update_kernel(damping, n, dangling_mass)
-            new_rank_col = kernel(F.col("_contrib"))
-        else:
-            new_rank_col = (
-                F.lit((1.0 - damping) / n + damping * dangling_mass / n)
-                + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
-            )
+        new_rank_col = update_expr(damping, n, dangling_mass, use_arrow_kernel)
         # state hash(id) ⋈ contrib hash(dst): co-partitioned, no exchange;
         # the old rank rides along as _old so stats is a pure scan.
         new_state = state.join(contrib, F.col(ID) == F.col(DST), "left").select(

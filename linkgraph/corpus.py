@@ -170,6 +170,36 @@ def path_node(repo_col, path_col):
     return F.concat(F.lit("path:"), repo_col, F.lit("/"), path_col)
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    cap: int = 64,
+    weighted: bool = False,
+) -> DataFrame:
+    """Capped co-occurrence pair derivation: items sharing a group become an
+    edge (item_a < item_b). The per-group cap bounds the quadratic blowup of
+    hub groups (mega-commits, boilerplate parts) at O(cap²) pairs per group —
+    the shape the north rule demands for every self-join derivation.
+    Deterministic cap: the ``cap`` lexicographically-first items per group.
+
+    Returns [src, dst] distinct pairs, plus ``weight`` = number of shared
+    groups when ``weighted``.
+    """
+    gi = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
+    rn = F.row_number().over(Window.partitionBy("g").orderBy("i"))
+    capped = gi.withColumn("rn", rn).filter(F.col("rn") <= cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rn") < F.col("b.rn"))
+    ).select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    if weighted:
+        return pairs.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("weight")
+        )
+    return pairs.distinct()
+
+
 def derive_edges(corpus: DataFrame, cochange_cap: int = 16) -> DataFrame:
     """Edge table (src, dst, weight, rel) from the three relations of
     BASELINE.json:6. All JVM-side (regexp, joins, windows) — no Python."""
@@ -202,20 +232,11 @@ def derive_edges(corpus: DataFrame, cochange_cap: int = 16) -> DataFrame:
         .select("src", "dst", F.lit(1.0).alias("weight"), F.lit("imports").alias("rel"))
     )
 
-    # commit co-change: distinct (commit, path-node), capped per commit so a
-    # mega-commit of M files costs O(cap^2) pairs, not O(M^2). Deterministic
-    # cap: keep the cochange_cap lexicographically-first paths per commit.
-    cp = corpus.select(
-        "commit", path_node(F.col("repo"), F.col("path")).alias("p")
-    ).distinct()
-    rn = F.row_number().over(Window.partitionBy("commit").orderBy("p"))
-    capped = cp.withColumn("rn", rn).filter(F.col("rn") <= cochange_cap)
-    a, b = capped.alias("a"), capped.alias("b")
-    cochange = (
-        a.join(b, (F.col("a.commit") == F.col("b.commit")) & (F.col("a.rn") < F.col("b.rn")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-        .select("src", "dst", "weight", F.lit("cochange").alias("rel"))
-    )
+    # commit co-change: paths sharing a commit, capped per commit so a
+    # mega-commit of M files costs O(cap^2) pairs, not O(M^2).
+    cp = corpus.select("commit", path_node(F.col("repo"), F.col("path")).alias("p"))
+    cochange = cooccurrence_edges(
+        cp, "commit", "p", cap=cochange_cap, weighted=True
+    ).select("src", "dst", "weight", F.lit("cochange").alias("rel"))
 
     return repo_path.unionByName(imports).unionByName(cochange)

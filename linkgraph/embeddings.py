@@ -1,13 +1,17 @@
 """CSR random-walk graph embeddings with elliptic-rotation updates.
 
-Same math as the reference's ``GraphEmbedding`` + ``Embeddings``
+Same MODEL as the reference's ``GraphEmbedding`` + ``Embeddings``
 (``mercury/graph/embeddings/graphembeddings.py:13-203``,
 ``mercury/graph/embeddings/embeddings.py:9-164``): weighted random walks
 over a flat-array CSR adjacency emit (convergent, divergent) index pairs;
 each pair rotates one embedding row toward/away from the other along an
-ellipse (embeddings.py:10-23). This is a driver-local ML kernel, not
-dataflow — it stays numpy (no numba/scipy here: the njit decorator is a
-no-op fallback in the reference too, ``mercury/graph/core/_njit.py``).
+ellipse (embeddings.py:10-23). The kernels here are independent
+implementations of that model — the rotation uses the fused closed form
+(cos_w − sin_w·s)·u + sin_w·t, and walk sampling is binary-search
+(``searchsorted``) over cumulative-weight arrays rather than the
+reference's linear subtraction scans. This is a driver-local ML kernel,
+not dataflow — it stays numpy (no numba/scipy here: the njit decorator is
+a no-op fallback in the reference too, ``mercury/graph/core/_njit.py``).
 
 The CSR arrays (r_ini/r_len/r_sum/r_col/r_wgt,
 graphembeddings.py:157-182) are built FROM the engine's distributed
@@ -27,18 +31,26 @@ import numpy as np
 from linkgraph.graph import ID, LinkGraph
 
 
-def _elliptic_rotate(em, iu, iv, cos_w, sin_w):
-    """Rotate row u toward (sin_w>0) / away from (sin_w<0) row v
-    (embeddings.py:10-23)."""
-    for i in range(len(iu)):
-        j = iu[i]
-        u = em[j]
-        v = em[iv[i]]
-        sc = np.dot(u, v) / np.dot(u, u)
-        pv = sc * u
-        tv = v - pv
-        em[j] = cos_w * pv / sc + sin_w * tv
-    return em
+def _rotate_rows(mat, rows, targets, cos_w, sin_w):
+    """Lean each row ``r`` toward (sin_w>0) / away from (sin_w<0) row ``t``
+    by a fixed angle, in place.
+
+    Uses the closed form: with s = ⟨u,t⟩/⟨u,u⟩ the rotated row
+        cos_w·u + sin_w·(t − s·u)  =  (cos_w − sin_w·s)·u + sin_w·t
+    is a single fused axpy — no projection vector materialized. Pairs apply
+    sequentially so a later pair touching the same row sees the earlier
+    update (walk pairs revisit nodes).
+
+    Semantics per the reference's elliptic update
+    (mercury/graph/embeddings/embeddings.py:10-23); independent derivation
+    and implementation.
+    """
+    for r, t in zip(rows, targets):
+        u = mat[r]
+        tv = mat[t]
+        s = (u @ tv) / (u @ u)
+        mat[r] = (cos_w - sin_w * s) * u + sin_w * tv
+    return mat
 
 
 class Embeddings:
@@ -69,19 +81,19 @@ class Embeddings:
         w = self.learn_step * np.pi / 180.0
         cos_w, sin_w = np.cos(w), np.sin(w)
         if converge is not None:
-            self.embeddings_matrix_ = _elliptic_rotate(
+            self.embeddings_matrix_ = _rotate_rows(
                 self.embeddings_matrix_, converge[:, 0], converge[:, 1], cos_w, sin_w
             )
             if self.bidirectional:
-                self.embeddings_matrix_ = _elliptic_rotate(
+                self.embeddings_matrix_ = _rotate_rows(
                     self.embeddings_matrix_, converge[:, 1], converge[:, 0], cos_w, sin_w
                 )
         if diverge is not None:
-            self.embeddings_matrix_ = _elliptic_rotate(
+            self.embeddings_matrix_ = _rotate_rows(
                 self.embeddings_matrix_, diverge[:, 0], diverge[:, 1], cos_w, -sin_w
             )
             if self.bidirectional:
-                self.embeddings_matrix_ = _elliptic_rotate(
+                self.embeddings_matrix_ = _rotate_rows(
                     self.embeddings_matrix_, diverge[:, 1], diverge[:, 0], cos_w, -sin_w
                 )
         return self
@@ -124,14 +136,19 @@ class GraphEmbedding:
         self.max_nodes = max_nodes
 
     def fit(self, g: LinkGraph):
+        # Size guard BEFORE any driver-side materialization: a cheap count
+        # (no wide collect) so an oversized graph raises instead of OOMing
+        # the driver mid-collect.
+        n_check = g.number_of_nodes()
+        if n_check > self.max_nodes:
+            raise ValueError(
+                f"GraphEmbedding is a driver-local trainer (max_nodes="
+                f"{self.max_nodes}), graph has {n_check} nodes; "
+                "use Node2Vec for large graphs"
+            )
         adj = g.grouped_adjacency().collect()  # distributed CSR-style build
         node_set = {r[ID] for r in g.nodes.select(ID).collect()}
         self.node_ids = sorted(node_set)
-        if len(self.node_ids) > self.max_nodes:
-            raise ValueError(
-                f"GraphEmbedding is a driver-local trainer (max_nodes="
-                f"{self.max_nodes}); use Node2Vec for large graphs"
-            )
         idx = {v: i for i, v in enumerate(self.node_ids)}
 
         n = len(self.node_ids)
@@ -164,49 +181,51 @@ class GraphEmbedding:
         self.embeddings_.fit(converge, diverge)
         return self
 
-    # weighted CSR walk emitting (convergent, divergent) pairs
-    # (graphembeddings.py:24-65)
-    def _random_node_weighted(self, rng):
-        r = self.TotW * rng.random() - 1e-8
-        i = 0
-        while r > self.r_sum[i]:
-            r -= self.r_sum[i]
-            i += 1
-        return i
-
     def _random_walks(self):
+        """Weighted walk over the CSR arrays emitting (convergent, divergent)
+        index pairs — same sampling distribution as the reference trainer
+        (graphembeddings.py:24-65), implemented independently: both the
+        restart draw and the next-step draw are O(log deg) ``searchsorted``
+        probes into precomputed cumulative-weight arrays instead of scalar
+        subtraction scans.
+        """
         rng = np.random.default_rng(self.seed)
         n = len(self.r_ini)
-        n_jmp = self.n_jumps
-        max_jpe = self.max_per_epoch if self.max_per_epoch is not None else n_jmp
-        convrge = np.zeros((n_jmp, 2), dtype=np.int64)
-        diverge = np.zeros((n_jmp, 2), dtype=np.int64)
+        total = self.n_jumps
+        budget = self.max_per_epoch if self.max_per_epoch is not None else total
+        pos_pairs = np.empty((total, 2), dtype=np.int64)
+        neg_pairs = np.empty((total, 2), dtype=np.int64)
 
-        ori = self._random_node_weighted(rng)
-        njm = 0
-        for t in range(n_jmp):
-            while self.r_len[ori] == 0 or njm >= max_jpe:
-                ori = self._random_node_weighted(rng)
-                njm = 0
-            njm += 1
-            rnd = self.r_sum[ori] * rng.random()
-            rst = self.r_ini[ori]
-            nxt = self.r_col[rst]
-            for ic in range(self.r_len[ori]):
-                nxt = self.r_col[rst + ic]
-                wei = self.r_wgt[rst + ic]
-                if wei >= rnd:
-                    break
-                rnd -= wei
-            convrge[t, 0] = ori
-            convrge[t, 1] = nxt
-            oth = int(n * rng.random())
-            while oth == ori or oth == nxt:
-                oth = int(n * rng.random())
-            diverge[t, 0] = ori
-            diverge[t, 1] = oth
-            ori = nxt
-        return convrge, diverge
+        node_cdf = np.cumsum(self.r_sum)  # weighted restart distribution
+        edge_cdf = np.cumsum(self.r_wgt)  # per-row slices of one global cumsum
+
+        def draw_start():
+            u = node_cdf[-1] * rng.random()
+            return min(int(np.searchsorted(node_cdf, u, side="right")), n - 1)
+
+        here = draw_start()
+        steps_here = 0
+        for t in range(total):
+            while self.r_len[here] == 0 or steps_here >= budget:
+                here = draw_start()
+                steps_here = 0
+            steps_here += 1
+
+            lo = self.r_ini[here]
+            hi = lo + self.r_len[here]
+            floor = edge_cdf[lo - 1] if lo > 0 else 0.0
+            u = floor + self.r_sum[here] * rng.random()  # global-cumsum space
+            j = min(int(np.searchsorted(edge_cdf[lo:hi], u, side="left")),
+                    self.r_len[here] - 1)
+            nxt = int(self.r_col[lo + j])
+
+            pos_pairs[t] = (here, nxt)
+            foil = int(rng.integers(n))
+            while foil == here or foil == nxt:
+                foil = int(rng.integers(n))
+            neg_pairs[t] = (here, foil)
+            here = nxt
+        return pos_pairs, neg_pairs
 
     def __getitem__(self, node_id):
         return self.embeddings_.embeddings_matrix_[self.node_ids.index(node_id)]

@@ -88,7 +88,12 @@ class LinkGraph:
                 F.col(SRC).alias(DST),
                 *[c for c in e.columns if c not in (SRC, DST)],
             )
-            e = e.unionByName(rev).dropDuplicates([SRC, DST])
+            # Full-row distinct (not dropDuplicates([src, dst])): parallel
+            # edges with different weights/attrs are both kept, matching the
+            # reference's edges ∪ reversed → distinct() exactly — a key-only
+            # dedup would keep an arbitrary row and make weights
+            # nondeterministic for pagerank/louvain.
+            e = e.unionByName(rev).distinct()
 
         self._edges = e
         self._nodes = n

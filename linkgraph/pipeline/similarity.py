@@ -46,20 +46,23 @@ def cosine_topk(
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    """Deterministic pseudo-Gaussian hyperplanes from splitmix64 bits."""
+    """Deterministic pseudo-Gaussian hyperplanes from splitmix64 bits.
+
+    Draws 4 independent uniforms PER coefficient (4·dim·n_planes total) and
+    sums them (Irwin–Hall ≈ gaussian, plenty for sign tests), so every plane
+    is distinct — a shorter draw tiled across planes would silently repeat
+    bands and duplicate LSH buckets.
+    """
     mask = np.uint64(0xFFFFFFFFFFFFFFFF)
     gamma = np.uint64((seed * 0x9E3779B97F4A7C15) % (1 << 64))
-    idx = np.arange(dim * n_planes, dtype=np.uint64) + gamma
+    idx = np.arange(4 * dim * n_planes, dtype=np.uint64) + gamma
     z = idx
     z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
     z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
     z = z ^ (z >> np.uint64(31))
     u = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # U(0,1)
-    # sum of 4 uniforms ≈ gaussian enough for LSH sign tests
-    g = u.reshape(-1, 4).sum(axis=1) if (dim * n_planes) % 4 == 0 else u
-    if g.shape[0] < dim * n_planes:
-        g = np.concatenate([g] * 4)[: dim * n_planes]
-    return (g[: dim * n_planes] - g[: dim * n_planes].mean()).reshape(n_planes, dim)
+    g = u.reshape(-1, 4).sum(axis=1) - 2.0  # centered Irwin-Hall(4)
+    return g.reshape(n_planes, dim)
 
 
 def hyperplane_signature(

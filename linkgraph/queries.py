@@ -65,21 +65,17 @@ def nation_region_graph(spark, sf_dir) -> LinkGraph:
     )
 
 
-def copurchase_edges(spark, sf_dir) -> DataFrame:
-    """Supplier pairs sharing a part — co-occurrence edge derivation."""
-    sp = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            _tag("a.l_suppkey", "s").alias("src"), _tag("b.l_suppkey", "s").alias("dst")
-        )
-        .distinct()
+def copurchase_edges(spark, sf_dir, cap: int = 64) -> DataFrame:
+    """Supplier pairs sharing a part — the capped co-occurrence derivation
+    shared with the corpus cochange relation (corpus.cooccurrence_edges).
+    TPC-H has ≤4 suppliers per part, so the default cap never binds and the
+    result matches the uncapped oracle SQL exactly."""
+    from linkgraph.corpus import cooccurrence_edges
+
+    sp = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", _tag("l_suppkey", "s").alias("supp")
     )
+    return cooccurrence_edges(sp, "l_partkey", "supp", cap=cap)
 
 
 def events_graph(spark, sf_dir) -> LinkGraph:

@@ -126,3 +126,25 @@ def test_metrics_history(spark):
     l1s = [h["l1_delta"] for h in res.history]
     assert l1s[-1] <= 1e-7
     assert all(h["active_vertices"] >= 0 for h in res.history)
+
+
+def test_default_update_path_is_codegen(spark):
+    """The default update path must stay JVM-side: no Arrow/Python eval node
+    in the physical plan, and use_arrow_kernel defaults to False."""
+    import inspect
+
+    from linkgraph.algorithms.pagerank import update_expr
+
+    assert inspect.signature(pagerank).parameters["use_arrow_kernel"].default is False
+
+    df = spark.createDataFrame([("a", 0.1), ("b", None)], ["id", "_contrib"])
+    native = df.select(update_expr(0.85, 2, 0.0).alias("pagerank"))
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    arrow = df.select(update_expr(0.85, 2, 0.0, use_arrow_kernel=True).alias("pagerank"))
+    arrow_plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in arrow_plan  # the hook still works
+    got = sorted(r["pagerank"] for r in native.collect())
+    want = sorted(r["pagerank"] for r in arrow.collect())
+    assert all(abs(x - y) < 1e-15 for x, y in zip(got, want))
