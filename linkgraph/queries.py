@@ -272,6 +272,228 @@ def q_lsh_cosine_top10(spark, sf_dir):
     )
 
 
+# ---------------------------------------------- round-2 operator queries
+# Every SURVEY §2 operator gets a driver-verifiable entry; hash-checkable
+# where the semantics are ANSI-SQL-expressible (fixed-step unrolling), else
+# rows-only by the agreed protocol.
+
+
+def q_spread_activation_events(spark, sf_dir):
+    """Spreading activation, 2 fixed steps on the events graph — hash-checked
+    against a step-unrolled SQL oracle (reference semantics
+    spark_spreadactivation.py:211-241). Seeds: users with user_id % 10 = 0."""
+    from linkgraph import spread_activation
+
+    g = events_graph(spark, sf_dir)
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select(_tag("user_id", "u").alias("id"))
+        .distinct()
+    )
+    res = spread_activation(g, seeds, spreading_factor=0.2, steps=2)
+    return res.select(
+        "id", F.round(F.col("influence") * 1e6).cast("long").alias("inf_millionths")
+    )
+
+
+def q_transition_power2_events(spark, sf_dir):
+    """T² of the events transition matrix (reference transition.py:90-93) —
+    two sparse matrix-multiplies, SQL-expressible as one self-join."""
+    tm = transition_matrix(events_graph(spark, sf_dir))
+    from linkgraph import transition_power
+
+    t2 = transition_power(tm, 2)
+    return t2.select(
+        "src", "dst", F.round(F.col("prob") * 1e6).cast("long").alias("p_millionths")
+    )
+
+
+def q_walker_nation_region(spark, sf_dir):
+    """Deterministic path expansion (random_walks without edge sampling is an
+    expansion over ALL out-edges, spark_randomwalker.py:111-127): 2 epochs
+    from region r0 on the undirected nation-region graph — SQL-unrollable."""
+    from linkgraph import random_walks
+
+    res = random_walks(nation_region_graph(spark, sf_dir), "r0", num_epochs=2)
+    return res.select(
+        F.array_join("random_walks", ">").alias("walk"),
+        F.round(F.element_at("weights", -1) * 1e6).cast("long").alias("p_millionths"),
+    )
+
+
+def q_betweenness_nation_region(spark, sf_dir):
+    """Brandes betweenness on the undirected nation-region stars: region r
+    with k nations carries C(k,2) pair paths; normalized by (N-1)(N-2)/2 —
+    closed-form SQL oracle."""
+    from linkgraph.algorithms.betweenness import betweenness_centrality
+
+    bc = betweenness_centrality(nation_region_graph(spark, sf_dir))
+    return bc.select(
+        "id", F.round(F.col("betweenness") * 1e6).cast("long").alias("bc_millionths")
+    )
+
+
+def q_ego_supplier_depth2(spark, sf_dir):
+    """Depth-2 ego subgraph node set around supplier s1 on the supplier→part
+    graph (Moebius BFS semantics, moebius.py:266-294) — two SQL semi-join
+    frontier expansions."""
+    g = lineitem_graph(spark, sf_dir)
+    nodes, _edges = g.ego_subgraph("s1", depth=2)
+    return nodes.select("id")
+
+
+def nation_region_single(spark, sf_dir) -> LinkGraph:
+    """Single-stored undirected edges (one row per undirected edge), the
+    input contract of louvain_communities."""
+    n = _t(spark, sf_dir, "nation")
+    return LinkGraph(
+        n.select(_tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst"))
+    )
+
+
+def q_louvain_nation_region(spark, sf_dir):
+    """Louvain labels (rows-only: community ids are engine-specific node
+    labels, exact up to relabeling per BASELINE.json:6)."""
+    from linkgraph import louvain_communities
+
+    res = louvain_communities(nation_region_single(spark, sf_dir))
+    return res.labels.select("id", F.col("cluster").cast("string").alias("cluster"))
+
+
+def q_louvain_modularity_nation_region(spark, sf_dir):
+    """Modularity of the Louvain partition IS hash-checkable: the nation-
+    region graph is disjoint stars, whose optimal partition (one community
+    per star) has closed-form modularity 1 − Σ_r(2k_r)²/(2m)² — the oracle
+    computes that from the nation table."""
+    from linkgraph import louvain_communities
+
+    res = louvain_communities(nation_region_single(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(round(res.modularity * 1e6)),)], "q_millionths long"
+    )
+
+
+def q_spectral_nation_region(spark, sf_dir):
+    """PowerIterationClustering labels, k=5 (rows-only: cluster numbering is
+    engine-specific)."""
+    from linkgraph import spectral_clustering
+
+    res = spectral_clustering(nation_region_graph(spark, sf_dir), k=5, max_iter=20)
+    return res.labels.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def q_node2vec_walks_nation_region(spark, sf_dir):
+    """node2vec walk generation (rows-only: sampled paths are seeded-RNG
+    engine-specific; the row count — one walk per non-dead-end start — is
+    deterministic)."""
+    from linkgraph import node2vec_walks
+
+    walks = node2vec_walks(
+        nation_region_graph(spark, sf_dir), sampling_ratio=1.0, num_epochs=3, seed=42
+    )
+    return walks.select(F.array_join("random_walks", ">").alias("walk"))
+
+
+def q_graphembedding_nation_region(spark, sf_dir):
+    """CSR GraphEmbedding trainer (rows-only: rotation-learned vectors are
+    engine-specific): 3 most-similar nodes to n0."""
+    from linkgraph.embeddings import GraphEmbedding
+
+    ge = GraphEmbedding(dimension=8, n_jumps=600, seed=7).fit(
+        nation_region_graph(spark, sf_dir)
+    )
+    sim = ge.get_most_similar_nodes("n0", k=3)
+    return spark.createDataFrame(
+        [(str(w),) for w in sim["word"]], "word string"
+    )
+
+
+def q_streaming_running_degree(spark, sf_dir):
+    """Structured Streaming stateful running degree (applyInPandasWithState)
+    over the events table replayed as a file stream — final state per node
+    equals the batch endpoint count, so it IS hash-checkable."""
+    import tempfile
+    import uuid
+
+    from linkgraph.streaming import edges_from_event_stream, running_degrees
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="lg_stream_src_")
+    ev.write.mode("overwrite").parquet(stage)
+    es = spark.readStream.schema(ev.schema).parquet(stage)
+    name = "rd_" + uuid.uuid4().hex[:8]
+    q = (
+        running_degrees(edges_from_event_stream(es))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("id")
+        .agg(F.max("degree").cast("long").alias("degree"))
+    )
+
+
+def q_checkpoint_roundtrip_degree(spark, sf_dir):
+    """Checkpoint save/load roundtrip through the driver gate: out-degrees
+    snapshotted with per-partition lineage, reloaded, hash-compared to the
+    plain out-degree oracle."""
+    import tempfile
+
+    from linkgraph import CheckpointManager
+
+    deg = orders_graph(spark, sf_dir).out_degree()
+    mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_q_"), spark)
+    man = mgr.save(1, {"deg": deg}, {"source": "driver-roundtrip"})
+    assert man["tables"]["deg"]["partition_rows"]  # lineage recorded
+    return mgr.load(1, "deg")
+
+
+def _spread_unrolled_sql(steps: int = 2, sf: float = 0.2) -> str:
+    """Step-unrolled ANSI SQL for spreading activation on the events graph
+    (weights 1 ⇒ transfer = sf/outdeg per edge; dead-end targets keep
+    influence/indeg per in-edge)."""
+    ctes = [
+        "b AS (SELECT DISTINCT user_id, event_type FROM events)",
+        "e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e)",
+        "od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src)",
+        "ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY dst)",
+        "seeds AS (SELECT DISTINCT 'u' || user_id AS id FROM events WHERE user_id % 10 = 0)",
+        "v0 AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN CAST(1.0 AS DOUBLE)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS inf FROM nodes n LEFT JOIN seeds s ON n.id = s.id)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"m{i} AS ("
+            f"SELECT e.src AS id, (vx.inf / od.c) * (1.0 - {sf}) AS msg "
+            f"FROM e JOIN v{i-1} vx ON e.src = vx.id JOIN od ON e.src = od.src "
+            f"UNION ALL "
+            f"SELECT e.dst AS id, vx.inf * {sf} / od.c "
+            f"+ CASE WHEN od2.src IS NULL THEN vy.inf / ind.c ELSE 0.0 END AS msg "
+            f"FROM e JOIN v{i-1} vx ON e.src = vx.id "
+            f"JOIN od ON e.src = od.src "
+            f"JOIN v{i-1} vy ON e.dst = vy.id "
+            f"JOIN ind ON e.dst = ind.dst "
+            f"LEFT JOIN od od2 ON e.dst = od2.src)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT n.id, coalesce(s.m, CAST(0.0 AS DOUBLE)) AS inf "
+            f"FROM nodes n LEFT JOIN "
+            f"(SELECT id, sum(msg) AS m FROM m{i} GROUP BY id) s ON n.id = s.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(inf * 1000000) AS BIGINT) AS inf_millionths FROM v{steps}"
+    )
+
+
 def _lang_id_sql() -> str:
     from linkgraph.pipeline.text import LANG_MARKERS
 
@@ -375,6 +597,83 @@ ORACLE_SQL: dict[str, str] = {
         ON e3.u = e1.u AND e3.v = e2.v
     """,
     "pagerank_nation_region_5": _pagerank_unrolled_sql(5),
+    "spread_activation_events": _spread_unrolled_sql(steps=2, sf=0.2),
+    "transition_power2_events": """
+        WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b),
+        outc AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        t AS (
+          SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outc.c AS prob
+          FROM e JOIN outc ON e.src = outc.src
+          UNION ALL
+          SELECT n.id AS src, n.id AS dst, CAST(1.0 AS DOUBLE) AS prob
+          FROM nodes n LEFT JOIN outc ON n.id = outc.src WHERE outc.src IS NULL
+        )
+        SELECT a.src, b2.dst,
+               CAST(round(sum(a.prob * b2.prob) * 1000000) AS BIGINT) AS p_millionths
+        FROM t a JOIN t b2 ON a.dst = b2.src GROUP BY a.src, b2.dst
+    """,
+    "walker_nation_region": """
+        WITH e0 AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+                    FROM nation),
+        e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+        od AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+        w0 AS (SELECT 'r0' AS path, CAST(1.0 AS DOUBLE) AS p, 'r0' AS curr),
+        w1 AS (SELECT w.path || '>' || e.dst AS path, w.p * (1.0 / od.c) AS p,
+                      e.dst AS curr
+               FROM w0 w JOIN e ON w.curr = e.src JOIN od ON e.src = od.src),
+        w2 AS (SELECT w.path || '>' || e.dst AS path, w.p * (1.0 / od.c) AS p,
+                      e.dst AS curr
+               FROM w1 w JOIN e ON w.curr = e.src JOIN od ON e.src = od.src)
+        SELECT path AS walk, CAST(round(p * 1000000) AS BIGINT) AS p_millionths FROM w2
+    """,
+    "betweenness_nation_region": """
+        WITH k AS (SELECT n_regionkey, CAST(count(*) AS DOUBLE) AS kr
+                   FROM nation GROUP BY n_regionkey),
+        nn AS (SELECT CAST(count(*) AS DOUBLE)
+                      + CAST((SELECT count(DISTINCT n_regionkey) FROM nation) AS DOUBLE)
+                      AS n FROM nation)
+        SELECT 'r' || n_regionkey AS id,
+               CAST(round(kr * (kr - 1.0) / 2.0
+                    / ((nn.n - 1) * (nn.n - 2) / 2.0) * 1000000) AS BIGINT)
+               AS bc_millionths
+        FROM k, nn
+        UNION ALL
+        SELECT 'n' || n_nationkey AS id, CAST(0 AS BIGINT) FROM nation
+    """,
+    "ego_supplier_depth2": """
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+                   FROM lineitem),
+        r0 AS (SELECT 's1' AS id),
+        f1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN r0 ON e.src = r0.id
+               UNION SELECT DISTINCT e.src FROM e JOIN r0 ON e.dst = r0.id),
+        r1 AS (SELECT id FROM r0 UNION SELECT id FROM f1),
+        f2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN r1 ON e.src = r1.id
+               UNION SELECT DISTINCT e.src FROM e JOIN r1 ON e.dst = r1.id)
+        SELECT id FROM r1 UNION SELECT id FROM f2
+    """,
+    "louvain_modularity_nation_region": """
+        WITH k AS (SELECT n_regionkey, CAST(count(*) AS DOUBLE) AS kr
+                   FROM nation GROUP BY n_regionkey),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nation)
+        SELECT CAST(round((1.0 - sum(4.0 * kr * kr) / (4.0 * m.m * m.m)) * 1000000)
+                    AS BIGINT) AS q_millionths
+        FROM k, m GROUP BY m.m
+    """,
+    "streaming_running_degree": """
+        WITH ends AS (SELECT CAST(user_id AS VARCHAR) AS id FROM events
+                      UNION ALL SELECT event_type FROM events)
+        SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id
+    """,
+    "checkpoint_roundtrip_degree": """
+        WITH e AS (SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        cnt AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src)
+        SELECT n.id AS id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS out_degree
+        FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
+    """,
     "transition_events": """
         WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
         e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b),
@@ -490,4 +789,17 @@ QUERIES = {
     "minhash_dedup_documents": q_minhash_dedup_documents,  # rows-only
     "simhash_documents": q_simhash_documents,  # rows-only
     "lsh_cosine_top10": q_lsh_cosine_top10,  # rows-only (approximate)
+    # round 2: driver rows for every remaining SURVEY §2 operator
+    "spread_activation_events": q_spread_activation_events,
+    "transition_power2_events": q_transition_power2_events,
+    "walker_nation_region": q_walker_nation_region,
+    "betweenness_nation_region": q_betweenness_nation_region,
+    "ego_supplier_depth2": q_ego_supplier_depth2,
+    "louvain_nation_region": q_louvain_nation_region,  # rows-only (labels)
+    "louvain_modularity_nation_region": q_louvain_modularity_nation_region,
+    "spectral_nation_region": q_spectral_nation_region,  # rows-only (labels)
+    "node2vec_walks_nation_region": q_node2vec_walks_nation_region,  # rows-only
+    "graphembedding_nation_region": q_graphembedding_nation_region,  # rows-only
+    "streaming_running_degree": q_streaming_running_degree,
+    "checkpoint_roundtrip_degree": q_checkpoint_roundtrip_degree,
 }
