@@ -8,6 +8,8 @@ Headline queries:
 - cc_corpus           — large-star/small-star connected components, same graph
 - lpa_corpus          — 5 LPA supersteps, same graph
 - triangles_imports   — triangle count over the import-relation subgraph
+- simhash_corpus      — 64-bit SimHash over the corpus content (JVM xxhash64
+                        tokens + Arrow bit-vote)
 - pagerank_copurchase — converged PageRank on the sf-dir supplier co-purchase graph
 - weighted_degree     — weighted degree over sf-dir lineitem graph
 - ann_cosine_top10    — brute-force cosine top-k over sf-dir embeddings
@@ -114,6 +116,16 @@ def main():
         r = pagerank(gg, tol=1e-6, max_iter=100, use_arrow_kernel=False)
         r.ranks.limit(1).collect()
         return r
+
+    def _simhash_corpus():
+        from linkgraph.pipeline.dedup import simhash
+
+        d = corpus.select(
+            F.col("path").alias("doc_id"), F.col("content").alias("text")
+        )
+        return simhash(d).agg(F.bit_xor("simhash")).collect()
+
+    timed("simhash_corpus", _simhash_corpus)
 
     timed("pagerank_copurchase", _pr_cop)
     timed("weighted_degree", lambda: q_weighted_degree_lineitem(spark, sf_dir).count())

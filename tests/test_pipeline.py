@@ -87,8 +87,11 @@ def test_simhash(spark, docs):
     ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
     ham15 = bin((sh[1] ^ sh[5]) & (2**64 - 1)).count("1")
     assert ham13 < ham15  # near dup closer than unrelated
+    # pigeonhole recall guarantee needs blocks > max_hamming: with 16 blocks
+    # any pair within hamming 15 shares at least one identical 4-bit chunk
+    assert ham13 <= 15
     dups = {(r["a"], r["b"]) for r in
-            simhash_near_dups(docs, max_hamming=ham13).collect()}
+            simhash_near_dups(docs, max_hamming=ham13, blocks=16).collect()}
     assert (1, 2) in dups and (1, 3) in dups
 
 
