@@ -98,6 +98,42 @@ class LinkGraph:
         self._edges = e
         self._nodes = n
 
+    # ------------------------------------------------------- constructors
+
+    @classmethod
+    def from_pandas(cls, edges, nodes=None, keys: dict | None = None, spark=None):
+        """Build from pandas DataFrames — the reference's most-used entry
+        point (``mercury/graph/core/graph.py:184-189,472-507``): pandas
+        edges/nodes → ``createDataFrame`` → the same canonicalization as the
+        Spark-DataFrame constructor."""
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("from_pandas needs an active SparkSession (or spark=)")
+        e = spark.createDataFrame(edges)
+        n = spark.createDataFrame(nodes) if nodes is not None else None
+        return cls(e, n, keys)
+
+    @classmethod
+    def from_networkx(cls, g, spark=None):
+        """Build from a networkx graph (reference ``graph.py:180-182``):
+        edge attributes (including ``weight``) and node attributes carry
+        over; directedness follows ``g.is_directed()``."""
+        import pandas as pd
+
+        edge_rows = [
+            {"src": u, "dst": v, **(attrs or {})} for u, v, attrs in g.edges(data=True)
+        ]
+        node_rows = [{"id": n, **(attrs or {})} for n, attrs in g.nodes(data=True)]
+        keys = {"directed": bool(g.is_directed())}
+        return cls.from_pandas(
+            pd.DataFrame(edge_rows),
+            pd.DataFrame(node_rows) if node_rows else None,
+            keys,
+            spark,
+        )
+
     # ------------------------------------------------------------------ core
 
     @property

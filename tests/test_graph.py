@@ -102,3 +102,34 @@ def test_encode_ids(spark):
         ).select(mapping["id"], "pagerank").collect()
     }
     assert all(abs(raw[k] - dec[k]) < 1e-12 for k in raw)
+
+
+def test_from_pandas(spark):
+    """Reference test_core_graph.py:13-27 analogue: pandas construction."""
+    import pandas as pd
+
+    e = pd.DataFrame({"a": ["x", "y"], "b": ["y", "z"], "w": [1.0, 2.0]})
+    n = pd.DataFrame({"node": ["x", "y", "z"], "kind": ["p", "p", "q"]})
+    g = LinkGraph.from_pandas(
+        e, n, keys={"src": "a", "dst": "b", "weight": "w", "id": "node"}
+    )
+    assert g.number_of_nodes() == 3 and g.number_of_edges() == 2
+    assert g.is_weighted
+    got = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    assert got == {("x", "y", 1.0), ("y", "z", 2.0)}
+    assert "kind" in g.nodes.columns
+
+
+def test_from_networkx(spark):
+    import networkx as nx
+
+    nxg = nx.Graph()
+    nxg.add_edge("a", "b", weight=3.0)
+    nxg.add_edge("b", "c", weight=1.0)
+    g = LinkGraph.from_networkx(nxg)
+    assert not g.is_directed
+    assert g.number_of_nodes() == 3
+    # undirected: both orientations materialized
+    assert g.number_of_edges() == 4
+    wd = {r["id"]: r["weighted_degree"] for r in g.weighted_degree().collect()}
+    assert wd["b"] == pytest.approx(8.0)  # (3+1) doubled orientation
