@@ -27,6 +27,7 @@ from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
 from linkgraph.algorithms.closeness import closeness_centrality, shortest_path_lengths
+from linkgraph.viz import moebius_json
 
 __all__ = [
     "LinkGraph",
@@ -47,6 +48,7 @@ __all__ = [
     "spectral_clustering",
     "closeness_centrality",
     "shortest_path_lengths",
+    "moebius_json",
 ]
 
 __version__ = "0.1.0"

@@ -133,3 +133,24 @@ def test_from_networkx(spark):
     assert g.number_of_edges() == 4
     wd = {r["id"]: r["weighted_degree"] for r in g.weighted_degree().collect()}
     assert wd["b"] == pytest.approx(8.0)  # (3+1) doubled orientation
+
+
+def test_moebius_json_payload(spark):
+    """Moebius viz JSON shape (reference moebius.py:226-310): nodes carry
+    id/count/_int_id, links carry source/target/_int_id."""
+    import json
+
+    from linkgraph.viz import moebius_json
+
+    edges = [("c", x) for x in ["a", "b", "d"]] + [("a", "b")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False})
+    payload = json.loads(moebius_json(g, "c", depth=1))
+    ids = {n["id"] for n in payload["nodes"]}
+    assert ids == {"c", "a", "b", "d"}
+    counts = {n["id"]: n["count"] for n in payload["nodes"]}
+    assert counts["c"] == 6  # degree in the doubled undirected graph
+    int_ids = [n["_int_id"] for n in payload["nodes"]]
+    assert len(set(int_ids)) == len(int_ids)
+    link_ids = [l["_int_id"] for l in payload["links"]]
+    assert len(set(link_ids)) == len(link_ids)
+    assert all({"source", "target", "_int_id"} <= set(l) for l in payload["links"])
