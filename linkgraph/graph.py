@@ -162,6 +162,59 @@ class LinkGraph:
         """Edge weight as a Column; literal 1.0 when unweighted."""
         return F.col(WEIGHT).cast("double") if self._weighted else F.lit(1.0)
 
+    # ----------------------------------------- reference-API conveniences
+    # The reference exposes metrics as driver-side dict properties computed
+    # by networkx (graph.py:627,656-690) — a driver bottleneck. These mirror
+    # those entry points 1:1 by NAME but return distributed DataFrames.
+
+    @property
+    def nodes_colnames(self) -> list:
+        """graph.py:349-356 parity."""
+        return self._nodes.columns
+
+    @property
+    def edges_colnames(self) -> list:
+        """graph.py:358-365 parity."""
+        return self._edges.columns
+
+    def nodes_as_pandas(self):
+        """graph.py:410-426 parity (driver-side materialization — caller's
+        explicit choice, unlike the reference's implicit conversions)."""
+        return self._nodes.toPandas()
+
+    def edges_as_pandas(self):
+        return self._edges.toPandas()
+
+    def nodes_as_dataframe(self) -> DataFrame:
+        return self._nodes
+
+    def edges_as_dataframe(self) -> DataFrame:
+        return self._edges
+
+    def closeness_centrality(self, landmarks=None, max_hops: int = 50) -> DataFrame:
+        """graph.py:313-320 parity; DataFrame[id, closeness]."""
+        from linkgraph.algorithms.closeness import closeness_centrality
+
+        return closeness_centrality(self, landmarks=landmarks, max_hops=max_hops)
+
+    def betweenness_centrality(self, **kwargs) -> DataFrame:
+        """graph.py:322-329 parity; DataFrame[id, betweenness]."""
+        from linkgraph.algorithms.betweenness import betweenness_centrality
+
+        return betweenness_centrality(self, **kwargs)
+
+    def pagerank(self, **kwargs) -> DataFrame:
+        """graph.py:331-338 parity; DataFrame[id, pagerank]."""
+        from linkgraph.algorithms.pagerank import pagerank
+
+        return pagerank(self, **kwargs).ranks
+
+    def connected_components(self, **kwargs) -> DataFrame:
+        """graph.py:340-347 parity; DataFrame[id, component(, component_size)]."""
+        from linkgraph.algorithms.components import connected_components
+
+        return connected_components(self, **kwargs)
+
     # ------------------------------------------------------ degrees (A1)
 
     def out_degree(self) -> DataFrame:

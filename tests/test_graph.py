@@ -154,3 +154,22 @@ def test_moebius_json_payload(spark):
     link_ids = [l["_int_id"] for l in payload["links"]]
     assert len(set(link_ids)) == len(link_ids)
     assert all({"source", "target", "_int_id"} <= set(l) for l in payload["links"])
+
+
+def test_reference_api_conveniences(spark):
+    """Name-parity accessors for the reference's Graph properties
+    (graph.py:286-347,349-365,410-459) returning DataFrames."""
+    g = LinkGraph(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]))
+    assert g.edges_colnames == ["src", "dst"]
+    assert g.nodes_colnames == ["id"]
+    assert len(g.nodes_as_pandas()) == 3
+    assert g.edges_as_dataframe().count() == 3
+    pr = {r["id"]: r["pagerank"] for r in g.pagerank(tol=1e-7).collect()}
+    assert sum(pr.values()) == pytest.approx(1.0)
+    cc = g.connected_components()
+    assert cc.select("component").distinct().count() == 1
+    cl = {r["id"]: r["closeness"] for r in g.closeness_centrality().collect()}
+    assert all(v > 0 for v in cl.values())  # 3-cycle: every node reaches all
+    bc = g.betweenness_centrality()
+    assert bc.count() == 3
