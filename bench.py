@@ -145,9 +145,13 @@ def main():
 
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "BASELINE.md")) as f:
-            m = re.search(r"(\d+\.\d+)\*\* \(target", f.read())
+            report = f.read()
+        m = re.search(r"(\d+\.\d+)\*\* \(target", report)
         if m:
             extra["scaling_efficiency_n_to_4n"] = float(m.group(1))
+        m = re.search(r"=\n(\d+\.\d+)\*\* — the engine extracts", report)
+        if m:
+            extra["scaling_efficiency_capacity_normalized"] = float(m.group(1))
     except OSError:
         pass
     print(

@@ -169,9 +169,8 @@ cluster.
 
 **Capacity-normalized efficiency = Spark throughput ratio
 ({thr_4n / thr_n:.2f}×) ÷ host raw-CPU capacity ratio ({cap_ratio:.2f}×) =
-{eff_norm:.3f}** — the engine extracts {"at least as much" if eff_norm >= 1
-else "this fraction of the"} scaling {"as" if eff_norm >= 1 else ""} the
-host physically delivered between the two worker counts.
+{eff_norm:.3f}** — the engine extracts that fraction of the parallel
+capacity the host physically delivered between the two worker counts.
 
 Engine-side scaling facts (verified via explain, see README "Scale design"):
 one data exchange per superstep (the contribution groupBy); the cached edge
