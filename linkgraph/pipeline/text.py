@@ -31,6 +31,45 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
     )
 
 
+#: GPT-2-style pre-tokenizer alternation, restricted to lookahead-free
+#: constructs so the same pattern runs identically under Java regex (Spark)
+#: and RE2 (DuckDB oracle): contractions | space-word | space-number |
+#: space-punct-run | whitespace-run.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Pre-tokenizer segment count under a BPE-ish regex (the standard cheap
+    proxy for LLM token counts when the real tokenizer isn't on the cluster).
+    Pure JVM regexp — scan-shaped, shuffle-free."""
+    return df.withColumn(
+        out,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0)))
+        .cast("long"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "rolling_fp",
+    base: int = 31,
+    mod: int = 1_000_000_007,
+    init: int = 7,
+) -> DataFrame:
+    """Polynomial rolling hash (Rabin–Karp) of the raw text as a 64-bit-safe
+    fingerprint: h = ((h·base + codepoint) mod p) folded left-to-right via the
+    ``aggregate`` higher-order function — JVM-side, ANSI-overflow-safe
+    (acc < p keeps acc·base + 255 far below 2^63), no UDF, no shuffle."""
+    expr = (
+        f"aggregate(split({text_col}, ''), CAST({init} AS BIGINT), "
+        f"(acc, ch) -> pmod(acc * {base} + coalesce(ascii(ch), 0), {mod}))"
+    )
+    return df.withColumn(out, F.expr(expr))
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / alpha ratio / punctuation ratio / stopword ratio / mean word
     length — the standard cheap quality filters for pretraining corpora."""

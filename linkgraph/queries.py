@@ -409,6 +409,24 @@ def q_graphembedding_nation_region(spark, sf_dir):
     )
 
 
+def q_bpe_token_count_documents(spark, sf_dir):
+    """BPE-ish pre-tokenizer segment counts — lookahead-free regex shared
+    verbatim with the RE2-based DuckDB oracle."""
+    from linkgraph.pipeline.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(d).select("doc_id", "n_bpe_tokens")
+
+
+def q_rolling_fingerprint_documents(spark, sf_dir):
+    """Rabin–Karp rolling-hash fingerprint (mod 1e9+7), folded via the
+    aggregate HOF — exact integer equality with the list_reduce oracle."""
+    from linkgraph.pipeline.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rolling_fingerprint(d).select("doc_id", "rolling_fp")
+
+
 def q_streaming_running_degree(spark, sf_dir):
     """Structured Streaming stateful running degree (applyInPandasWithState)
     over the events table replayed as a file stream — final state per node
@@ -662,6 +680,21 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS q_millionths
         FROM k, m GROUP BY m.m
     """,
+    "bpe_token_count_documents": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "rolling_fingerprint_documents": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                       [coalesce(ascii(c), 0) FOR c IN string_split(text, '')]),
+                   (acc, ch) -> (acc * 31 + ch) % 1000000007) AS rolling_fp
+        FROM documents
+    """,
     "streaming_running_degree": """
         WITH ends AS (SELECT CAST(user_id AS VARCHAR) AS id FROM events
                       UNION ALL SELECT event_type FROM events)
@@ -802,4 +835,6 @@ QUERIES = {
     "graphembedding_nation_region": q_graphembedding_nation_region,  # rows-only
     "streaming_running_degree": q_streaming_running_degree,
     "checkpoint_roundtrip_degree": q_checkpoint_roundtrip_degree,
+    "bpe_token_count_documents": q_bpe_token_count_documents,
+    "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
 }

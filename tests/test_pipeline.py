@@ -150,3 +150,26 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError, match="STUB"):
         decode_image(media)
+
+
+def test_bpe_token_count(spark):
+    from linkgraph.pipeline.text import bpe_token_count
+
+    rows = [(1, "Hello, world! It's 42 degrees."), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    # Hello | , | <sp>world | ! | <sp>It | 's | <sp>42 | <sp>degrees | .
+    assert got[1] == 9
+    assert got[2] == 0
+    assert got[3] == 1  # one whitespace run
+
+
+def test_rolling_fingerprint(spark):
+    from linkgraph.pipeline.text import rolling_fingerprint
+
+    df = spark.createDataFrame([(1, "ab"), (2, "ba"), (3, "ab")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(df).collect()}
+    # order-sensitive (unlike a bag-of-chars hash) and deterministic
+    assert got[1] == got[3] != got[2]
+    h = ((7 * 31 + ord("a")) * 31 + ord("b")) % 1_000_000_007
+    assert got[1] == h
