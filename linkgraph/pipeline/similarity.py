@@ -85,6 +85,86 @@ def hyperplane_signature(
     return emb.select(id_col, vec_col, signs(F.col(vec_col)).alias("bits"))
 
 
+class IVFIndex:
+    """Inverted-file (IVF) approximate cosine search — the second scale path
+    next to hyperplane LSH: a KMeans coarse quantizer partitions the corpus
+    into ``n_centroids`` inverted lists; a query probes only the ``n_probe``
+    nearest lists and exact-reranks within them.
+
+    Build: one KMeans fit (seeded, pyspark.ml) + one scan to assign list ids;
+    the assigned table is hash-partitioned by list id and persisted, so at
+    100 TB a probe touches n_probe/n_centroids of the data. Search: centroid
+    distances are computed driver-side (n_centroids is small by design), the
+    probed lists are filtered by partition key, reranked with JVM HOF cosine.
+    """
+
+    def __init__(
+        self,
+        n_centroids: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def fit(self, emb: DataFrame) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = emb.select(
+            self.id_col,
+            self.vec_col,
+            array_to_vector(
+                F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+            ).alias("_fv"),
+        )
+        km = KMeans(k=self.n_centroids, seed=self.seed, featuresCol="_fv",
+                    predictionCol="_list")
+        self.model_ = km.fit(feats)
+        self.centroids_ = [list(map(float, c)) for c in self.model_.clusterCenters()]
+        self.lists_ = (
+            self.model_.transform(feats)
+            .select(self.id_col, self.vec_col, "_list")
+            .repartition(self.n_centroids, "_list")
+            .persist()
+        )
+        self.lists_.count()
+        return self
+
+    def search(self, query_vec: list, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Exact-cosine top-k within the n_probe nearest inverted lists."""
+        import math
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return dot / (na * nb)
+
+        probes = sorted(
+            range(len(self.centroids_)),
+            key=lambda i: -cos(query_vec, self.centroids_[i]),
+        )[:n_probe]
+        spark = self.lists_.sparkSession
+        q = spark.createDataFrame(
+            [([float(x) for x in query_vec],)], f"_q array<double>"
+        )
+        cand = self.lists_.filter(F.col("_list").isin(probes))
+        scored = cand.crossJoin(F.broadcast(q)).select(
+            self.id_col, cosine_expr(self.vec_col, "_q").alias("cosine")
+        )
+        return scored.orderBy(F.desc("cosine"), F.asc(self.id_col)).limit(k)
+
+    def search_id(self, query_id, k: int = 10, n_probe: int = 4) -> DataFrame:
+        row = self.lists_.filter(F.col(self.id_col) == query_id).select(self.vec_col).first()
+        if row is None:
+            raise KeyError(f"{self.id_col}={query_id!r} not in index")
+        return self.search([float(x) for x in row[0]], k=k, n_probe=n_probe)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_id,

@@ -409,6 +409,24 @@ def q_graphembedding_nation_region(spark, sf_dir):
     )
 
 
+def q_ivf_cosine_top10(spark, sf_dir):
+    """IVF (KMeans inverted lists) cosine top-k with exhaustive probing —
+    probing every list is exactly brute force, so this hash-checks against
+    the same double-precision cosine oracle as ann_cosine_top10; the
+    sub-linear path (n_probe < n_centroids) is covered by a recall test."""
+    from linkgraph.pipeline.similarity import IVFIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    ivf = IVFIndex(n_centroids=8, seed=42).fit(e)
+    sup = ivf.search_id(0, k=30, n_probe=8).select(
+        "vec_id", F.round("cosine", 5).alias("cos5")
+    )
+    out = sup.orderBy(F.desc("cos5"), F.asc("vec_id")).limit(10)
+    rows = out.collect()  # materialize before releasing the inverted lists
+    ivf.lists_.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_bpe_token_count_documents(spark, sf_dir):
     """BPE-ish pre-tokenizer segment counts — lookahead-free regex shared
     verbatim with the RE2-based DuckDB oracle."""
@@ -680,6 +698,18 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS q_millionths
         FROM k, m GROUP BY m.m
     """,
+    "ivf_cosine_top10": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+            list_sum(list_transform(list_zip(e.embedding, q.qe),
+                                    x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(e.embedding, y -> y::DOUBLE * y::DOUBLE))) *
+             sqrt(list_sum(list_transform(q.qe, y -> y::DOUBLE * y::DOUBLE)))) AS cos
+          FROM embeddings e, q)
+        SELECT vec_id, CAST(round(cos, 5) AS DOUBLE) AS cos5
+        FROM scored ORDER BY cos5 DESC, vec_id LIMIT 10
+    """,
     "bpe_token_count_documents": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
@@ -837,4 +867,5 @@ QUERIES = {
     "checkpoint_roundtrip_degree": q_checkpoint_roundtrip_degree,
     "bpe_token_count_documents": q_bpe_token_count_documents,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
+    "ivf_cosine_top10": q_ivf_cosine_top10,
 }

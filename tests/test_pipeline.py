@@ -173,3 +173,19 @@ def test_rolling_fingerprint(spark):
     assert got[1] == got[3] != got[2]
     h = ((7 * 31 + ord("a")) * 31 + ord("b")) % 1_000_000_007
     assert got[1] == h
+
+
+def test_ivf_index_recall(spark, emb):
+    from linkgraph.pipeline.similarity import IVFIndex, cosine_topk
+
+    ivf = IVFIndex(n_centroids=4, seed=3).fit(emb)
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=3).collect()]
+    # probing every list == exhaustive: must equal brute force
+    full = [r["vec_id"] for r in ivf.search_id(0, k=3, n_probe=4).collect()]
+    assert full == exact
+    # probing 2/4 lists: the query's own list is always probed, so the
+    # query vector itself (cosine 1.0) must surface
+    approx = [r["vec_id"] for r in ivf.search_id(0, k=3, n_probe=2).collect()]
+    assert approx[0] == 0
+    with pytest.raises(KeyError):
+        ivf.search_id(99999)
