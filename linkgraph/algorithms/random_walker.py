@@ -40,6 +40,38 @@ def random_walks(
         return _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed)
 
 
+TOPK_BUCKETS = 32
+
+
+def _weighted_topk_edges(edges, k: int, epoch_seed: int):
+    """Per-source weighted random top-k fan-out cap
+    (spark_randomwalker.py:168-186 semantics), hub-safe: the reference's
+    single ``partitionBy(src)`` window sorts a hub's whole edge list in one
+    task. Here the rank runs two-phase — top-k within ``TOPK_BUCKETS`` hash
+    buckets of the destination (each window partition is deg/B), then top-k
+    per source over the ≤ B·k survivors — so a 10M-edge hub never
+    concentrates in a single sort. Randomness is a deterministic per-(edge,
+    epoch) splitmix-style uniform from ``xxhash64`` (the reference's
+    unseeded ``rand()`` made runs unreproducible)."""
+    u01 = (
+        F.pmod(F.xxhash64(SRC, DST, F.lit(epoch_seed)), F.lit(1 << 30)).cast("double")
+        / F.lit(float(1 << 30))
+    )
+    scored = edges.withColumn("_wr", u01 * F.col("norm_sum")).withColumn(
+        "_b", F.pmod(F.xxhash64(DST), F.lit(TOPK_BUCKETS))
+    )
+    within_bucket = Window.partitionBy(SRC, "_b").orderBy(F.desc("_wr"))
+    survivors = scored.withColumn("_rn", F.row_number().over(within_bucket)).filter(
+        F.col("_rn") <= k
+    )
+    per_src = Window.partitionBy(SRC).orderBy(F.desc("_wr"))
+    return (
+        survivors.withColumn("_rn2", F.row_number().over(per_src))
+        .filter(F.col("_rn2") <= k)
+        .drop("_wr", "_b", "_rn", "_rn2")
+    )
+
+
 def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
     w = graph.weight_col()
     edges = (
@@ -64,14 +96,7 @@ def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
 
     for i in range(num_epochs):
         if n_sampling_edges:
-            rnd = F.rand(seed + i) * F.col("norm_sum")
-            topk = Window.partitionBy(SRC).orderBy(F.desc("_wr"))
-            out_edges = (
-                edges.withColumn("_wr", rnd)
-                .withColumn("_rn", F.row_number().over(topk))
-                .filter(F.col("_rn") <= n_sampling_edges)
-                .drop("_wr", "_rn")
-            )
+            out_edges = _weighted_topk_edges(edges, n_sampling_edges, seed + i)
         else:
             out_edges = edges
         joined = state.join(out_edges, state["curr"] == out_edges[SRC], "left")

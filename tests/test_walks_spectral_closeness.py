@@ -182,3 +182,18 @@ def test_node2vec_walk_cache_roundtrip(spark, f7, tmp_path):
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-9)
+
+
+def test_walker_topk_cap_properties(spark):
+    """Weighted top-k fan-out cap: exactly k extensions per active path from
+    a high-degree node, all following real edges (two-phase hub-safe rank)."""
+    hub_edges = [("h", f"t{i}", float(i % 7 + 1)) for i in range(500)]
+    g = LinkGraph(spark.createDataFrame(hub_edges, ["src", "dst", "weight"]))
+    res = random_walks(g, "h", num_epochs=1, n_sampling_edges=5).collect()
+    assert len(res) == 5  # exactly k extensions
+    targets = {r["random_walks"][1] for r in res}
+    assert len(targets) == 5 and all(t.startswith("t") for t in targets)
+    # deterministic across runs (seeded per-(edge, epoch) uniforms)
+    again = {tuple(r["random_walks"]) for r in
+             random_walks(g, "h", num_epochs=1, n_sampling_edges=5).collect()}
+    assert again == {tuple(r["random_walks"]) for r in res}
