@@ -323,3 +323,44 @@ def embedding_cosine_dups(
     return cand.select(
         "a", "b", cosine_expr("_va", "_vb").alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.85,
+    **lsh_kwargs,
+) -> tuple[DataFrame, dict]:
+    """End-to-end corpus deduplication: exact pass (md5 fingerprint groupBy,
+    one cheap shuffle removes the bulk) then MinHash-LSH near-dup clustering
+    over the survivors. Returns (deduplicated rows of ``df``, stats dict
+    with input/after_exact/after_near counts).
+
+    The exact pass runs first deliberately: at 100 TB the overwhelming share
+    of duplicates is byte-identical boilerplate, and removing it shrinks the
+    shingle/LSH stage's input before any banded join happens.
+    """
+    n_input = df.count()
+    fp = doc_fingerprint(df.select(id_col, text_col), text_col)
+    exact_keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    survivors = df.join(exact_keep, id_col, "leftsemi")
+    n_exact = survivors.count()
+
+    reps = minhash_lsh_dedup(
+        survivors, id_col, text_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+    )
+    near_keep = reps.filter(F.col(id_col) == F.col("rep")).select(id_col)
+    clean = df.join(near_keep, id_col, "leftsemi")
+    n_near = clean.count()
+    stats = {
+        "input_rows": n_input,
+        "after_exact": n_exact,
+        "after_near_dup": n_near,
+        "exact_removed": n_input - n_exact,
+        "near_removed": n_exact - n_near,
+    }
+    return clean, stats

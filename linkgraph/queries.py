@@ -409,6 +409,16 @@ def q_graphembedding_nation_region(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline_documents(spark, sf_dir):
+    """End-to-end dedup orchestration (exact pass → MinHash-LSH near-dup)
+    — rows-only: cluster membership hangs off xxhash64 signatures."""
+    from linkgraph.pipeline.dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clean, _stats = dedup_corpus(d, jaccard_threshold=0.5)
+    return clean.select("doc_id")
+
+
 def q_ivf_cosine_top10(spark, sf_dir):
     """IVF (KMeans inverted lists) cosine top-k with exhaustive probing —
     probing every list is exactly brute force, so this hash-checks against
@@ -868,4 +878,5 @@ QUERIES = {
     "bpe_token_count_documents": q_bpe_token_count_documents,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "ivf_cosine_top10": q_ivf_cosine_top10,
+    "dedup_pipeline_documents": q_dedup_pipeline_documents,  # rows-only
 }

@@ -189,3 +189,15 @@ def test_ivf_index_recall(spark, emb):
     assert approx[0] == 0
     with pytest.raises(KeyError):
         ivf.search_id(99999)
+
+
+def test_dedup_corpus_pipeline(spark, docs):
+    from linkgraph.pipeline.dedup import dedup_corpus
+
+    clean, stats = dedup_corpus(docs, jaccard_threshold=0.5)
+    kept = {r["doc_id"] for r in clean.collect()}
+    # doc 2 is an exact dup of 1; doc 3 is a near dup of 1 at J>=0.5
+    assert kept == {1, 4, 5, 6}
+    assert stats["input_rows"] == 6
+    assert stats["exact_removed"] == 1
+    assert stats["near_removed"] == 1
