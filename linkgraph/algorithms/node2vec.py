@@ -54,17 +54,28 @@ _BUCKET_CDF_TYPE = ArrayType(
 )
 
 
+def _normalized_cdf(weights: np.ndarray) -> np.ndarray:
+    """Cumulative weights normalized to (0, 1], final element pinned to
+    exactly 1.0 so an inverse-CDF probe with r < 1 always lands. An all-zero
+    weight row degrades to the uniform distribution instead of NaNs (which
+    would silently always pick the last edge)."""
+    cum = np.cumsum(weights)
+    total = cum[-1]
+    if total <= 0:
+        cum = np.arange(1, len(weights) + 1, dtype=np.float64)
+        total = float(len(weights))
+    cum = cum / total
+    cum[-1] = 1.0
+    return cum
+
+
 @F.pandas_udf(_CDF_TYPE)
 def _edge_cdf(pairs: pd.Series) -> pd.Series:
-    """Vectorized per-row CDF build: [(dst, w)] → [(dst, cum)] with cum
-    normalized to (0, 1] and the final element pinned to exactly 1.0 so an
-    inverse-CDF probe with r < 1 always lands."""
+    """Vectorized per-row CDF build: [(dst, w)] → [(dst, cum)]."""
     out = []
     for arr in pairs:
         w = np.fromiter((p["w"] for p in arr), dtype=np.float64, count=len(arr))
-        cum = np.cumsum(w)
-        cum = cum / cum[-1]
-        cum[-1] = 1.0
+        cum = _normalized_cdf(w)
         out.append([{"dst": p["dst"], "cum": float(c)} for p, c in zip(arr, cum)])
     return pd.Series(out)
 
@@ -74,9 +85,7 @@ def _bucket_cdf(pairs: pd.Series) -> pd.Series:
     out = []
     for arr in pairs:
         w = np.fromiter((p["w"] for p in arr), dtype=np.float64, count=len(arr))
-        cum = np.cumsum(w)
-        cum = cum / cum[-1]
-        cum[-1] = 1.0
+        cum = _normalized_cdf(w)
         out.append([{"salt": int(p["salt"]), "cum": float(c)} for p, c in zip(arr, cum)])
     return pd.Series(out)
 
@@ -241,27 +250,42 @@ class Node2Vec:
         self.hub_buckets = hub_buckets
 
     def _walk_batches(self, graph: LinkGraph):
-        """Yield (block_index, walks DataFrame) in batch_size-run blocks."""
+        """Yield (block_index, walks DataFrame) in batch_size-run blocks.
+        The sampling tables depend only on the graph, so they are built ONCE
+        and shared by every block."""
         bs = self.batch_size or self.num_paths_per_node
         runs = list(range(self.num_paths_per_node))
-        for b, lo in enumerate(range(0, len(runs), bs)):
-            block_runs = runs[lo : lo + bs]
-            paths = None
-            with static_plans(graph.edges.sparkSession):
-                tables = _sampling_tables(graph, self.hub_threshold, self.hub_buckets)
-                for run in block_runs:
+        with static_plans(graph.edges.sparkSession):
+            tables = _sampling_tables(graph, self.hub_threshold, self.hub_buckets)
+            for b, lo in enumerate(range(0, len(runs), bs)):
+                paths = None
+                for run in runs[lo : lo + bs]:
                     p = _one_walk_run(
                         graph, tables, self.sampling_ratio, self.num_epochs,
                         self.seed + 7919 * run,
                     )
                     paths = p if paths is None else paths.unionByName(p)
-            yield b, paths
+                yield b, paths
+
+    @staticmethod
+    def _clear_dir(spark, path: str):
+        """Remove a cache directory via the Hadoop FS API (portable across
+        file:// and object-store schemes, unlike shutil)."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
 
     def fit(self, graph: LinkGraph):
         from pyspark.ml.feature import Word2Vec
 
         spark = graph.edges.sparkSession
         if self.path_cache:
+            # clear any previous fit's blocks first: a re-fit with a larger
+            # batch_size writes fewer blocks, and the block=* read-back would
+            # otherwise mix stale walk generations into the Word2Vec fit
+            self._clear_dir(spark, self.path_cache)
             for b, paths in self._walk_batches(graph):
                 paths.coalesce(self.n_partitions_cache).write.mode(
                     "overwrite"
@@ -287,14 +311,16 @@ class Node2Vec:
         return self
 
     @classmethod
-    def load_file(cls, path_cache: str, **kwargs) -> "Node2Vec":
+    def load_file(cls, path_cache: str, spark=None, **kwargs) -> "Node2Vec":
         """Fit Word2Vec from previously cached walk blocks without re-walking
         (spark_node2vec.py:104-111 ``load_file`` semantics)."""
         from pyspark.ml.feature import Word2Vec
         from pyspark.sql import SparkSession
 
         obj = cls(path_cache=path_cache, **kwargs)
-        spark = SparkSession.getActiveSession()
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("load_file needs an active SparkSession (or spark=)")
         obj.paths_ = spark.read.parquet(f"{path_cache}/block=*")
         w2v = Word2Vec(
             vectorSize=obj.dimension,

@@ -119,20 +119,39 @@ class LinkGraph:
     def from_networkx(cls, g, spark=None):
         """Build from a networkx graph (reference ``graph.py:180-182``):
         edge attributes (including ``weight``) and node attributes carry
-        over; directedness follows ``g.is_directed()``."""
+        over; directedness follows ``g.is_directed()``. Attributes present
+        on only some elements become NULLs (not NaN-typed object columns),
+        and an edge-less graph constructs with empty string-typed edges."""
         import pandas as pd
 
+        def _clean(rows, required):
+            pdf = pd.DataFrame(rows)
+            for c in required:
+                if c not in pdf.columns:
+                    pdf[c] = pd.Series(dtype=object)
+            # NaN from partially-present attrs breaks createDataFrame type
+            # merging; None infers a nullable column of the present type
+            return pdf.astype(object).where(pd.notnull(pdf), None)
+
         edge_rows = [
-            {"src": u, "dst": v, **(attrs or {})} for u, v, attrs in g.edges(data=True)
+            {"src": str(u), "dst": str(v), **(attrs or {})}
+            for u, v, attrs in g.edges(data=True)
         ]
-        node_rows = [{"id": n, **(attrs or {})} for n, attrs in g.nodes(data=True)]
+        node_rows = [{"id": str(n), **(attrs or {})} for n, attrs in g.nodes(data=True)]
         keys = {"directed": bool(g.is_directed())}
-        return cls.from_pandas(
-            pd.DataFrame(edge_rows),
-            pd.DataFrame(node_rows) if node_rows else None,
-            keys,
-            spark,
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("from_networkx needs an active SparkSession (or spark=)")
+        if edge_rows:
+            edges_df = spark.createDataFrame(_clean(edge_rows, ["src", "dst"]))
+        else:
+            edges_df = spark.createDataFrame([], "src string, dst string")
+        nodes_df = (
+            spark.createDataFrame(_clean(node_rows, ["id"])) if node_rows else None
         )
+        return cls(edges_df, nodes_df, keys)
 
     # ------------------------------------------------------------------ core
 

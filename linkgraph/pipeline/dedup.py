@@ -347,14 +347,16 @@ def dedup_corpus(
     n_input = df.count()
     fp = doc_fingerprint(df.select(id_col, text_col), text_col)
     exact_keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
-    survivors = df.join(exact_keep, id_col, "leftsemi")
+    # lineage break: survivors feed the stats count, the shingle build AND
+    # the signature build — without it the exact pass would re-run 3x
+    survivors = df.join(exact_keep, id_col, "leftsemi").localCheckpoint(eager=True)
     n_exact = survivors.count()
 
     reps = minhash_lsh_dedup(
         survivors, id_col, text_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
     )
     near_keep = reps.filter(F.col(id_col) == F.col("rep")).select(id_col)
-    clean = df.join(near_keep, id_col, "leftsemi")
+    clean = df.join(near_keep, id_col, "leftsemi").localCheckpoint(eager=True)
     n_near = clean.count()
     stats = {
         "input_rows": n_input,

@@ -427,8 +427,12 @@ def q_ivf_cosine_top10(spark, sf_dir):
     from linkgraph.pipeline.similarity import IVFIndex
 
     e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
     ivf = IVFIndex(n_centroids=8, seed=42).fit(e)
-    sup = ivf.search_id(0, k=30, n_probe=8).select(
+    # k = ALL rows: the re-rank below then orders the FULL table by the
+    # rounded cosine exactly as the oracle does — a smaller raw-cosine cut
+    # could drop a row that ties into the rounded top-10 with a smaller id
+    sup = ivf.search_id(0, k=n, n_probe=8).select(
         "vec_id", F.round("cosine", 5).alias("cos5")
     )
     out = sup.orderBy(F.desc("cos5"), F.asc("vec_id")).limit(10)

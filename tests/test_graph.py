@@ -173,3 +173,21 @@ def test_reference_api_conveniences(spark):
     assert all(v > 0 for v in cl.values())  # 3-cycle: every node reaches all
     bc = g.betweenness_centrality()
     assert bc.count() == 3
+
+
+def test_from_networkx_edge_cases(spark):
+    import networkx as nx
+
+    # edge-less graph with nodes
+    g0 = nx.Graph()
+    g0.add_nodes_from(["a", "b"])
+    lg0 = LinkGraph.from_networkx(g0)
+    assert lg0.number_of_nodes() == 2 and lg0.number_of_edges() == 0
+
+    # attribute present on only one edge -> NULL on the other, not a crash
+    g1 = nx.DiGraph()
+    g1.add_edge("a", "b", kind="strong")
+    g1.add_edge("b", "c")
+    lg1 = LinkGraph.from_networkx(g1)
+    kinds = {(r["src"], r["dst"]): r["kind"] for r in lg1.edges.collect()}
+    assert kinds[("a", "b")] == "strong" and kinds[("b", "c")] is None

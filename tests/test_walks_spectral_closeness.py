@@ -197,3 +197,34 @@ def test_walker_topk_cap_properties(spark):
     again = {tuple(r["random_walks"]) for r in
              random_walks(g, "h", num_epochs=1, n_sampling_edges=5).collect()}
     assert again == {tuple(r["random_walks"]) for r in res}
+
+
+def test_node2vec_refit_clears_stale_cache_blocks(spark, f7, tmp_path):
+    """Re-fitting into the same path_cache with a larger batch_size must not
+    mix walk blocks from the previous fit into the Word2Vec input."""
+    from linkgraph.algorithms.node2vec import Node2Vec
+    import os
+
+    cache = str(tmp_path / "walks2")
+    Node2Vec(dimension=4, num_epochs=3, num_paths_per_node=4, batch_size=1,
+             path_cache=cache, w2v_min_count=1, seed=5).fit(f7)
+    assert len(os.listdir(cache)) == 4
+    m = Node2Vec(dimension=4, num_epochs=3, num_paths_per_node=2, batch_size=2,
+                 path_cache=cache, w2v_min_count=1, seed=5).fit(f7)
+    assert sorted(os.listdir(cache)) == ["block=0"]
+    # 2 runs x 3 non-dead-end starts = 6 cached walks, not 6 + stale 12
+    assert m.paths_.count() == 6
+
+
+def test_node2vec_zero_weight_edges_uniform(spark):
+    """All-zero out-weights degrade to uniform sampling, not NaN CDFs."""
+    from linkgraph.algorithms.node2vec import node2vec_walks
+
+    edges = [("s", f"t{i}", 0.0) for i in range(4)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    seen = set()
+    for seed in range(6):
+        for r in node2vec_walks(g, 1.0, 1, 1, seed=seed).collect():
+            if r["random_walks"][0] == "s":
+                seen.add(r["random_walks"][1])
+    assert len(seen) > 1  # NaN CDF would deterministically pick one target
