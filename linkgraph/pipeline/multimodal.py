@@ -100,6 +100,52 @@ def extract_features(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize plan for image rows: binary in → binary out with updated meta,
+    Arrow-batched, partition-preserving. The pixel resample itself is
+    STUBBED (no codec libs in this container) with a deterministic
+    byte-fold to exactly width·height bytes — the Spark-side shape (schema,
+    batch signature, meta rewrite) is the real thing a PIL/libvips kernel
+    would drop into. Returns [<id_col>, payload, meta]."""
+
+    target = width * height
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for buf in pdf[payload_col]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(b) == 0:
+                    out.append(bytes(target))
+                    continue
+                reps = -(-target // len(b))  # ceil tile, then crop
+                out.append(np.tile(b, reps)[:target].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "meta": [
+                        {"width": width, "height": height, "n_frames": 1,
+                         "sample_rate": 0}
+                    ] * len(pdf),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    meta_t = "struct<width:int,height:int,n_frames:int,sample_rate:int>"
+    return (
+        df.filter(F.col("kind") == "image")
+        .select(id_col, payload_col)
+        .mapInPandas(kernel, f"{id_col} {id_type}, payload binary, meta {meta_t}")
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 5,

@@ -201,3 +201,18 @@ def test_dedup_corpus_pipeline(spark, docs):
     assert stats["input_rows"] == 6
     assert stats["exact_removed"] == 1
     assert stats["near_removed"] == 1
+
+
+def test_resize_images_plumbing(spark):
+    from linkgraph.pipeline.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, n_rows=12)
+    out = resize_images(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == media.filter("kind = 'image'").count()
+    assert all(len(bytes(r["payload"])) == 32 for r in rows)
+    assert all(r["meta"]["width"] == 8 and r["meta"]["height"] == 4 for r in rows)
+    # deterministic
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=8, height=4).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
