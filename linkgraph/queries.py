@@ -409,6 +409,42 @@ def q_graphembedding_nation_region(spark, sf_dir):
     )
 
 
+def q_lpa_events_2(spark, sf_dir):
+    """Synchronous LPA at exactly 2 supersteps — unlike the converged run
+    (rows-only), a fixed step count is ANSI-SQL-expressible by unrolling the
+    neighbor-majority argmax, so A14 gets a value-hash row too."""
+    return label_propagation(events_graph(spark, sf_dir), max_iter=2)
+
+
+def _lpa_unrolled_sql(steps: int = 2) -> str:
+    """Unrolled synchronous LPA on the events graph: per step every node
+    adopts the most frequent neighbor label (ties → min label), isolated
+    nodes keep theirs."""
+    ctes = [
+        "b AS (SELECT DISTINCT user_id, event_type FROM events)",
+        "e0 AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b)",
+        "und AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT u AS id FROM und)",
+        "v0 AS (SELECT id, id AS label FROM nodes)",
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(
+            f"nbr{i} AS (SELECT und.v AS id, p.label, count(*) AS c "
+            f"FROM und JOIN v{i-1} p ON und.u = p.id GROUP BY und.v, p.label)"
+        )
+        ctes.append(
+            f"best{i} AS (SELECT id, label FROM ("
+            f"SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM nbr{i}) "
+            f"WHERE rn = 1)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT p.id, coalesce(b.label, p.label) AS label "
+            f"FROM v{i-1} p LEFT JOIN best{i} b ON p.id = b.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM v{steps}"
+
+
 def q_dedup_pipeline_documents(spark, sf_dir):
     """End-to-end dedup orchestration (exact pass → MinHash-LSH near-dup)
     — rows-only: cluster membership hangs off xxhash64 signatures."""
@@ -712,6 +748,7 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT) AS q_millionths
         FROM k, m GROUP BY m.m
     """,
+    "lpa_events_2": _lpa_unrolled_sql(2),
     "ivf_cosine_top10": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -883,4 +920,5 @@ QUERIES = {
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "ivf_cosine_top10": q_ivf_cosine_top10,
     "dedup_pipeline_documents": q_dedup_pipeline_documents,  # rows-only
+    "lpa_events_2": q_lpa_events_2,
 }
