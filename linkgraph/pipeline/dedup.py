@@ -83,21 +83,33 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------ minhash
 
 
+def _minhash_term(j: int, hash_fn: str) -> F.Column:
+    """Per-seed shingle hash. xxhash64 (long, fast JVM path — the default)
+    or md5 of ``shingle#j`` (string, slower but byte-identical in DuckDB —
+    the engine-portable variant the oracle gate can replicate exactly)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64("s", F.lit(j))
+    if hash_fn == "md5":
+        return F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: num_hashes independent min-aggregations
-    of xxhash64(shingle, seed_j) over the exploded distinct shingle set.
-    Returns [<id_col>, sig: array<long>]."""
+    of hash(shingle, seed_j) over the exploded distinct shingle set.
+    Returns [<id_col>, sig: array<long|string>]."""
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(_shingle_expr(text_col, shingle_k)).alias("s")
     )
     mins = sh.groupBy("_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+        *[F.min(_minhash_term(j, hash_fn)).alias(f"h{j}") for j in range(num_hashes)]
     )
     return mins.select(
         F.col("_id").alias(id_col),
@@ -105,7 +117,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_dedup(
+def minhash_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -114,25 +126,29 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash → banded LSH bucketing → candidate pairs → exact Jaccard
-    verification → connected components → canonical representative.
+    """MinHash → banded LSH bucketing → candidate pairs → exact-Jaccard
+    verification. Returns [a, b, jaccard] with a < b, jaccard ≥ threshold.
 
-    Returns [<id_col>, rep] mapping every near-duplicate doc to the minimum
-    id of its duplicate cluster (docs with no dup map to themselves).
-    """
+    ``hash_fn='md5'`` makes every stage byte-identical to an ANSI-SQL
+    replication (DuckDB oracle), at the cost of string hashing; the
+    ``xxhash64`` default is the fast production path."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
+    if hash_fn == "xxhash64":
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
+        )
+    else:  # md5 path: the raw joined band slice IS the (portable) bucket key
+        bucket_of = lambda b: F.concat_ws(  # noqa: E731
+            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        )
     banded = sig.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), b
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     )
     # cap pathological buckets (boilerplate): keep first max_bucket per bucket
@@ -155,7 +171,7 @@ def minhash_lsh_dedup(
     sh = df.select(
         F.col(id_col).alias("_id"), _shingle_expr(text_col, shingle_k).alias("_sh")
     )
-    verified = (
+    return (
         cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sa")), "a")
         .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_sb")), "b")
         .select(
@@ -167,6 +183,28 @@ def minhash_lsh_dedup(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash → banded LSH bucketing → candidate pairs → exact Jaccard
+    verification → connected components → canonical representative.
+
+    Returns [<id_col>, rep] mapping every near-duplicate doc to the minimum
+    id of its duplicate cluster (docs with no dup map to themselves).
+    """
+    verified = minhash_verified_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k,
+        jaccard_threshold, max_bucket,
     )
     # duplicate clusters = connected components over verified pairs
     from linkgraph.algorithms.components import connected_components

@@ -409,6 +409,64 @@ def q_graphembedding_nation_region(spark, sf_dir):
     )
 
 
+def q_minhash_pairs_md5_documents(spark, sf_dir):
+    """MinHash + banded LSH + exact-Jaccard verification, end-to-end
+    hash-checked: the md5 hash family is byte-identical in DuckDB, so the
+    oracle replicates every stage (signatures → band buckets → candidates →
+    verification) — not just the final shape. The xxhash64 production path
+    has identical dataflow (shared implementation) and stays rows-only."""
+    from linkgraph.pipeline.dedup import minhash_verified_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_verified_pairs(
+        d, num_hashes=16, bands=4, shingle_k=5,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard6"))
+
+
+def _minhash_md5_sql(num_hashes: int = 16, bands: int = 4, k: int = 5,
+                     threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5(s || '#{j}')) AS h{j}" for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(lower(text)) - {k - 1}, 1)),
+                     i -> substr(lower(text), i, {k}))) AS s
+          FROM documents
+        ),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ix AS (
+          SELECT c.a, c.b, count(*) AS ix
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+          GROUP BY c.a, c.b
+        )
+        SELECT ix.a, ix.b,
+               CAST(round(CAST(ix.ix AS DOUBLE) / (sa.n + sb.n - ix.ix), 6) AS DOUBLE)
+               AS jaccard6
+        FROM ix JOIN sizes sa ON ix.a = sa.doc_id JOIN sizes sb ON ix.b = sb.doc_id
+        WHERE CAST(ix.ix AS DOUBLE) / (sa.n + sb.n - ix.ix) >= {threshold}
+    """
+
+
 def q_lpa_events_2(spark, sf_dir):
     """Synchronous LPA at exactly 2 supersteps — unlike the converged run
     (rows-only), a fixed step count is ANSI-SQL-expressible by unrolling the
@@ -749,6 +807,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM k, m GROUP BY m.m
     """,
     "lpa_events_2": _lpa_unrolled_sql(2),
+    "minhash_pairs_md5_documents": _minhash_md5_sql(16, 4, 5, 0.5),
     "ivf_cosine_top10": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -921,4 +980,5 @@ QUERIES = {
     "ivf_cosine_top10": q_ivf_cosine_top10,
     "dedup_pipeline_documents": q_dedup_pipeline_documents,  # rows-only
     "lpa_events_2": q_lpa_events_2,
+    "minhash_pairs_md5_documents": q_minhash_pairs_md5_documents,
 }
