@@ -210,6 +210,59 @@ class LinkGraph:
     def edges_as_dataframe(self) -> DataFrame:
         return self._edges
 
+    def iter_nodes(self):
+        """Stream node Rows to the driver as dicts — the reference's
+        NodeIterator semantics (graph.py:27-56) without its per-node
+        ``filter(...).first()`` round-trip (one Spark job PER NODE there);
+        ``toLocalIterator`` fetches one partition at a time instead."""
+        for row in self._nodes.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict()
+
+    def iter_edges(self):
+        """Stream edge Rows as dicts (EdgeIterator parity, graph.py:58-103),
+        partition-at-a-time."""
+        for row in self._edges.toLocalIterator(prefetchPartitions=True):
+            yield row.asDict()
+
+    def to_networkx(self, max_nodes: int = 100_000):
+        """Driver-local networkx conversion (the reference's ``networkx``
+        property, graph.py:241-254 / 527-533). Guarded: collecting a
+        distributed graph is a small-graph operation, so the node count is
+        checked BEFORE any materialization."""
+        import networkx as nx
+
+        n_nodes = self._nodes.limit(max_nodes + 1).count()
+        if n_nodes > max_nodes:
+            raise ValueError(
+                f"graph exceeds max_nodes={max_nodes}; to_networkx is a "
+                "driver-local conversion — raise max_nodes explicitly only "
+                "if the collected graph fits in driver memory"
+            )
+        g = nx.DiGraph() if self._directed else nx.Graph()
+        for nd in self._nodes.toPandas().to_dict("records"):
+            g.add_node(nd.pop(ID), **{k: v for k, v in nd.items() if v is not None})
+        for ed in self._edges.toPandas().to_dict("records"):
+            u, v = ed.pop(SRC), ed.pop(DST)
+            g.add_edge(u, v, **{k: v2 for k, v2 in ed.items() if v2 is not None})
+        return g
+
+    def __str__(self) -> str:
+        # Counts run two small Spark jobs — matches the reference's
+        # summary content (graph.py:207-216) minus its format-cache flags.
+        return (
+            f"linkgraph.LinkGraph with {self.number_of_nodes()} nodes and "
+            f"{self.number_of_edges()} edges.\n"
+            f"  is_directed: {self._directed}\n"
+            f"  is_weighted: {self._weighted}"
+        )
+
+    def __repr__(self) -> str:
+        # Job-free (a repr that triggers Spark jobs is hostile in a REPL).
+        return (
+            f"LinkGraph(directed={self._directed}, weighted={self._weighted}, "
+            f"edge_cols={self._edges.columns})"
+        )
+
     def closeness_centrality(self, landmarks=None, max_hops: int = 50) -> DataFrame:
         """graph.py:313-320 parity; DataFrame[id, closeness]."""
         from linkgraph.algorithms.closeness import closeness_centrality

@@ -220,7 +220,11 @@ def minhash_lsh_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: token hashing is JVM-side
     (``transform(split(...), t -> xxhash64(t))`` — whole-stage codegen, no
@@ -235,12 +239,24 @@ def simhash(
     engine's slowest path, this one is scan-bound. Two alternatives measured
     worse here: a pure-JVM 64-column vote aggregation (codegen blowup, 7x
     slower) and a posexplode two-phase vote (64x row blowup + shuffle, 2x
-    slower)."""
+    slower).
+
+    ``hash_fn='md5'`` swaps the token hash for the first 60 bits of md5
+    (big-endian hex → int, still JVM-side) so the whole signature is
+    reproducible in any ANSI engine for oracle checks; the vote kernel is
+    unchanged (bits 60-63 vote unanimously 0). Production path stays
+    xxhash64."""
     if bits != 64:
         raise ValueError("simhash is a 64-bit implementation (xxhash64 tokens)")
+    if hash_fn == "xxhash64":
+        tok_hash = "xxhash64(t)"
+    elif hash_fn == "md5":
+        tok_hash = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
     hs_col = F.expr(
         f"transform(filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
-        " t -> t != ''), t -> xxhash64(t))"
+        f" t -> t != ''), t -> {tok_hash})"
     )
     src = df.select(F.col(id_col).alias("_id"), hs_col.alias("_hs"))
 

@@ -383,6 +383,93 @@ def q_spectral_nation_region(spark, sf_dir):
     return res.labels.select("id", F.col("cluster").cast("long").alias("cluster"))
 
 
+def q_louvain_canonical_nation_region(spark, sf_dir):
+    """Louvain labels canonicalized to the min member id per community —
+    relabel-invariant, so the full partition IS hash-checkable: the
+    nation-region graph is disjoint stars whose unique optimum is one
+    community per star (the modularity query proves the engine lands
+    there; this one proves the membership)."""
+    from linkgraph import louvain_communities
+
+    res = louvain_communities(nation_region_single(spark, sf_dir))
+    lab = res.labels.select("id", "cluster")
+    rep = lab.groupBy("cluster").agg(F.min("id").alias("community_rep"))
+    return lab.join(rep, "cluster").select("id", "community_rep")
+
+
+def q_spectral_two_clique(spark, sf_dir):
+    """PowerIterationClustering k=2 on two 4-cliques (nations 0-3 / 4-7)
+    joined by one 0.1-weight bridge — separation is deterministic (PIC's
+    seed is the fixed pyspark.ml default), and min-member canonical labels
+    make the partition hash-checkable against the closed-form split."""
+    from linkgraph import spectral_clustering
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    a = n.filter("k < 4")
+    b = n.filter("k >= 4 and k < 8")
+
+    def clique(side):
+        x, y = side.alias("x"), side.alias("y")
+        return x.join(y, F.col("x.k") < F.col("y.k")).select(
+            F.col("x.id").alias("src"), F.col("y.id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+
+    bridge = spark.createDataFrame([("n0", "n4", 0.1)], ["src", "dst", "weight"])
+    g = LinkGraph(clique(a).union(clique(b)).union(bridge))
+    res = spectral_clustering(g, k=2, max_iter=20)
+    lab = res.labels.select("id", "cluster")
+    rep = lab.groupBy("cluster").agg(F.min("id").alias("cluster_rep"))
+    return lab.join(rep, "cluster").select("id", "cluster_rep")
+
+
+def q_simhash_md5_documents(spark, sf_dir):
+    """SimHash with the portable md5 60-bit token-hash family — the full
+    signature (JVM token hash + Arrow bit-vote) is value-hash-checked
+    against an ANSI bit-arithmetic oracle. The xxhash64 production path
+    shares every line but the hash expression and stays rows-only."""
+    from linkgraph.pipeline.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(d, hash_fn="md5")
+
+
+def _simhash_md5_sql(bits: int = 60) -> str:
+    """DuckDB replica of simhash(hash_fn='md5'): per token, the first 15 md5
+    hex digits big-endian → 60-bit int (== Spark's conv(substr(md5,1,15),
+    16,10)); per document, per-bit majority vote (strict >0, ties → 0)."""
+    digit = ("(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT"
+             " * (1::BIGINT << (4 * (15 - i)))")
+    sums = ", ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(
+                     lower(coalesce(text, '')), '\\s+'), t -> t <> '')) AS t
+          FROM documents
+        ),
+        hv AS (
+          SELECT doc_id,
+                 list_sum(list_transform(generate_series(1, 15),
+                                         i -> {digit})) AS v
+          FROM toks
+        ),
+        votes AS (SELECT doc_id, {sums} FROM hv GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS simhash FROM votes)
+        SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sig USING (doc_id)
+    """
+
+
 def q_node2vec_walks_nation_region(spark, sf_dir):
     """node2vec walk generation (rows-only: sampled paths are seeded-RNG
     engine-specific; the row count — one walk per non-dead-end start — is
@@ -808,6 +895,21 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lpa_events_2": _lpa_unrolled_sql(2),
     "minhash_pairs_md5_documents": _minhash_md5_sql(16, 4, 5, 0.5),
+    "louvain_canonical_nation_region": """
+        WITH reps AS (SELECT n_regionkey AS rk, min('n' || n_nationkey) AS community_rep
+                      FROM nation GROUP BY n_regionkey)
+        SELECT 'n' || n_nationkey AS id, community_rep
+        FROM nation JOIN reps ON n_regionkey = rk
+        UNION ALL
+        SELECT 'r' || r_regionkey AS id, community_rep
+        FROM region JOIN reps ON r_regionkey = rk
+    """,
+    "spectral_two_clique": """
+        SELECT 'n' || n_nationkey AS id,
+               CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS cluster_rep
+        FROM nation WHERE n_nationkey < 8
+    """,
+    "simhash_md5_documents": _simhash_md5_sql(),
     "ivf_cosine_top10": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -981,4 +1083,7 @@ QUERIES = {
     "dedup_pipeline_documents": q_dedup_pipeline_documents,  # rows-only
     "lpa_events_2": q_lpa_events_2,
     "minhash_pairs_md5_documents": q_minhash_pairs_md5_documents,
+    "louvain_canonical_nation_region": q_louvain_canonical_nation_region,
+    "spectral_two_clique": q_spectral_two_clique,
+    "simhash_md5_documents": q_simhash_md5_documents,
 }

@@ -191,3 +191,31 @@ def test_from_networkx_edge_cases(spark):
     lg1 = LinkGraph.from_networkx(g1)
     kinds = {(r["src"], r["dst"]): r["kind"] for r in lg1.edges.collect()}
     assert kinds[("a", "b")] == "strong" and kinds[("b", "c")] is None
+
+
+def test_iterators_and_repr(person_graph):
+    nodes = list(person_graph.iter_nodes())
+    assert len(nodes) == 7 and all("id" in d for d in nodes)
+    edges = list(person_graph.iter_edges())
+    assert len(edges) == 10 and all("src" in d and "dst" in d for d in edges)
+    s = str(person_graph)
+    assert "7 nodes" in s and "10 edges" in s and "is_directed: True" in s
+    assert "LinkGraph(directed=True" in repr(person_graph)
+
+
+def test_to_networkx_roundtrip(spark):
+    import networkx as nx
+
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 1.0)], ["src", "dst", "weight"]
+    )
+    g = LinkGraph(e)
+    nxg = LinkGraph(e).to_networkx()
+    assert isinstance(nxg, nx.DiGraph)
+    assert sorted(nxg.nodes) == ["a", "b", "c"]
+    assert nxg["a"]["b"]["weight"] == 2.0
+    # round-trip through from_networkx preserves structure
+    g2 = LinkGraph.from_networkx(nxg, spark=spark)
+    assert g2.number_of_nodes() == 3 and g2.number_of_edges() == 2
+    with pytest.raises(ValueError):
+        g.to_networkx(max_nodes=2)
