@@ -88,7 +88,9 @@ def main():
     g = LinkGraph(edges.select("src", "dst", "weight"))
 
     def _pagerank_corpus():
-        res = pagerank(g, tol=1e-6, max_iter=100, use_arrow_kernel=False)
+        # strategy pinned: this entry IS the distributed-superstep throughput
+        # metric (edges/sec/superstep); the auto gate must not reroute it.
+        res = pagerank(g, tol=1e-6, max_iter=100, strategy="distributed")
         res.ranks.select(F.sum("pagerank")).collect()
         extra["pagerank_iterations"] = res.iterations
         extra["pagerank_converged"] = res.converged
@@ -112,8 +114,11 @@ def main():
     extra["triangles_imports"] = tri
 
     def _pr_cop():
+        # default auto strategy: a ~240k-edge graph takes the driver-local
+        # plan (the engine's size-based physical choice) — ~100 BSP
+        # supersteps here would be pure scheduler latency.
         gg = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
-        r = pagerank(gg, tol=1e-6, max_iter=100, use_arrow_kernel=False)
+        r = pagerank(gg, tol=1e-6, max_iter=100)
         r.ranks.limit(1).collect()
         return r
 

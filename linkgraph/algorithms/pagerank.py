@@ -85,8 +85,41 @@ def pagerank(
     checkpoint_interval: int = 5,
     resume: bool = False,
     use_arrow_kernel: bool = False,
+    strategy: str = "auto",
+    local_max_edges: int = 2_000_000,
 ) -> PageRankResult:
-    """Run power iteration until L1(r' - r) <= tol or max_iter supersteps."""
+    """Run power iteration until L1(r' - r) <= tol or max_iter supersteps.
+
+    ``strategy`` picks the physical plan, the same way Catalyst picks
+    broadcast vs shuffle joins by size:
+
+    - ``"distributed"`` — the BSP superstep loop (one shuffle per step).
+      Always correct; the only choice at scale.
+    - ``"local"`` — collect the (pre-counted, guarded) edge list and power-
+      iterate in numpy on the driver, identical semantics. ~100 supersteps
+      on a graph that fits in one task is pure scheduler latency — on this
+      engine each superstep costs ~0.3-1 s regardless of size, so a 240k-edge
+      convergence run drops from ~20 s to well under 1 s.
+    - ``"auto"`` (default) — probe the edge count with ``limit(k+1).count()``
+      (O(threshold) even on a 100 TB table) and take the local path iff the
+      graph fits ``local_max_edges`` AND no distributed-only feature is
+      requested (checkpoint/resume, Arrow kernel). Both paths share the
+      update rule, dangling-mass recurrence, stopping rule, and history
+      schema, so results agree to summation-order ulps.
+    """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
+    needs_cluster = checkpoint is not None or resume or use_arrow_kernel
+    if strategy == "local" or (
+        strategy == "auto"
+        and not needs_cluster
+        and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+    ):
+        if needs_cluster:
+            raise ValueError(
+                "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
+            )
+        return _pagerank_local(graph, damping, tol, max_iter)
     spark = graph.edges.sparkSession
     with static_plans(spark):
         return _pagerank_loop(
@@ -100,6 +133,85 @@ def pagerank(
             resume,
             use_arrow_kernel,
         )
+
+
+def _pagerank_local(
+    graph: LinkGraph, damping: float, tol: float, max_iter: int
+) -> PageRankResult:
+    """Driver-local power iteration — the small-graph physical strategy.
+
+    Mirrors ``_pagerank_loop`` exactly: r₀ uniform, per-step
+    r' = (1-d)/N + d·(dm/N + Σ contrib) with dm from the PREVIOUS step's
+    ranks, L1 stopping, per-step history. Edges from nodes outside the node
+    set contribute nothing; contributions to unknown ids are dropped —
+    matching the loop's inner join / left join pair."""
+    import time as _time
+
+    import numpy as np
+
+    spark = graph.edges.sparkSession
+    n = graph.number_of_nodes()
+    if n == 0:
+        raise ValueError("empty graph")
+    w = graph.weight_col()
+    epdf = (
+        graph.edges.select(
+            F.col(SRC).alias("s"), F.col(DST).alias("d"), w.cast("double").alias("w")
+        )
+    ).toPandas()
+    npdf = graph.nodes.select(ID).toPandas()
+    ids = npdf[ID].to_numpy()
+    idx = pd.Series(np.arange(n), index=ids)
+    si_all = epdf["s"].map(idx).to_numpy(dtype="float64")
+    di_all = epdf["d"].map(idx).to_numpy(dtype="float64")
+    wv_all = epdf["w"].to_numpy(dtype="float64")
+
+    known_src = ~np.isnan(si_all)
+    out_w = np.bincount(
+        si_all[known_src].astype(np.int64), weights=wv_all[known_src], minlength=n
+    )
+    live = known_src & ~np.isnan(di_all)
+    si = si_all[live].astype(np.int64)
+    di = di_all[live].astype(np.int64)
+    frac = wv_all[live] / out_w[si]
+    dangling = out_w == 0.0
+
+    r = np.full(n, 1.0 / n)
+    dm = float(r[dangling].sum())
+    history: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        _t0 = _time.time()
+        contrib = np.bincount(di, weights=r[si] * frac, minlength=n)
+        new = (1.0 - damping) / n + damping * dm / n + damping * contrib
+        delta = np.abs(new - r)
+        l1 = float(delta.sum())
+        dm = float(new[dangling].sum())
+        active = int((delta > tol / max(n, 1)).sum())
+        history.append(
+            {
+                "step": it,
+                "l1_delta": l1,
+                "active_vertices": active,
+                "dangling_mass": dm,
+                "wall_sec": round(_time.time() - _t0, 3),
+            }
+        )
+        r = new
+        if l1 <= tol:
+            converged = True
+            break
+
+    ranks = spark.createDataFrame(pd.DataFrame({ID: ids, "pagerank": r}))
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        history=history,
+        num_nodes=n,
+        num_edges=int(len(epdf)),
+    )
 
 
 def _pagerank_loop(

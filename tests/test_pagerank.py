@@ -78,17 +78,44 @@ def test_weighted_random_graph(spark):
     _assert_parity(res, _nx_pagerank(edges, weighted=True, n_nodes=60))
 
 
-def test_arrow_and_native_kernels_agree(spark):
+def test_all_strategies_agree(spark):
+    """Arrow-kernel distributed, native distributed, and driver-local numpy
+    are three physical plans for ONE logical operator: at a fixed 8
+    supersteps they must agree to summation-order ulps."""
     edges = random_digraph(40, 0.1, seed=3)
     df = spark.createDataFrame(edges, ["src", "dst", "weight"])
     g = LinkGraph(df)
-    # fixed 8 supersteps: implementations must agree exactly, no convergence needed
-    a = {r["id"]: r["pagerank"] for r in pagerank(g, tol=0.0, max_iter=8).ranks.collect()}
+    a = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(g, tol=0.0, max_iter=8, use_arrow_kernel=True).ranks.collect()
+    }
     b = {
         r["id"]: r["pagerank"]
-        for r in pagerank(g, tol=0.0, max_iter=8, use_arrow_kernel=False).ranks.collect()
+        for r in pagerank(
+            g, tol=0.0, max_iter=8, strategy="distributed"
+        ).ranks.collect()
+    }
+    c = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(g, tol=0.0, max_iter=8, strategy="local").ranks.collect()
     }
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+    assert all(abs(b[k] - c[k]) < 1e-12 for k in b)
+
+
+def test_auto_strategy_gate(spark):
+    """auto routes small graphs to the local plan, but any distributed-only
+    feature (checkpoint/resume/Arrow kernel) forces the superstep loop; an
+    explicit local + such a feature is an error."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    res = pagerank(g, tol=0.0, max_iter=1, strategy="auto")
+    # the local plan materializes via createDataFrame — no shuffle exchange
+    assert "Exchange" not in res.ranks._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError):
+        pagerank(g, strategy="local", use_arrow_kernel=True)
+    with pytest.raises(ValueError):
+        pagerank(g, strategy="nope")
 
 
 def test_checkpoint_resume_equivalence(spark, tmp_ckpt):

@@ -90,7 +90,7 @@ def test_pagerank_superstep_single_exchange(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
     )
-    res = pagerank(LinkGraph(edges), tol=0.0, max_iter=2)
+    res = pagerank(LinkGraph(edges), tol=0.0, max_iter=2, strategy="distributed")
     assert res.iterations == 2
     # history carries per-superstep metrics — one action per superstep
     assert [h["step"] for h in res.history] == [1, 2]
