@@ -100,15 +100,20 @@ def connected_components(
 
 
 def _cc_two_star(graph: LinkGraph, max_iter: int) -> DataFrame:
+    # eager=False: the fingerprint aggregate is the ONE action per round and
+    # materializes the checkpoint as a side effect (same fused superstep
+    # shape as pagerank's stats job). Measured ~neutral at 1.2M edges (the
+    # eager variant's second pass is a cached scan), but one fewer job per
+    # round is one fewer scheduler round-trip at any scale.
     pairs = (
         graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     fp = _fingerprint(pairs)
     for _ in range(max_iter):
-        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
+        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
         fp_new = _fingerprint(pairs)
         if fp_new == fp:
             break
