@@ -670,6 +670,40 @@ def q_streaming_running_degree(spark, sf_dir):
     )
 
 
+def q_streaming_dedup_documents(spark, sf_dir):
+    """Streaming stateful exact dedup (applyInPandasWithState) over the
+    documents table replayed as a file stream — the final per-fingerprint
+    state (copy count, min id) is an order-insensitive fold, so it equals
+    the batch GROUP BY exactly and IS hash-checkable."""
+    import tempfile
+    import uuid
+
+    from linkgraph.streaming import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="lg_stream_dd_")
+    docs.write.mode("overwrite").parquet(stage)
+    ds = spark.readStream.schema(docs.schema).parquet(stage)
+    name = "dd_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_stream(ds)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("fingerprint")
+        .agg(
+            F.max("n_copies").cast("long").alias("n_copies"),
+            F.min("keeper").alias("keeper"),
+        )
+    )
+
+
 def q_checkpoint_roundtrip_degree(spark, sf_dir):
     """Checkpoint save/load roundtrip through the driver gate: out-degrees
     snapshotted with per-partition lineage, reloaded, hash-compared to the
@@ -909,6 +943,13 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS cluster_rep
         FROM nation WHERE n_nationkey < 8
     """,
+    "streaming_dedup_documents": """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(CAST(doc_id AS VARCHAR)) AS keeper
+        FROM documents GROUP BY fingerprint
+    """,
     "simhash_md5_documents": _simhash_md5_sql(),
     "ivf_cosine_top10": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1086,4 +1127,5 @@ QUERIES = {
     "louvain_canonical_nation_region": q_louvain_canonical_nation_region,
     "spectral_two_clique": q_spectral_two_clique,
     "simhash_md5_documents": q_simhash_md5_documents,
+    "streaming_dedup_documents": q_streaming_dedup_documents,
 }

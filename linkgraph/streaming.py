@@ -100,3 +100,63 @@ def running_degrees(edge_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_DEDUP_STATE = StructType(
+    [StructField("n", LongType()), StructField("keeper", StringType())]
+)
+_DEDUP_OUT = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("n_copies", LongType()),
+        StructField("keeper", StringType()),
+    ]
+)
+
+
+def dedup_stream(
+    doc_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup over a document stream — the incremental
+    counterpart of ``pipeline.dedup.exact_dedup``, sharing its md5
+    whitespace-normalized fingerprint (``pipeline.text.doc_fingerprint``).
+
+    State per fingerprint = (running copy count, min id seen); every
+    micro-batch emits the updated (fingerprint, n_copies, keeper) row
+    (update mode). Because both pieces of state are order-insensitive folds
+    (sum, min), the FINAL state is independent of micro-batch boundaries and
+    equals the batch ``exact_dedup`` result exactly. Ids are compared as
+    strings (lexicographic min) so the state schema stays type-stable.
+    """
+    from linkgraph.pipeline.text import doc_fingerprint
+
+    fp = doc_fingerprint(
+        doc_stream.select(
+            F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_t")
+        ),
+        "_t",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_add, mn = 0, None
+        for pdf in pdfs:
+            n_add += len(pdf)
+            m = pdf["_id"].min()
+            mn = m if mn is None else min(mn, m)
+        if state.exists:
+            n0, k0 = state.get
+            n, k = n0 + n_add, min(k0, mn)
+        else:
+            n, k = n_add, mn
+        state.update((n, k))
+        yield pd.DataFrame(
+            {"fingerprint": [key[0]], "n_copies": [n], "keeper": [k]}
+        )
+
+    return fp.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

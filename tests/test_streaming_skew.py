@@ -93,3 +93,54 @@ def test_split_hubs(spark):
     small_salts = out.filter("src = 'small'").select("_salt").distinct().collect()
     assert hub_salts > 1  # hub rows spread over buckets
     assert small_salts[0][0] == 0  # non-hub keeps salt 0
+
+
+def test_dedup_stream_matches_batch_across_batches(spark, tmp_path):
+    """Final dedup state must be independent of micro-batch boundaries:
+    two parquet files replayed one-file-per-trigger give the same
+    (fingerprint, n_copies, keeper) as the batch exact grouping."""
+    from linkgraph.streaming import dedup_stream
+
+    d = str(tmp_path / "docs_in")
+    rows1 = [(9, "Hello  world"), (2, "unique one"), (5, "hello world")]
+    rows2 = [(1, "hello   WORLD"), (7, "unique two"), (3, "unique one")]
+    spark.createDataFrame(rows1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    ds = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        dedup_stream(ds)
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["fingerprint"]: (r["n_copies"], r["keeper"])
+        for r in spark.sql(
+            "SELECT fingerprint, max(n_copies) AS n_copies, min(keeper) AS keeper "
+            "FROM dd_test GROUP BY fingerprint"
+        ).collect()
+    }
+    from linkgraph.pipeline.text import doc_fingerprint
+
+    batch = spark.createDataFrame(rows1 + rows2, ["doc_id", "text"])
+    expected = {
+        r["fingerprint"]: (r["n"], r["k"])
+        for r in doc_fingerprint(batch)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("doc_id").cast("string")).alias("k"),
+        )
+        .collect()
+    }
+    assert final == expected
+    # the three "hello world" variants normalize to one fingerprint, count 3
+    assert (3, "1") in final.values()
