@@ -393,23 +393,35 @@ class LinkGraph:
         frontier = spark.createDataFrame([(node_id,)], [ID])
         reached = frontier
         for _ in range(depth):
+            # Frontier/reached are small by definition (an ego ball):
+            # broadcast them so each semi-join is a BroadcastHashJoin — the
+            # big edge table is scanned, never shuffled. localCheckpoint per
+            # level stops the 2^depth lineage/recompute blowup of the naive
+            # iterative-union plan.
             nbrs = (
-                self._edges.join(frontier, F.col(SRC) == F.col(ID), "leftsemi")
+                self._edges.join(
+                    F.broadcast(frontier), F.col(SRC) == F.col(ID), "leftsemi"
+                )
                 .select(F.col(DST).alias(ID))
                 .union(
                     self._edges.join(
-                        frontier, F.col(DST) == F.col(ID), "leftsemi"
+                        F.broadcast(frontier), F.col(DST) == F.col(ID), "leftsemi"
                     ).select(F.col(SRC).alias(ID))
                 )
                 .distinct()
             )
-            frontier = nbrs.join(reached, ID, "left_anti")
-            reached = reached.union(frontier).distinct()
+            frontier = nbrs.join(
+                F.broadcast(reached), ID, "left_anti"
+            ).localCheckpoint(eager=True)
+            reached = reached.union(frontier).distinct().localCheckpoint(eager=True)
         if limit:
             reached = reached.limit(limit)
-        reached = reached.cache()
         sub_edges = self._edges.join(
-            reached, F.col(SRC) == F.col(ID), "leftsemi"
-        ).join(reached.withColumnRenamed(ID, "_rid"), F.col(DST) == F.col("_rid"), "leftsemi")
-        sub_nodes = self._nodes.join(reached.select(ID), ID, "leftsemi")
+            F.broadcast(reached), F.col(SRC) == F.col(ID), "leftsemi"
+        ).join(
+            F.broadcast(reached.withColumnRenamed(ID, "_rid")),
+            F.col(DST) == F.col("_rid"),
+            "leftsemi",
+        )
+        sub_nodes = self._nodes.join(F.broadcast(reached.select(ID)), ID, "leftsemi")
         return sub_nodes, sub_edges
