@@ -78,16 +78,33 @@ def connected_components(
     method: str = "two_star",
     max_iter: int = 50,
     with_sizes: bool = True,
+    strategy: str = "auto",
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Returns DataFrame[id, component(, component_size)] where component is
-    the min node id in the component."""
-    with static_plans(graph.edges.sparkSession):
-        if method == "two_star":
-            labels = _cc_two_star(graph, max_iter)
-        elif method == "min_label":
-            labels = _cc_min_label(graph, max_iter)
-        else:
-            raise ValueError(f"unknown method {method!r} (two_star|min_label)")
+    the min node id in the component.
+
+    ``strategy`` mirrors pagerank's size-based physical choice: ``"auto"``
+    probes the edge count (``limit(k+1).count()``, O(threshold) at any table
+    size) and routes sub-threshold graphs to a driver-local numpy min-label +
+    pointer-doubling solve — two-star rounds on a graph that fits in one task
+    are pure scheduler latency. Labels are identical (min node id per
+    component) under both plans."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
+    if strategy == "local" or (
+        strategy == "auto"
+        and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+    ):
+        labels = _cc_local(graph)
+    else:
+        with static_plans(graph.edges.sparkSession):
+            if method == "two_star":
+                labels = _cc_two_star(graph, max_iter)
+            elif method == "min_label":
+                labels = _cc_min_label(graph, max_iter)
+            else:
+                raise ValueError(f"unknown method {method!r} (two_star|min_label)")
 
     if with_sizes:
         sizes = labels.groupBy("component").agg(
@@ -97,6 +114,57 @@ def connected_components(
             ID, "component", "component_size"
         )
     return labels
+
+
+def _cc_local(graph: LinkGraph) -> DataFrame:
+    """Driver-local components — the small-graph physical strategy.
+
+    Vectorized min-label propagation with pointer doubling: each round folds
+    the smaller endpoint label across every edge (``np.minimum.at``) then
+    compresses chains with ``lab = lab[lab]`` to a fixpoint, so rounds are
+    O(log n) like two-star, not O(diameter). ``np.unique`` index order IS id
+    order (binary/codepoint comparison, same as Spark's min over strings), so
+    the min-index root maps back to the min-id component label."""
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    npdf = graph.nodes.select(ID).toPandas()
+    epdf = graph.edges.select(SRC, DST).toPandas()
+    # Solve over nodes ∪ edge endpoints: an endpoint outside the node set
+    # still BRIDGES components in the distributed two-star (its pair rows
+    # exist, only its output row is dropped) — parity requires the same here.
+    ids = np.unique(
+        np.concatenate(
+            [npdf[ID].to_numpy(), epdf[SRC].to_numpy(), epdf[DST].to_numpy()]
+        )
+    )
+    n = len(ids)
+    if n == 0:
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{ID} {t}, component {t}")
+    lookup = pd.Series(np.arange(n), index=ids)
+    u = epdf[SRC].map(lookup).to_numpy(dtype=np.int64)
+    v = epdf[DST].map(lookup).to_numpy(dtype=np.int64)
+
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        low = np.minimum(lab[u], lab[v])
+        new = lab.copy()
+        np.minimum.at(new, u, low)
+        np.minimum.at(new, v, low)
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, lab):
+            break
+        lab = new
+
+    out = pd.DataFrame({ID: ids, "component": ids[lab]})
+    out = out[out[ID].isin(set(npdf[ID]))].reset_index(drop=True)
+    return spark.createDataFrame(out)
 
 
 def _cc_two_star(graph: LinkGraph, max_iter: int) -> DataFrame:

@@ -25,7 +25,9 @@ def _ours(spark, edges, method, nodes=None, cols=("src", "dst")):
     df = spark.createDataFrame([e[: len(cols)] for e in edges], list(cols))
     ndf = spark.createDataFrame([(x,) for x in nodes], ["id"]) if nodes else None
     g = LinkGraph(df, nodes=ndf)
-    res = connected_components(g, method=method)
+    # method parametrization targets the distributed algorithms — pin the
+    # strategy so the auto gate doesn't reroute these tiny graphs
+    res = connected_components(g, method=method, strategy="distributed")
     return {r["id"]: (r["component"], r["component_size"]) for r in res.collect()}
 
 
@@ -54,3 +56,47 @@ def test_long_path_two_star(spark):
     edges = [(i, i + 1) for i in range(200)]
     got = _ours(spark, edges, "two_star")
     assert all(v == (0, 201) for v in got.values())
+
+
+def test_local_strategy_matches_distributed(spark):
+    """The driver-local numpy plan and the two-star loop are two physical
+    plans for one logical operator — identical labels and sizes."""
+    for seed in (1, 2):
+        edges = random_digraph(120, 0.012, seed=seed)
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        g = LinkGraph(df)
+        loc = {
+            r["id"]: (r["component"], r["component_size"])
+            for r in connected_components(g, strategy="local").collect()
+        }
+        dist = {
+            r["id"]: (r["component"], r["component_size"])
+            for r in connected_components(g, strategy="distributed").collect()
+        }
+        assert loc == dist
+
+
+def test_local_strategy_bridging_endpoint(spark):
+    """An edge endpoint outside the node set still bridges components (its
+    pair rows exist in two-star; only its output row is dropped) — the local
+    plan must reproduce that."""
+    edges = [("b", "X"), ("X", "c")]  # X not a node; bridges b and c
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ndf = spark.createDataFrame([("b",), ("c",)], ["id"])
+    g = LinkGraph(df, nodes=ndf)
+    loc = {
+        r["id"]: r["component"]
+        for r in connected_components(g, strategy="local").collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(g, strategy="distributed").collect()
+    }
+    assert loc == dist
+    assert loc["b"] == loc["c"]
+
+
+def test_cc_strategy_validation(spark):
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError):
+        connected_components(g, strategy="nope")
