@@ -92,19 +92,22 @@ def connected_components(
     component) under both plans."""
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
+    if method not in ("two_star", "min_label"):
+        # validate eagerly even when the local plan would ignore it — a typo
+        # must not surface only once the input outgrows the local threshold
+        raise ValueError(f"unknown method {method!r} (two_star|min_label)")
     if strategy == "local" or (
         strategy == "auto"
         and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+        and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
     ):
         labels = _cc_local(graph)
     else:
         with static_plans(graph.edges.sparkSession):
             if method == "two_star":
                 labels = _cc_two_star(graph, max_iter)
-            elif method == "min_label":
-                labels = _cc_min_label(graph, max_iter)
             else:
-                raise ValueError(f"unknown method {method!r} (two_star|min_label)")
+                labels = _cc_min_label(graph, max_iter)
 
     if with_sizes:
         sizes = labels.groupBy("component").agg(

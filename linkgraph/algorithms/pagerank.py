@@ -113,7 +113,10 @@ def pagerank(
     if strategy == "local" or (
         strategy == "auto"
         and not needs_cluster
+        # probe BOTH tables: a mostly-isolated-node graph can have a huge
+        # node table behind a tiny edge set, and the local plan collects both
         and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+        and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
     ):
         if needs_cluster:
             raise ValueError(
@@ -173,8 +176,16 @@ def _pagerank_local(
     live = known_src & ~np.isnan(di_all)
     si = si_all[live].astype(np.int64)
     di = di_all[live].astype(np.int64)
-    frac = wv_all[live] / out_w[si]
-    dangling = out_w == 0.0
+    # 0/0 -> NaN exactly like the distributed _w/_out_w expression; NaN then
+    # poisons that component's ranks identically under both plans
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = wv_all[live] / out_w[si]
+    # dangling = NO out-edges at all (matches the loop's left_anti against
+    # edge sources) — NOT out-weight == 0, which the loop treats as non-
+    # dangling even though its fracs are NaN
+    has_out = np.zeros(n, dtype=bool)
+    has_out[si_all[known_src].astype(np.int64)] = True
+    dangling = ~has_out
 
     r = np.full(n, 1.0 / n)
     dm = float(r[dangling].sum())

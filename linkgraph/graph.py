@@ -224,11 +224,13 @@ class LinkGraph:
         for row in self._edges.toLocalIterator(prefetchPartitions=True):
             yield row.asDict()
 
-    def to_networkx(self, max_nodes: int = 100_000):
+    def to_networkx(self, max_nodes: int = 100_000, max_edges: int = 1_000_000):
         """Driver-local networkx conversion (the reference's ``networkx``
         property, graph.py:241-254 / 527-533). Guarded: collecting a
-        distributed graph is a small-graph operation, so the node count is
-        checked BEFORE any materialization."""
+        distributed graph is a small-graph operation, so BOTH the node and
+        edge counts are probed (``limit(k+1).count()``, O(threshold)) BEFORE
+        any materialization — a 50k-node multigraph can still carry billions
+        of edges."""
         import networkx as nx
 
         n_nodes = self._nodes.limit(max_nodes + 1).count()
@@ -236,6 +238,13 @@ class LinkGraph:
             raise ValueError(
                 f"graph exceeds max_nodes={max_nodes}; to_networkx is a "
                 "driver-local conversion — raise max_nodes explicitly only "
+                "if the collected graph fits in driver memory"
+            )
+        n_edges = self._edges.limit(max_edges + 1).count()
+        if n_edges > max_edges:
+            raise ValueError(
+                f"graph exceeds max_edges={max_edges}; to_networkx is a "
+                "driver-local conversion — raise max_edges explicitly only "
                 "if the collected graph fits in driver memory"
             )
         g = nx.DiGraph() if self._directed else nx.Graph()
@@ -392,36 +401,47 @@ class LinkGraph:
         spark = self._edges.sparkSession
         frontier = spark.createDataFrame([(node_id,)], [ID])
         reached = frontier
+        # An ego ball is usually tiny, so the semi-joins want BroadcastHash
+        # (the big edge table scanned, never shuffled) — but a hub-centered
+        # ball on a skewed graph can reach tens of millions of nodes, where a
+        # forced broadcast would blow the 8 GB limit. The sets are
+        # localCheckpointed each level, so counting them is a cheap cached
+        # scan; past the threshold the hint is dropped and Catalyst falls
+        # back to a shuffle join. localCheckpoint also stops the 2^depth
+        # lineage/recompute blowup of the naive iterative-union plan.
+        bc_max = 5_000_000
+
+        def hinted(df, n_rows):
+            return F.broadcast(df) if n_rows <= bc_max else df
+
+        n_reached = 1
         for _ in range(depth):
-            # Frontier/reached are small by definition (an ego ball):
-            # broadcast them so each semi-join is a BroadcastHashJoin — the
-            # big edge table is scanned, never shuffled. localCheckpoint per
-            # level stops the 2^depth lineage/recompute blowup of the naive
-            # iterative-union plan.
+            f_hint = hinted(frontier, n_reached)
             nbrs = (
-                self._edges.join(
-                    F.broadcast(frontier), F.col(SRC) == F.col(ID), "leftsemi"
-                )
+                self._edges.join(f_hint, F.col(SRC) == F.col(ID), "leftsemi")
                 .select(F.col(DST).alias(ID))
                 .union(
                     self._edges.join(
-                        F.broadcast(frontier), F.col(DST) == F.col(ID), "leftsemi"
+                        f_hint, F.col(DST) == F.col(ID), "leftsemi"
                     ).select(F.col(SRC).alias(ID))
                 )
                 .distinct()
             )
             frontier = nbrs.join(
-                F.broadcast(reached), ID, "left_anti"
+                hinted(reached, n_reached), ID, "left_anti"
             ).localCheckpoint(eager=True)
             reached = reached.union(frontier).distinct().localCheckpoint(eager=True)
+            n_reached = reached.count()
         if limit:
             reached = reached.limit(limit)
+            n_reached = min(n_reached, limit)
+        r_hint = hinted(reached, n_reached)
         sub_edges = self._edges.join(
-            F.broadcast(reached), F.col(SRC) == F.col(ID), "leftsemi"
+            r_hint, F.col(SRC) == F.col(ID), "leftsemi"
         ).join(
-            F.broadcast(reached.withColumnRenamed(ID, "_rid")),
+            hinted(reached.withColumnRenamed(ID, "_rid"), n_reached),
             F.col(DST) == F.col("_rid"),
             "leftsemi",
         )
-        sub_nodes = self._nodes.join(F.broadcast(reached.select(ID)), ID, "leftsemi")
+        sub_nodes = self._nodes.join(hinted(reached.select(ID), n_reached), ID, "leftsemi")
         return sub_nodes, sub_edges

@@ -947,7 +947,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                    AS fingerprint,
                CAST(count(*) AS BIGINT) AS n_copies,
-               min(CAST(doc_id AS VARCHAR)) AS keeper
+               CAST(min(doc_id) AS BIGINT) AS keeper
         FROM documents GROUP BY fingerprint
     """,
     "simhash_md5_documents": _simhash_md5_sql(),

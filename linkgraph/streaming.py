@@ -102,18 +102,6 @@ def running_degrees(edge_stream: DataFrame) -> DataFrame:
     )
 
 
-_DEDUP_STATE = StructType(
-    [StructField("n", LongType()), StructField("keeper", StringType())]
-)
-_DEDUP_OUT = StructType(
-    [
-        StructField("fingerprint", StringType()),
-        StructField("n_copies", LongType()),
-        StructField("keeper", StringType()),
-    ]
-)
-
-
 def dedup_stream(
     doc_stream: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -125,17 +113,35 @@ def dedup_stream(
     micro-batch emits the updated (fingerprint, n_copies, keeper) row
     (update mode). Because both pieces of state are order-insensitive folds
     (sum, min), the FINAL state is independent of micro-batch boundaries and
-    equals the batch ``exact_dedup`` result exactly. Ids are compared as
-    strings (lexicographic min) so the state schema stays type-stable.
+    equals the batch ``exact_dedup`` result exactly — including the keeper:
+    integral ids keep numeric min (state typed long); other id types compare
+    as strings. Only (fingerprint, id) enters the Arrow stateful stage — the
+    text column is dropped right after fingerprinting, so the corpus body is
+    never shipped to the Python workers.
     """
+    from pyspark.sql.types import IntegralType
+
     from linkgraph.pipeline.text import doc_fingerprint
 
+    numeric_id = isinstance(doc_stream.schema[id_col].dataType, IntegralType)
+    id_t = LongType() if numeric_id else StringType()
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("keeper", id_t)]
+    )
+    out_schema = StructType(
+        [
+            StructField("fingerprint", StringType()),
+            StructField("n_copies", LongType()),
+            StructField("keeper", id_t),
+        ]
+    )
     fp = doc_fingerprint(
         doc_stream.select(
-            F.col(id_col).cast("string").alias("_id"), F.col(text_col).alias("_t")
+            F.col(id_col).cast("long" if numeric_id else "string").alias("_id"),
+            F.col(text_col).alias("_t"),
         ),
         "_t",
-    )
+    ).select("fingerprint", "_id")
 
     def update(key, pdfs, state: GroupState):
         n_add, mn = 0, None
@@ -155,8 +161,8 @@ def dedup_stream(
 
     return fp.groupBy("fingerprint").applyInPandasWithState(
         update,
-        outputStructType=_DEDUP_OUT,
-        stateStructType=_DEDUP_STATE,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

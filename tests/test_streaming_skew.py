@@ -102,8 +102,10 @@ def test_dedup_stream_matches_batch_across_batches(spark, tmp_path):
     from linkgraph.streaming import dedup_stream
 
     d = str(tmp_path / "docs_in")
-    rows1 = [(9, "Hello  world"), (2, "unique one"), (5, "hello world")]
-    rows2 = [(1, "hello   WORLD"), (7, "unique two"), (3, "unique one")]
+    # ids 11/9 share a text: numeric min must yield 9 (lexicographic string
+    # min would wrongly yield "11") — keeper stays type-faithful
+    rows1 = [(10, "Hello  world"), (11, "unique one"), (5, "hello world")]
+    rows2 = [(1, "hello   WORLD"), (7, "unique two"), (9, "unique one")]
     spark.createDataFrame(rows1, ["doc_id", "text"]).coalesce(1).write.mode(
         "overwrite"
     ).parquet(d)
@@ -137,10 +139,12 @@ def test_dedup_stream_matches_batch_across_batches(spark, tmp_path):
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.col("doc_id").cast("string")).alias("k"),
+            F.min("doc_id").alias("k"),
         )
         .collect()
     }
     assert final == expected
     # the three "hello world" variants normalize to one fingerprint, count 3
-    assert (3, "1") in final.values()
+    assert (3, 1) in final.values()
+    # numeric keeper: {11, 9} -> 9, where a string min would have said "11"
+    assert (2, 9) in final.values()
