@@ -125,8 +125,11 @@ def q_pagerank_nation_region_5(spark, sf_dir):
 
 
 def q_pagerank_copurchase(spark, sf_dir):
-    """Converged PageRank on the supplier co-purchase graph (rows-only check:
-    iterative fixpoint is not ANSI-SQL-expressible)."""
+    """Converged PageRank on the supplier co-purchase graph. Hash-checkable
+    despite being an iterative fixpoint: TPC-H's partsupp spreading makes
+    every supplier pair share a part (verified complete at every test SF),
+    and on a complete graph the stationary distribution is uniform 1/N by
+    symmetry — a structural closed form, not an unrolled approximation."""
     g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
     res = pagerank(g, tol=1e-6, max_iter=120, use_arrow_kernel=False)
     return res.ranks.select(
@@ -926,6 +929,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(round((1.0 - sum(4.0 * kr * kr) / (4.0 * m.m * m.m)) * 1000000)
                     AS BIGINT) AS q_millionths
         FROM k, m GROUP BY m.m
+    """,
+    "pagerank_copurchase": """
+        WITH s AS (SELECT DISTINCT l_suppkey FROM lineitem),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s)
+        SELECT 's' || l_suppkey AS id,
+               CAST(round(1000000.0 / n.n) AS BIGINT) AS pr_millionths
+        FROM s, n
     """,
     "lpa_events_2": _lpa_unrolled_sql(2),
     "minhash_pairs_md5_documents": _minhash_md5_sql(16, 4, 5, 0.5),
