@@ -38,12 +38,42 @@ def test_pagerank_mass_conserved(spark, edges):
 def test_cc_methods_agree(spark, edges):
     df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"])
     g = LinkGraph(df)
+    # strategy pinned: this law compares the two DISTRIBUTED algorithms —
+    # the auto gate would otherwise route both tiny inputs to the local plan
     a = {r["id"]: r["component"] for r in
-         connected_components(g, method="two_star", with_sizes=False).collect()}
+         connected_components(g, method="two_star", with_sizes=False,
+                              strategy="distributed").collect()}
     b = {r["id"]: r["component"] for r in
-         connected_components(g, method="min_label", with_sizes=False).collect()}
+         connected_components(g, method="min_label", with_sizes=False,
+                              strategy="distributed").collect()}
     # identical partitions — both label with the component-min id, so exact
     assert a == b
+
+
+@given(edges=edge_lists)
+@PROP
+def test_cc_local_matches_distributed(spark, edges):
+    df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"])
+    g = LinkGraph(df)
+    loc = {r["id"]: r["component"] for r in
+           connected_components(g, with_sizes=False, strategy="local").collect()}
+    dist = {r["id"]: r["component"] for r in
+            connected_components(g, with_sizes=False,
+                                 strategy="distributed").collect()}
+    assert loc == dist
+
+
+@given(edges=edge_lists)
+@PROP
+def test_pagerank_local_matches_distributed(spark, edges):
+    df = spark.createDataFrame([(f"n{a}", f"n{b}") for a, b in edges], ["src", "dst"])
+    g = LinkGraph(df)
+    loc = {r["id"]: r["pagerank"] for r in
+           pagerank(g, tol=0.0, max_iter=4, strategy="local").ranks.collect()}
+    dist = {r["id"]: r["pagerank"] for r in
+            pagerank(g, tol=0.0, max_iter=4, strategy="distributed").ranks.collect()}
+    assert set(loc) == set(dist)
+    assert all(abs(loc[k] - dist[k]) < 1e-12 for k in loc)
 
 
 @given(edges=edge_lists, data=st.data())
