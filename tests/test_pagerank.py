@@ -58,7 +58,7 @@ def test_karate_parity(spark):
     edges = karate_edges()
     df = spark.createDataFrame(edges, ["src", "dst"])
     g = LinkGraph(df, keys={"directed": False})
-    res = pagerank(g, tol=1e-7, use_arrow_kernel=False)
+    res = pagerank(g, tol=1e-7, strategy="distributed")
     assert res.converged
     _assert_parity(res, _nx_pagerank(edges, directed=False))
 
@@ -67,14 +67,14 @@ def test_directed_with_dangling(spark):
     # b and d are dangling (no out-edges)
     edges = [("a", "b"), ("a", "c"), ("c", "d"), ("e", "a")]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    res = pagerank(LinkGraph(df), tol=1e-7, use_arrow_kernel=False)
+    res = pagerank(LinkGraph(df), tol=1e-7, strategy="distributed")
     _assert_parity(res, _nx_pagerank(edges))
 
 
 def test_weighted_random_graph(spark):
     edges = random_digraph(60, 0.08, seed=7, weighted=True)
     df = spark.createDataFrame(edges, ["src", "dst", "weight"])
-    res = pagerank(LinkGraph(df), tol=1e-7, use_arrow_kernel=False)
+    res = pagerank(LinkGraph(df), tol=1e-7, strategy="distributed")
     _assert_parity(res, _nx_pagerank(edges, weighted=True, n_nodes=60))
 
 
