@@ -27,6 +27,8 @@ from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
 from linkgraph.algorithms.closeness import closeness_centrality, shortest_path_lengths
+from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.viz import moebius_json
 
 __all__ = [
@@ -48,6 +50,9 @@ __all__ = [
     "spectral_clustering",
     "closeness_centrality",
     "shortest_path_lengths",
+    "betweenness_centrality",
+    "Embeddings",
+    "GraphEmbedding",
     "moebius_json",
 ]
 
