@@ -174,7 +174,7 @@ def cooccurrence_edges(
     df: DataFrame,
     group_col: str,
     item_col: str,
-    cap: int = 64,
+    cap: int | None = 64,
     weighted: bool = False,
 ) -> DataFrame:
     """Capped co-occurrence pair derivation: items sharing a group become an
@@ -187,12 +187,20 @@ def cooccurrence_edges(
     groups when ``weighted``.
     """
     gi = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
-    rn = F.row_number().over(Window.partitionBy("g").orderBy("i"))
-    capped = gi.withColumn("rn", rn).filter(F.col("rn") <= cap)
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rn") < F.col("b.rn"))
-    ).select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    if cap is None or cap >= 2**31:
+        # uncapped: orient pairs by item order directly — no row_number
+        # window (its per-group sort would be pure waste when nothing is cut)
+        a, b = gi.alias("a"), gi.alias("b")
+        pairs = a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.i") < F.col("b.i"))
+        ).select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
+    else:
+        rn = F.row_number().over(Window.partitionBy("g").orderBy("i"))
+        capped = gi.withColumn("rn", rn).filter(F.col("rn") <= cap)
+        a, b = capped.alias("a"), capped.alias("b")
+        pairs = a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rn") < F.col("b.rn"))
+        ).select(F.col("a.i").alias("src"), F.col("b.i").alias("dst"))
     if weighted:
         return pairs.groupBy("src", "dst").agg(
             F.count(F.lit(1)).cast("double").alias("weight")

@@ -57,8 +57,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("_id"), _shingle_expr(text_col, k).alias("_sh")
     ).select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("s"))
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
-    sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s")
+    if max_shingle_freq is not None and max_shingle_freq < 2**31:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s")
+    # else: cap effectively infinite — skip the frequency aggregate + join
+    # entirely rather than paying a shuffle that filters nothing
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
@@ -344,6 +347,12 @@ def embedding_cosine_dups(
     Returns [a, b, cosine]."""
     from linkgraph.pipeline.similarity import cosine_expr, hyperplane_signature
 
+    if planes % band_planes != 0:
+        raise ValueError(
+            f"planes ({planes}) must be divisible by band_planes "
+            f"({band_planes}) — leftover hyperplanes would be computed but "
+            "never bucketed, silently shrinking the signature"
+        )
     sig = hyperplane_signature(emb, id_col, vec_col, planes)
     bands = planes // band_planes
     banded = sig.select(
@@ -399,8 +408,10 @@ def dedup_corpus(
     shingle/LSH stage's input before any banded join happens.
     """
     n_input = df.count()
-    fp = doc_fingerprint(df.select(id_col, text_col), text_col)
-    exact_keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)).select(id_col)
+    # one keeper rule for the whole engine: exact_dedup picks min(id) per
+    # fingerprint — reusing it keeps batch, pipeline, and dedup_stream in
+    # provable agreement instead of re-stating the rule inline
+    exact_keep = exact_dedup(df, id_col, text_col).select(id_col)
     # lineage break: survivors feed the stats count, the shingle build AND
     # the signature build — without it the exact pass would re-run 3x
     survivors = df.join(exact_keep, id_col, "leftsemi").localCheckpoint(eager=True)

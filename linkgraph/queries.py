@@ -65,11 +65,15 @@ def nation_region_graph(spark, sf_dir) -> LinkGraph:
     )
 
 
-def copurchase_edges(spark, sf_dir, cap: int = 64) -> DataFrame:
-    """Supplier pairs sharing a part — the capped co-occurrence derivation
-    shared with the corpus cochange relation (corpus.cooccurrence_edges).
-    TPC-H has ≤4 suppliers per part, so the default cap never binds and the
-    result matches the uncapped oracle SQL exactly."""
+def copurchase_edges(spark, sf_dir, cap: int | None = None) -> DataFrame:
+    """Supplier pairs sharing a part, via the shared co-occurrence helper
+    (corpus.cooccurrence_edges). UNCAPPED by default: the oracle SQL for the
+    queries built on this graph (triangles, the 1/N converged-PageRank
+    closed form) is uncapped, and this testdata measures 10/41/52 distinct
+    suppliers per part at sf0.001/0.01/0.1 — a fixed cap would silently
+    start binding one SF step up and diverge from the oracles. Production
+    co-occurrence derivations (corpus cochange) keep their caps; pass one
+    here explicitly to exercise that path."""
     from linkgraph.corpus import cooccurrence_edges
 
     sp = _t(spark, sf_dir, "lineitem").select(
@@ -175,23 +179,13 @@ def q_alpha_ratio_documents(spark, sf_dir):
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-k against the embedding of vec_id=0 — all
     JVM-side higher-order functions (zip_with + aggregate), no UDF."""
+    from linkgraph.pipeline.similarity import cosine_expr
+
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     scored = e.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        F.round(
-            dot("embedding", "qe")
-            / (F.sqrt(dot("embedding", "embedding")) * F.sqrt(dot("qe", "qe"))),
-            5,
-        ).alias("cos5"),
+        F.round(cosine_expr("embedding", "qe"), 5).alias("cos5"),
     )
     return scored.orderBy(F.desc("cos5"), F.asc("vec_id")).limit(10)
 
@@ -348,11 +342,10 @@ def q_ego_supplier_depth2(spark, sf_dir):
 
 def nation_region_single(spark, sf_dir) -> LinkGraph:
     """Single-stored undirected edges (one row per undirected edge), the
-    input contract of louvain_communities."""
-    n = _t(spark, sf_dir, "nation")
-    return LinkGraph(
-        n.select(_tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst"))
-    )
+    input contract of louvain_communities — structurally the same build as
+    nation_region_directed (one row per nation→region edge), aliased so the
+    contract is named at the call sites."""
+    return nation_region_directed(spark, sf_dir)
 
 
 def q_louvain_nation_region(spark, sf_dir):
@@ -511,6 +504,10 @@ def q_minhash_pairs_md5_documents(spark, sf_dir):
     pairs = minhash_verified_pairs(
         d, num_hashes=16, bands=4, shingle_k=5,
         jaccard_threshold=0.5, hash_fn="md5",
+        # uncapped: the SQL oracle emits ALL bucket pairs — a fixture with
+        # >200 docs in one band bucket would otherwise hash-mismatch against
+        # the engine's production hub cap
+        max_bucket=2**31,
     )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard6"))
 
@@ -718,7 +715,9 @@ def q_checkpoint_roundtrip_degree(spark, sf_dir):
     deg = orders_graph(spark, sf_dir).out_degree()
     mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_q_"), spark)
     man = mgr.save(1, {"deg": deg}, {"source": "driver-roundtrip"})
-    assert man["tables"]["deg"]["partition_rows"]  # lineage recorded
+    if not man["tables"].get("deg", {}).get("partition_rows"):
+        # explicit raise, not assert: must survive python -O
+        raise RuntimeError("checkpoint manifest lost per-partition lineage")
     return mgr.load(1, "deg")
 
 
@@ -765,8 +764,11 @@ def _spread_unrolled_sql(steps: int = 2, sf: float = 0.2) -> str:
 def _lang_id_sql() -> str:
     from linkgraph.pipeline.text import LANG_MARKERS
 
+    # coalesce: NULL text must score 0 -> 'und', matching the engine's
+    # F.when(...).otherwise('und') fall-through (NULL would poison the CASE)
     score_cols = ",\n".join(
-        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b')) AS s_{lang}"
+        f"len(regexp_extract_all(lower(coalesce(text, '')), "
+        f"'\\b({'|'.join(ws)})\\b')) AS s_{lang}"
         for lang, ws in LANG_MARKERS.items()
     )
     langs = list(LANG_MARKERS)
@@ -1042,12 +1044,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "lang_id_documents": _lang_id_sql(),
     "quality_documents": """
+        -- q_len stays NULL on NULL text (engine: length(NULL) is NULL) but
+        -- the ratios coalesce to '' -> 0.0, matching the engine's den>0 guard
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS q_len,
-               CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+               CAST(round(CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
                     ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                          / length(text) END, 6) AS DOUBLE) AS alpha6,
-               CAST(round(CASE WHEN length(text) = 0 THEN 0.0
+               CAST(round(CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
                     ELSE CAST(length(regexp_replace(text,
                          '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
                          / length(text) END, 6) AS DOUBLE) AS punct6
@@ -1102,7 +1106,7 @@ QUERIES = {
     "pagerank_nation_region_5": q_pagerank_nation_region_5,
     "transition_events": q_transition_events,
     "closeness_nation_region": q_closeness_nation_region,
-    "pagerank_copurchase": q_pagerank_copurchase,  # rows-only (iterative)
+    "pagerank_copurchase": q_pagerank_copurchase,
     "lpa_events": q_lpa_events,  # rows-only (iterative)
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_count_documents": q_token_count_documents,
