@@ -96,13 +96,24 @@ def connected_components(
         # validate eagerly even when the local plan would ignore it — a typo
         # must not surface only once the input outgrows the local threshold
         raise ValueError(f"unknown method {method!r} (two_star|min_label)")
-    if strategy == "local" or (
-        strategy == "auto"
-        and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
-        and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
-    ):
-        labels = _cc_local(graph)
-    else:
+    use_local = False
+    if strategy != "distributed":
+        # persist before probing: the edge lineage may be an expensive
+        # derivation, and the probes + collects of the local plan would
+        # otherwise re-run it (probes cache only the partitions they touch)
+        graph.edges.persist()
+        graph.nodes.persist()
+        try:
+            use_local = strategy == "local" or (
+                graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+                and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
+            )
+            if use_local:
+                labels = _cc_local(graph)
+        finally:
+            graph.edges.unpersist()
+            graph.nodes.unpersist()
+    if not use_local:
         with static_plans(graph.edges.sparkSession):
             if method == "two_star":
                 labels = _cc_two_star(graph, max_iter)

@@ -110,19 +110,29 @@ def pagerank(
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
     needs_cluster = checkpoint is not None or resume or use_arrow_kernel
-    if strategy == "local" or (
-        strategy == "auto"
-        and not needs_cluster
-        # probe BOTH tables: a mostly-isolated-node graph can have a huge
-        # node table behind a tiny edge set, and the local plan collects both
-        and graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
-        and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
-    ):
-        if needs_cluster:
-            raise ValueError(
-                "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
-            )
-        return _pagerank_local(graph, damping, tol, max_iter)
+    if strategy == "local" and needs_cluster:
+        raise ValueError(
+            "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
+        )
+    if strategy == "local" or (strategy == "auto" and not needs_cluster):
+        # The edge/node lineage may be an expensive derivation (self-joins,
+        # dedup): persist BEFORE probing so the probes, counts, and collects
+        # of the local plan run it once, not four times. Probes cache only
+        # the partitions they touch, so this is O(threshold) on huge inputs.
+        graph.edges.persist()
+        graph.nodes.persist()
+        try:
+            if strategy == "local" or (
+                # probe BOTH tables: a mostly-isolated-node graph can have a
+                # huge node table behind a tiny edge set, and the local plan
+                # collects both
+                graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+                and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
+            ):
+                return _pagerank_local(graph, damping, tol, max_iter)
+        finally:
+            graph.edges.unpersist()
+            graph.nodes.unpersist()
     spark = graph.edges.sparkSession
     with static_plans(spark):
         return _pagerank_loop(

@@ -64,23 +64,6 @@ class LinkGraph:
             )
         self._weighted = WEIGHT in e.columns
 
-        if nodes is not None:
-            n = nodes
-            if k["id"] != ID:
-                n = n.withColumnRenamed(k["id"], ID)
-            if ID not in n.columns:
-                raise ValueError(
-                    f"nodes must carry an '{k['id']}' column; got {nodes.columns}"
-                )
-            n = n.dropDuplicates([ID])
-        else:
-            # Node inference, exactly graph.py:535-537.
-            n = (
-                e.select(F.col(SRC).alias(ID))
-                .union(e.select(F.col(DST).alias(ID)))
-                .distinct()
-            )
-
         if not self._directed:
             # Undirected = edges ∪ reversed, deduplicated (graph.py:542-548).
             rev = e.select(
@@ -94,6 +77,27 @@ class LinkGraph:
             # dedup would keep an arbitrary row and make weights
             # nondeterministic for pagerank/louvain.
             e = e.unionByName(rev).distinct()
+
+        if nodes is not None:
+            n = nodes
+            if k["id"] != ID:
+                n = n.withColumnRenamed(k["id"], ID)
+            if ID not in n.columns:
+                raise ValueError(
+                    f"nodes must carry an '{k['id']}' column; got {nodes.columns}"
+                )
+            n = n.dropDuplicates([ID])
+        else:
+            # Node inference, exactly graph.py:535-537 — derived from the
+            # FINAL edge plan (post undirected doubling; same endpoint set),
+            # so the node lineage flows through self._edges: persisting the
+            # edges makes node inference a cached scan instead of a re-run
+            # of a possibly-expensive upstream derivation.
+            n = (
+                e.select(F.col(SRC).alias(ID))
+                .union(e.select(F.col(DST).alias(ID)))
+                .distinct()
+            )
 
         self._edges = e
         self._nodes = n
