@@ -97,28 +97,37 @@ def connected_components(
         # must not surface only once the input outgrows the local threshold
         raise ValueError(f"unknown method {method!r} (two_star|min_label)")
     use_local = False
+    we_persisted: list[DataFrame] = []
     if strategy != "distributed":
-        # persist before probing: the edge lineage may be an expensive
-        # derivation, and the probes + collects of the local plan would
-        # otherwise re-run it (probes cache only the partitions they touch)
-        graph.edges.persist()
-        graph.nodes.persist()
-        try:
+        # Persist before probing: the edge lineage may be an expensive
+        # derivation, and the probes + collects of the local plan — or the
+        # two-star rounds when the gate falls through to distributed — would
+        # otherwise re-run it (probes cache only the partitions they touch).
+        # Caller-owned caches are respected: never re-persist or evict a
+        # DataFrame the caller already cached.
+        for df in (graph.edges, graph.nodes):
+            if not df.is_cached:
+                df.persist()
+                we_persisted.append(df)
+    try:
+        if strategy != "distributed":
             use_local = strategy == "local" or (
                 graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
                 and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
             )
             if use_local:
                 labels = _cc_local(graph)
-        finally:
-            graph.edges.unpersist()
-            graph.nodes.unpersist()
-    if not use_local:
-        with static_plans(graph.edges.sparkSession):
-            if method == "two_star":
-                labels = _cc_two_star(graph, max_iter)
-            else:
-                labels = _cc_min_label(graph, max_iter)
+        if not use_local:
+            # persist stays alive through the distributed rounds (the
+            # per-round fingerprint actions reuse it instead of re-deriving)
+            with static_plans(graph.edges.sparkSession):
+                if method == "two_star":
+                    labels = _cc_two_star(graph, max_iter)
+                else:
+                    labels = _cc_min_label(graph, max_iter)
+    finally:
+        for df in we_persisted:
+            df.unpersist()
 
     if with_sizes:
         sizes = labels.groupBy("component").agg(
@@ -178,6 +187,12 @@ def _cc_local(graph: LinkGraph) -> DataFrame:
 
     out = pd.DataFrame({ID: ids, "component": ids[lab]})
     out = out[out[ID].isin(set(npdf[ID]))].reset_index(drop=True)
+    if len(out) == 0:
+        # empty node table + non-empty edges: pandas can't carry a dtype for
+        # zero object rows, so build the typed empty result explicitly (same
+        # schema the distributed path returns)
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{ID} {t}, component {t}")
     return spark.createDataFrame(out)
 
 

@@ -269,13 +269,32 @@ class Node2Vec:
 
     @staticmethod
     def _clear_dir(spark, path: str):
-        """Remove a cache directory via the Hadoop FS API (portable across
-        file:// and object-store schemes, unlike shutil)."""
+        """Clear a walk-cache directory via the Hadoop FS API (portable
+        across file:// and object-store schemes, unlike shutil).
+
+        Only ``block=*`` children (this class's own write layout) and marker
+        files (``_SUCCESS``-style) are deleted. A directory containing
+        anything else is NOT a walk cache — refuse rather than recursively
+        destroy a user data directory that ``path_cache`` was mistakenly
+        pointed at."""
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            fs.delete(hpath, True)
+        if not fs.exists(hpath):
+            return
+        children = list(fs.listStatus(hpath))
+        names = [c.getPath().getName() for c in children]
+        foreign = [
+            nm for nm in names if not (nm.startswith("block=") or nm.startswith("_"))
+        ]
+        if foreign:
+            raise ValueError(
+                f"path_cache {path!r} contains non-walk-cache entries "
+                f"{foreign[:5]}; refusing to clear it — point path_cache at "
+                "an empty or dedicated directory"
+            )
+        for c in children:
+            fs.delete(c.getPath(), True)
 
     def fit(self, graph: LinkGraph):
         from pyspark.ml.feature import Word2Vec

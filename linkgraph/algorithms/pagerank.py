@@ -114,13 +114,35 @@ def pagerank(
         raise ValueError(
             "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
         )
+    def _run_distributed() -> PageRankResult:
+        spark = graph.edges.sparkSession
+        with static_plans(spark):
+            return _pagerank_loop(
+                graph,
+                damping,
+                tol,
+                max_iter,
+                num_partitions,
+                checkpoint,
+                checkpoint_interval,
+                resume,
+                use_arrow_kernel,
+            )
+
+    we_persisted: list[DataFrame] = []
     if strategy == "local" or (strategy == "auto" and not needs_cluster):
         # The edge/node lineage may be an expensive derivation (self-joins,
         # dedup): persist BEFORE probing so the probes, counts, and collects
-        # of the local plan run it once, not four times. Probes cache only
-        # the partitions they touch, so this is O(threshold) on huge inputs.
-        graph.edges.persist()
-        graph.nodes.persist()
+        # of the local plan — or the normalized-edge build of the distributed
+        # loop when the gate falls through — run it once, not four times.
+        # Probes cache only the partitions they touch, so this is
+        # O(threshold) on huge inputs. Caller-owned caches are respected:
+        # a DataFrame the caller already persisted is neither re-persisted
+        # nor evicted here.
+        for df in (graph.edges, graph.nodes):
+            if not df.is_cached:
+                df.persist()
+                we_persisted.append(df)
         try:
             if strategy == "local" or (
                 # probe BOTH tables: a mostly-isolated-node graph can have a
@@ -130,22 +152,15 @@ def pagerank(
                 and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
             ):
                 return _pagerank_local(graph, damping, tol, max_iter)
+            # Gate fell through to the distributed loop: keep the persist
+            # alive through the loop (edges_norm/node_state builds reuse the
+            # probe's cached partitions instead of re-running the derivation).
+            return _run_distributed()
         finally:
-            graph.edges.unpersist()
-            graph.nodes.unpersist()
-    spark = graph.edges.sparkSession
-    with static_plans(spark):
-        return _pagerank_loop(
-            graph,
-            damping,
-            tol,
-            max_iter,
-            num_partitions,
-            checkpoint,
-            checkpoint_interval,
-            resume,
-            use_arrow_kernel,
-        )
+            for df in we_persisted:
+                df.unpersist()
+
+    return _run_distributed()
 
 
 def _pagerank_local(

@@ -72,16 +72,24 @@ def _weighted_topk_edges(edges, k: int, epoch_seed: int):
     )
 
 
-def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
+def _normalized_edges(graph) -> "DataFrame":
+    """Edges with per-src normalized weight ``norm_sum = w / Σ_src w``.
+
+    GroupBy + join (map-side combine absorbs hub fan-out), NOT a
+    ``partitionBy(src)`` window — a window puts a 10M-edge hub's entire edge
+    list into one sort task. Same shape as pagerank's edge normalization
+    (pagerank.py:260-264)."""
     w = graph.weight_col()
-    edges = (
-        graph.edges.select(
-            F.col(SRC).cast("string").alias(SRC),
-            F.col(DST).cast("string").alias(DST),
-            (w / F.sum(w).over(Window.partitionBy(SRC))).alias("norm_sum"),
-        )
-        .localCheckpoint(eager=True)
+    out_w = graph.edges.groupBy(SRC).agg(F.sum(w).alias("_ow"))
+    return graph.edges.join(out_w, SRC).select(
+        F.col(SRC).cast("string").alias(SRC),
+        F.col(DST).cast("string").alias(DST),
+        (w / F.col("_ow")).alias("norm_sum"),
     )
+
+
+def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
+    edges = _normalized_edges(graph).localCheckpoint(eager=True)
 
     state = (
         graph.nodes.select(F.col(ID).cast("string").alias(ID))

@@ -11,7 +11,7 @@ so no step is all-pairs. Hub buckets (boilerplate text) are capped.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
@@ -154,10 +154,22 @@ def minhash_verified_pairs(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     )
-    # cap pathological buckets (boilerplate): keep first max_bucket per bucket
-    win = Window.partitionBy("band", "bucket").orderBy("_id")
-    capped = banded.withColumn("_rn", F.row_number().over(win)).filter(
-        F.col("_rn") <= max_bucket
+    # Cap pathological buckets (boilerplate collisions): an order-free,
+    # deterministic hash-mod sample. The previous row_number window sorted
+    # the very bucket it was capping — a 10^5-member boilerplate bucket's
+    # full membership in ONE task before discarding all but max_bucket.
+    # Here bucket sizes come from an algebraic groupBy (map-side combine),
+    # and membership keeps rows with pmod(xxhash64(_id, band), size) <
+    # max_bucket — expected max_bucket survivors per oversized bucket, no
+    # sort, no single-task concentration. Small buckets pass untouched.
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    capped = (
+        banded.join(sizes, ["band", "bucket"])
+        .filter(
+            (F.col("_bsz") <= max_bucket)
+            | (F.pmod(F.xxhash64("_id", "band"), F.col("_bsz")) < max_bucket)
+        )
+        .drop("_bsz")
     )
     a, b = capped.alias("a"), capped.alias("b")
     cand = (

@@ -34,7 +34,19 @@ def moebius_json(
     """JSON payload for expanding ``node_id`` in a Moebius-style viz: the
     depth-bounded ego subgraph with full-graph degree counts."""
     nodes_df, edges_df = graph.ego_subgraph(node_id, depth=depth, limit=limit)
-    with_deg = nodes_df.join(graph.degree().withColumnRenamed("degree", "count"), ID, "left")
+    ids = nodes_df.select(ID).localCheckpoint(eager=True)  # ≤ limit rows
+    # Full-graph degree counts for the payload nodes WITHOUT a full-graph
+    # groupBy: broadcast-semi-join the endpoint stream against the ≤limit ego
+    # ids first, so the aggregate only ever sees incident endpoint rows.
+    ends = graph.edges.select(F.col(SRC).alias(ID)).union(
+        graph.edges.select(F.col(DST).alias(ID))
+    )
+    deg = (
+        ends.join(F.broadcast(ids), ID, "leftsemi")
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    with_deg = nodes_df.join(deg, ID, "left")
     node_rows = sorted(
         ([r[ID], int(r["count"] or 0)] for r in with_deg.collect()),
         key=lambda t: str(t[0]),
@@ -51,6 +63,10 @@ def moebius_json(
             "_int_id": int_id[r[SRC]] + n * (int_id[r[DST]] + 1),
         }
         for r in edges_df.select(SRC, DST).distinct().collect()
+        # an edge endpoint reached by BFS but absent from an explicit node
+        # table has no node row to draw — drop the undrawable link instead
+        # of KeyError-ing
+        if r[SRC] in int_id and r[DST] in int_id
     ]
     links.sort(key=lambda d: d["_int_id"])
     return json.dumps({"nodes": nodes, "links": links}, ensure_ascii=False)
