@@ -721,6 +721,38 @@ def q_checkpoint_roundtrip_degree(spark, sf_dir):
     return mgr.load(1, "deg")
 
 
+MEDIA_SEED, MEDIA_ROWS = 7, 60
+
+
+def q_media_image_stats(spark, sf_dir):
+    """REAL BMP decode through the fused decode+stats kernel: the payloads
+    are actual 24-bit BMP bytes (bottom-up rows, BGR, 4-byte padding) and
+    the integer stats are position/channel-weighted, so any mis-parse of
+    the format diverges from the closed-form oracle."""
+    from linkgraph.pipeline.multimodal import image_stats, synthesize_media
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    return image_stats(media.filter("kind = 'image'"))
+
+
+def q_media_audio_stats(spark, sf_dir):
+    """REAL WAV PCM-16 decode (RIFF chunk walk) + integer clip stats; wsum
+    is order-sensitive so sample-order bugs can't hash-match."""
+    from linkgraph.pipeline.multimodal import audio_stats, synthesize_media
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    return audio_stats(media.filter("kind = 'audio'"))
+
+
+def q_media_video_frame_stats(spark, sf_dir):
+    """REAL Y4M (mono) decode + per-frame integer stats — one row per
+    (clip, frame)."""
+    from linkgraph.pipeline.multimodal import synthesize_media, video_frame_stats
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    return video_frame_stats(media.filter("kind = 'video'"))
+
+
 def _spread_unrolled_sql(steps: int = 2, sf: float = 0.2) -> str:
     """Step-unrolled ANSI SQL for spreading activation on the events graph
     (weights 1 ⇒ transfer = sf/outdeg per edge; dead-end targets keep
@@ -811,6 +843,53 @@ def _pagerank_unrolled_sql(n_iters: int = 5, damping: float = DAMPING) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, CAST(round(r * 1000000) AS BIGINT) AS pr_millionths FROM r{n_iters}"
     )
+
+
+def _media_oracle_sql() -> dict[str, str]:
+    """Closed-form oracles for the synthesized media table: the generative
+    pixel/sample/luma formulas recomputed in pure SQL (no byte parsing), so
+    a hash match proves the numpy BMP/WAV/Y4M decoders read the real binary
+    formats correctly."""
+    s, n = MEDIA_SEED, MEDIA_ROWS
+    return {
+        "media_image_stats": f"""
+            WITH img AS (SELECT id, 13 + id % 5 AS w, 7 + id % 4 AS h
+                         FROM range(0, {n}) t(id) WHERE id % 3 = 0),
+            px AS (SELECT id, w, h, p, p % w AS x, p // w AS y
+                   FROM img CROSS JOIN range(0, 170) r(p) WHERE p < w * h)
+            SELECT id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+              CAST(sum(({s} + id + 3*x + 7*y) % 256) AS BIGINT) AS sum_r,
+              CAST(sum(({s} + 2*id + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+              CAST(sum(({s} + 3*id + 13*x + 17*y) % 256) AS BIGINT) AS sum_b,
+              CAST(sum((p + 1) * (({s} + id + 3*x + 7*y) % 256
+                   + 2 * (({s} + 2*id + 5*x + 11*y) % 256)
+                   + 3 * (({s} + 3*id + 13*x + 17*y) % 256))) AS BIGINT) AS wsum
+            FROM px GROUP BY id, w, h
+        """,
+        "media_audio_stats": f"""
+            WITH aud AS (SELECT id, 100 + id % 50 AS n
+                         FROM range(0, {n}) t(id) WHERE id % 3 = 1),
+            samp AS (SELECT id, n, i, ({s} + 31*id + 17*i) % 2003 - 1001 AS smp
+                     FROM aud CROSS JOIN range(0, 149) r(i) WHERE i < n)
+            SELECT id AS media_id, CAST(8000 AS INT) AS sample_rate,
+              CAST(n AS INT) AS n_samples,
+              CAST(sum(smp) AS BIGINT) AS sum_amp,
+              CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+              CAST(sum((i + 1) * smp) AS BIGINT) AS wsum
+            FROM samp GROUP BY id, n
+        """,
+        "media_video_frame_stats": f"""
+            WITH vid AS (SELECT id, 1 + id % 4 AS nf
+                         FROM range(0, {n}) t(id) WHERE id % 3 = 2),
+            fr AS (SELECT id, f FROM vid CROSS JOIN range(0, 4) r(f) WHERE f < nf),
+            px AS (SELECT id, f, p, p % 16 AS x, p // 16 AS y
+                   FROM fr CROSS JOIN range(0, 128) r2(p))
+            SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+              CAST(sum(({s} + id + 3*f + 5*x + 7*y) % 256) AS BIGINT) AS sum_luma,
+              CAST(sum((p + 1) * (({s} + id + 3*f + 5*x + 7*y) % 256)) AS BIGINT) AS wsum
+            FROM px GROUP BY id, f
+        """,
+    }
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -1142,4 +1221,10 @@ QUERIES = {
     "spectral_two_clique": q_spectral_two_clique,
     "simhash_md5_documents": q_simhash_md5_documents,
     "streaming_dedup_documents": q_streaming_dedup_documents,
+    # round 3: real codec-free multimodal decode (BMP/WAV/Y4M)
+    "media_image_stats": q_media_image_stats,
+    "media_audio_stats": q_media_audio_stats,
+    "media_video_frame_stats": q_media_video_frame_stats,
 }
+
+ORACLE_SQL.update(_media_oracle_sql())
