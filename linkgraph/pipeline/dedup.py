@@ -210,6 +210,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash → banded LSH bucketing → candidate pairs → exact Jaccard
     verification → connected components → canonical representative.
@@ -219,7 +220,7 @@ def minhash_lsh_dedup(
     """
     verified = minhash_verified_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_k,
-        jaccard_threshold, max_bucket,
+        jaccard_threshold, max_bucket, hash_fn,
     )
     # duplicate clusters = connected components over verified pairs
     from linkgraph.algorithms.components import connected_components

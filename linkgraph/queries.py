@@ -721,6 +721,156 @@ def q_checkpoint_roundtrip_degree(spark, sf_dir):
     return mgr.load(1, "deg")
 
 
+def q_node2vec_forced_cycle(spark, sf_dir):
+    """node2vec walks made RNG-independent: on the directed 5-cycle over
+    regions every reachable node has exactly ONE out-edge, so the inverse-CDF
+    sampler's choice is forced at every step regardless of the random draw —
+    the full sampled paths are deterministic and value-hash-checkable (the
+    nation-region run stays rows-only for genuinely stochastic sampling)."""
+    from linkgraph import node2vec_walks
+
+    r = _t(spark, sf_dir, "region")
+    edges = r.select(
+        _tag("r_regionkey", "r").alias("src"),
+        F.concat(
+            F.lit("r"), ((F.col("r_regionkey") + 1) % 5).cast("string")
+        ).alias("dst"),
+    )
+    walks = node2vec_walks(
+        LinkGraph(edges), sampling_ratio=1.0, num_epochs=3, seed=123
+    )
+    return walks.select(F.array_join("random_walks", ">").alias("walk"))
+
+
+def q_louvain_two_clique(spark, sf_dir):
+    """Louvain on two 4-cliques joined by a 0.1-weight bridge (same fixture
+    as spectral_two_clique): the modularity optimum is exactly the two
+    cliques, so min-member canonical labels hash against the closed-form
+    split — hardening A6 beyond the star-graph fixture."""
+    from linkgraph import louvain_communities
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    a = n.filter("k < 4")
+    b = n.filter("k >= 4 and k < 8")
+
+    def clique(side):
+        x, y = side.alias("x"), side.alias("y")
+        return x.join(y, F.col("x.k") < F.col("y.k")).select(
+            F.col("x.id").alias("src"), F.col("y.id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+
+    bridge = spark.createDataFrame([("n0", "n4", 0.1)], ["src", "dst", "weight"])
+    res = louvain_communities(LinkGraph(clique(a).union(clique(b)).union(bridge)))
+    lab = res.labels.select("id", "cluster")
+    rep = lab.groupBy("cluster").agg(F.min("id").alias("community_rep"))
+    return lab.join(rep, "cluster").select("id", "community_rep")
+
+
+def q_transition_power2000_events(spark, sf_dir):
+    """T^2000 by binary exponentiation — the reference Transition's signature
+    k=2000 test (mercury/graph/ml/transition.py:90-93), 11 squarings instead
+    of 2000 multiplies. On the events graph every event node is absorbing
+    (dead-end ⇒ self-loop 1) and users only point at events, so T^k == T
+    EXACTLY for all k ≥ 1 — including in floating point, because each
+    product entry is a single-term sum (T²(u,v) = T(u,v)·1). A hash match
+    therefore proves the whole exponentiation chain preserves the fixpoint
+    bit-for-bit, with a closed-form oracle (= T in millionths)."""
+    from linkgraph import transition_power
+
+    tm = transition_matrix(events_graph(spark, sf_dir))
+    t2000 = transition_power(tm, 2000)
+    return t2000.select(
+        "src", "dst",
+        F.round(F.col("prob") * 1e6).cast("long").alias("p_millionths"),
+    )
+
+
+def q_dedup_pipeline_md5_documents(spark, sf_dir):
+    """End-to-end dedup orchestration (exact md5 pass → MinHash-LSH near-dup
+    → CC clusters → min-id keepers) with the portable md5 hash family: every
+    stage is replicated in the DuckDB oracle, so the final survivor set is
+    value-hash-checked — the xxhash64 production run of the same pipeline
+    stays rows-only."""
+    from linkgraph.pipeline.dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clean, _stats = dedup_corpus(
+        d, jaccard_threshold=0.5, hash_fn="md5",
+        num_hashes=16, bands=4, shingle_k=5, max_bucket=2**31,
+    )
+    return clean.select("doc_id")
+
+
+def _dedup_pipeline_md5_sql(
+    num_hashes: int = 16, bands: int = 4, k: int = 5,
+    threshold: float = 0.5, rounds: int = 8,
+) -> str:
+    """DuckDB replica of the full md5 dedup pipeline: exact keepers (min id
+    per normalized-md5 fingerprint) → minhash/band/verify stages
+    (_minhash_md5_sql shapes over the survivors) → connected components by
+    ``rounds`` unrolled min-label steps (exact for cluster diameter ≤
+    rounds; near-dup clusters at J ≥ 0.5 are far smaller) → keepers whose
+    component min-label is themselves."""
+    rpb = num_hashes // bands
+    mins = ", ".join(f"min(md5(s || '#{j}')) AS h{j}" for j in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    # AS MATERIALIZED throughout: DuckDB 1.0 inlines plain CTEs, and the
+    # unrolled min-label rounds reference their predecessor twice — without
+    # materialization the whole minhash pipeline would be re-planned 2^rounds
+    # times (measured: minutes instead of seconds).
+    ctes = [
+        "fp AS MATERIALIZED (SELECT doc_id, "
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f "
+        "FROM documents)",
+        "keep AS MATERIALIZED (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)",
+        "docs AS MATERIALIZED "
+        "(SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id))",
+        f"""sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(length(lower(text)) - {k - 1}, 1)),
+                     i -> substr(lower(text), i, {k}))) AS s
+          FROM docs)""",
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)",
+        f"banded AS MATERIALIZED ({band_selects})",
+        "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+        "FROM banded a JOIN banded b "
+        "ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)",
+        "sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)",
+        "ix AS MATERIALIZED (SELECT c.a, c.b, count(*) AS ix "
+        "FROM cand c JOIN sh sa ON sa.doc_id = c.a "
+        "JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s GROUP BY c.a, c.b)",
+        f"pairs AS MATERIALIZED (SELECT ix.a, ix.b FROM ix "
+        f"JOIN sizes sa ON ix.a = sa.doc_id JOIN sizes sb ON ix.b = sb.doc_id "
+        f"WHERE CAST(ix.ix AS DOUBLE) / (sa.n + sb.n - ix.ix) >= {threshold})",
+        "und AS MATERIALIZED "
+        "(SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM docs)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT und.v AS id, min(lp.lab) AS mn "
+            f"FROM und JOIN l{i-1} lp ON und.u = lp.id GROUP BY und.v)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED "
+            f"(SELECT l.id, least(l.lab, coalesce(m{i}.mn, l.lab)) AS lab "
+            f"FROM l{i-1} l LEFT JOIN m{i} ON l.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id FROM l{rounds} WHERE lab = id"
+    )
+
+
 MEDIA_SEED, MEDIA_ROWS = 7, 60
 
 
@@ -890,6 +1040,40 @@ def _media_oracle_sql() -> dict[str, str]:
             FROM px GROUP BY id, f
         """,
     }
+
+
+_ROUND3_ORACLES = {
+    "node2vec_forced_cycle": """
+        SELECT 'r' || r_regionkey
+            || '>r' || ((r_regionkey + 1) % 5)
+            || '>r' || ((r_regionkey + 2) % 5)
+            || '>r' || ((r_regionkey + 3) % 5) AS walk
+        FROM region
+    """,
+    "louvain_two_clique": """
+        SELECT 'n' || n_nationkey AS id,
+               CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS community_rep
+        FROM nation WHERE n_nationkey < 8
+    """,
+    # T is the fixpoint of the power chain on the events graph (events are
+    # absorbing): the k=2000 result must equal T exactly — see the query doc
+    "transition_power2000_events": """
+        WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        e AS (SELECT 'u' || user_id AS src, 'e' || event_type AS dst FROM b),
+        outc AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+        t AS (
+          SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / outc.c AS prob
+          FROM e JOIN outc ON e.src = outc.src
+          UNION ALL
+          SELECT n.id AS src, n.id AS dst, CAST(1.0 AS DOUBLE) AS prob
+          FROM nodes n LEFT JOIN outc ON n.id = outc.src WHERE outc.src IS NULL
+        )
+        SELECT src, dst, CAST(round(prob * 1000000) AS BIGINT) AS p_millionths
+        FROM t
+    """,
+    "dedup_pipeline_md5_documents": _dedup_pipeline_md5_sql(),
+}
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -1225,6 +1409,12 @@ QUERIES = {
     "media_image_stats": q_media_image_stats,
     "media_audio_stats": q_media_audio_stats,
     "media_video_frame_stats": q_media_video_frame_stats,
+    # round 3: previously rows-only operators upgraded to value-hash rows
+    "node2vec_forced_cycle": q_node2vec_forced_cycle,
+    "louvain_two_clique": q_louvain_two_clique,
+    "transition_power2000_events": q_transition_power2000_events,
+    "dedup_pipeline_md5_documents": q_dedup_pipeline_md5_documents,
 }
 
 ORACLE_SQL.update(_media_oracle_sql())
+ORACLE_SQL.update(_ROUND3_ORACLES)
