@@ -29,6 +29,13 @@ from linkgraph.algorithms.spectral import spectral_clustering
 from linkgraph.algorithms.closeness import closeness_centrality, shortest_path_lengths
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.embeddings import Embeddings, GraphEmbedding
+from linkgraph.estimators import (
+    LouvainCommunities,
+    SparkRandomWalker,
+    SparkSpreadingActivation,
+    SpectralClustering,
+    Transition,
+)
 from linkgraph.viz import moebius_json
 
 __all__ = [
@@ -53,6 +60,11 @@ __all__ = [
     "betweenness_centrality",
     "Embeddings",
     "GraphEmbedding",
+    "LouvainCommunities",
+    "SpectralClustering",
+    "Transition",
+    "SparkRandomWalker",
+    "SparkSpreadingActivation",
     "moebius_json",
 ]
 

@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from linkgraph.base import BaseEstimator
 from linkgraph.graph import DST, ID, SRC, LinkGraph
 from linkgraph.session import static_plans
 from linkgraph.skew import SALT, split_hubs
@@ -209,7 +210,7 @@ def _one_walk_run(graph, tables, sampling_ratio, num_epochs, seed):
     )
 
 
-class Node2Vec:
+class Node2Vec(BaseEstimator):
     """Walks + Word2Vec trainer mirroring SparkNode2Vec's API surface,
     including the walk-block parquet cache and ``batch_size`` plan-break
     (spark_node2vec.py:64-79,137-180): with ``path_cache`` set, every

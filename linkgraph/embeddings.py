@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from linkgraph.base import BaseEstimator
 from linkgraph.graph import ID, LinkGraph
 
 
@@ -53,7 +54,7 @@ def _rotate_rows(mat, rows, targets, cos_w, sin_w):
     return mat
 
 
-class Embeddings:
+class Embeddings(BaseEstimator):
     """Dense embedding matrix with converge/diverge rotation learning
     (embeddings.py:26-164)."""
 
@@ -114,7 +115,7 @@ class Embeddings:
         return order, sims[order]
 
 
-class GraphEmbedding:
+class GraphEmbedding(BaseEstimator):
     """CSR-walk trainer (graphembeddings.py:68-244), numpy + seeded RNG."""
 
     def __init__(

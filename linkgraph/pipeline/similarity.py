@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from linkgraph.base import BaseEstimator
 from pyspark.sql.types import ArrayType, IntegerType
 
 
@@ -85,7 +86,7 @@ def hyperplane_signature(
     return emb.select(id_col, vec_col, signs(F.col(vec_col)).alias("bits"))
 
 
-class IVFIndex:
+class IVFIndex(BaseEstimator):
     """Inverted-file (IVF) approximate cosine search — the second scale path
     next to hyperplane LSH: a KMeans coarse quantizer partitions the corpus
     into ``n_centroids`` inverted lists; a query probes only the ``n_probe``
