@@ -36,7 +36,16 @@ def two_phase_sum(
     df: DataFrame, key: str, value: str, out: str, buckets: int = 16
 ) -> DataFrame:
     """groupBy(key, salt).sum → groupBy(key).sum — the salted partial/final
-    aggregation demanded by BASELINE.json:6 for hub keys."""
+    aggregation demanded by BASELINE.json:6 for hub keys.
+
+    Measured boundary (scripts/bench_skew.py, 8M-degree hub, local[8]): for
+    ALGEBRAIC sums this is 0.56x of the plain groupBy — Spark's map-side
+    partial aggregation already collapses hub fan-in to one row per map
+    task, so the second shuffle is pure cost. Use it for aggregates whose
+    partials still concentrate (collect_list/collect_set — see
+    LinkGraph.grouped_adjacency's hub_threshold, measured 1.56-2.42x
+    faster there) or when map-side combine is disabled; do NOT wrap plain
+    sums in it by default."""
     salted = with_salt(df, key, buckets)
     partial = salted.groupBy(key, SALT).agg(F.sum(value).alias(out))
     return partial.groupBy(key).agg(F.sum(out).alias(out))

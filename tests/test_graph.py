@@ -69,6 +69,25 @@ def test_grouped_adjacency(spark):
     assert [x["dst"] for x in adj["a"]["adj"]] == ["b", "c"]
 
 
+def test_grouped_adjacency_hub_split(spark):
+    """Above hub_threshold a source is salted into bounded (src, _salt)
+    groups whose arrays union to the full edge list; non-hubs stay single
+    rows with _salt 0."""
+    rows = [("h", f"d{i}", 1.0) for i in range(200)] + [("a", "b", 1.0)]
+    g = LinkGraph(spark.createDataFrame(rows, ["src", "dst", "weight"]))
+    out = g.grouped_adjacency(hub_threshold=50, hub_buckets=8).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src["a"]) == 1 and by_src["a"][0]["_salt"] == 0
+    hub_rows = by_src["h"]
+    assert 1 < len(hub_rows) <= 8
+    assert all(r["deg"] < 200 for r in hub_rows)
+    dsts = sorted(x["dst"] for r in hub_rows for x in r["adj"])
+    assert dsts == sorted(f"d{i}" for i in range(200))
+    assert sum(r["deg"] for r in hub_rows) == 200
+
+
 def test_ego_subgraph(spark):
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], ["src", "dst"]
