@@ -15,9 +15,17 @@ Headline queries:
 - ann_cosine_top10    — brute-force cosine top-k over sf-dir embeddings
 - dedup_exact         — exact duplicate grouping over sf-dir documents
 
+Large-corpus section (LG_BENCH_FILES_LARGE, default 3000000 files → ~23M
+edges; 0 disables): converged PageRank, converged two-star CC, and 5 LPA
+supersteps at 10× the headline corpus — the size where skew knobs and memory
+pressure actually engage on this host (BENCH/BASELINE.md §host capacity).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     LG_BENCH_FILES (corpus size, default 300000).
+     LG_BENCH_FILES (corpus size, default 300000),
+     LG_BENCH_FILES_LARGE (default 3000000, 0 = skip),
+     SPARK_GRAFT_DRIVER_MEM (default 24g here: 23M-edge runs at 32 threads
+     are GC-bound on the stock 8g heap — measured eff 0.497 vs 0.837).
 
 The N→4N scaling-efficiency evidence (BASELINE.md §3) is produced by
 scripts/bench_scaling.py → BENCH/BASELINE.md.
@@ -37,6 +45,8 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     n_files = int(os.environ.get("LG_BENCH_FILES", 300_000))
+    n_files_large = int(os.environ.get("LG_BENCH_FILES_LARGE", 3_000_000))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -138,6 +148,50 @@ def main():
     timed("dedup_exact", lambda: q_dedup_exact_documents(spark, sf_dir).count())
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- large-corpus section: 10x the headline graph -------------------
+    if n_files_large:
+        tmp2 = tempfile.mkdtemp(prefix="lg_bench_3m_")
+        t0 = time.time()
+        corpus_l = synthesize_corpus(
+            spark, n_files=n_files_large, n_repos=max(50, n_files_large // 1000),
+            commits_per_file=2, seed=42, num_partitions=cpus * 2,
+        )
+        derive_edges(corpus_l, cochange_cap=16).write.mode("overwrite").parquet(
+            f"{tmp2}/edges"
+        )
+        edges_l = spark.read.parquet(f"{tmp2}/edges")
+        m_large = edges_l.count()
+        extra["corpus_large_setup_sec"] = round(time.time() - t0, 2)
+        extra["corpus_large_edges"] = m_large
+        extra["n_files_large"] = n_files_large
+        # production path at this size: dictionary-encoded long ids
+        gl, _map = LinkGraph(edges_l.select("src", "dst", "weight")).encode_ids()
+
+        def _pr_large():
+            r = pagerank(gl, tol=1e-6, max_iter=100, strategy="distributed")
+            r.ranks.select(F.sum("pagerank")).collect()
+            extra["pagerank_3m_iterations"] = r.iterations
+            extra["pagerank_3m_converged"] = r.converged
+            return r
+
+        r = timed("pagerank_corpus_3m", _pr_large)
+        if r.iterations:
+            extra["pagerank_3m_edges_per_sec_per_superstep"] = round(
+                r.num_edges * r.iterations / timings["pagerank_corpus_3m"], 1
+            )
+        timed(
+            "cc_corpus_3m",
+            lambda: connected_components(
+                gl, method="two_star", strategy="distributed"
+            ).groupBy("component_size").count().collect(),
+        )
+        timed(
+            "lpa_corpus_3m",
+            lambda: label_propagation(gl, max_iter=5).limit(1).collect(),
+        )
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     total = round(sum(timings.values()), 2)
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else None)
 

@@ -39,7 +39,7 @@ sys.path.insert(0, "__REPO__")
 cores = int(sys.argv[1]); n_files = int(sys.argv[2]); steps = int(sys.argv[3])
 edges_path = sys.argv[4]
 from linkgraph.session import get_session
-from linkgraph import LinkGraph
+from linkgraph import LinkGraph, connected_components, label_propagation
 from linkgraph.algorithms.pagerank import pagerank
 spark = get_session("lg-scaling", cores=cores, shuffle_partitions=cores)
 edges = spark.read.parquet(edges_path)
@@ -52,12 +52,27 @@ pagerank(g, tol=0.0, max_iter=2, use_arrow_kernel=False)
 t0 = time.time()
 res = pagerank(g, tol=0.0, max_iter=steps, use_arrow_kernel=False)
 wall = time.time() - t0
-print(json.dumps({
+m = res.num_edges
+out = {
     "cores": cores, "steps": res.iterations, "wall_sec": round(wall, 2),
-    "edges": res.num_edges, "nodes": res.num_nodes,
-    "edges_per_sec_per_superstep": round(res.num_edges * res.iterations / wall, 1),
+    "edges": m, "nodes": res.num_nodes,
+    "edges_per_sec_per_superstep": round(m * res.iterations / wall, 1),
     "final_l1": res.history[-1]["l1_delta"],
-}))
+}
+# cc: converged two-star — round count is data-dependent but parallelism-
+# independent (identical input => identical rounds at N and 4N), so the
+# wall ratio IS the throughput ratio
+t0 = time.time()
+connected_components(g, method="two_star", with_sizes=False,
+                     strategy="distributed").agg({"component": "max"}).collect()
+out["cc_wall_sec"] = round(time.time() - t0, 2)
+out["cc_edges_per_sec"] = round(m / out["cc_wall_sec"], 1)
+# lpa: fixed 5 synchronous supersteps
+t0 = time.time()
+label_propagation(g, max_iter=5).agg({"label": "max"}).collect()
+out["lpa_wall_sec"] = round(time.time() - t0, 2)
+out["lpa_edges_per_sec_per_superstep"] = round(m * 5 / out["lpa_wall_sec"], 1)
+print(json.dumps(out))
 """
 
 
@@ -129,6 +144,12 @@ def main():
     thr_n = results[n_c]["edges_per_sec_per_superstep"]
     thr_4n = results[n4_c]["edges_per_sec_per_superstep"]
     eff = (thr_4n / thr_n) / 4.0
+    eff_cc = (
+        results[n_c]["cc_wall_sec"] / results[n4_c]["cc_wall_sec"]
+    ) / 4.0
+    eff_lpa = (
+        results[n_c]["lpa_wall_sec"] / results[n4_c]["lpa_wall_sec"]
+    ) / 4.0
     # capacity-normalized: divide the Spark throughput ratio by the host's
     # measured raw-CPU capacity ratio between the same worker counts
     cap_n = calib["speedup_8"] if n_c == 8 else (calib["speedup_32"] if n_c == 32 else n_c)
@@ -166,6 +187,18 @@ cluster.
 
 **Scaling efficiency (nominal, vs 4× vCPUs) = (thr_{n4_c} / thr_{n_c}) / 4 =
 {eff:.3f}** (target ≥ 0.8).
+
+## Per-algorithm scaling (same input, same runs)
+
+| algorithm | local[{n_c}] wall (s) | local[{n4_c}] wall (s) | nominal efficiency |
+|---|---|---|---|
+| PageRank ({steps} supersteps) | {results[n_c]['wall_sec']} | {results[n4_c]['wall_sec']} | {eff:.3f} |
+| connected components (two-star, converged) | {results[n_c]['cc_wall_sec']} | {results[n4_c]['cc_wall_sec']} | {eff_cc:.3f} |
+| label propagation (5 supersteps) | {results[n_c]['lpa_wall_sec']} | {results[n4_c]['lpa_wall_sec']} | {eff_lpa:.3f} |
+
+(cc round count is data-dependent but parallelism-independent — identical
+input runs identical rounds at N and 4N, so wall ratios are throughput
+ratios.)
 
 **Capacity-normalized efficiency = Spark throughput ratio
 ({thr_4n / thr_n:.2f}×) ÷ host raw-CPU capacity ratio ({cap_ratio:.2f}×) =
