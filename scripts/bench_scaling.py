@@ -129,16 +129,46 @@ def main():
     spark.stop()
     print(f"input: {n_edges} edges from {n_files} files → {edges_path}")
 
+    # Shared-tenancy host steal swings single legs by 2-4x (one measured
+    # local[32] leg ran 4x slower than the identical job an hour earlier).
+    # Protocol: alternate N / 4N legs LG_SCALE_REPS times and keep the
+    # best (minimum-wall) leg per parallelism — steal only ever slows a
+    # run down, so per-leg minima are the least-contaminated estimates.
+    reps = int(os.environ.get("LG_SCALE_REPS", "2"))
     results = {}
+    all_runs = {c: [] for c in core_pair}
+    for rep in range(reps):
+        for cores in core_pair:
+            script = RUNNER.replace("__REPO__", repo)
+            out = subprocess.run(
+                [sys.executable, "-c", script, str(cores), str(n_files),
+                 str(steps), edges_path],
+                capture_output=True, text=True, timeout=3600,
+            )
+            json_lines = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ]
+            if not json_lines:
+                print(f"local[{cores}] rep {rep} produced no JSON; stderr tail:")
+                print("\n".join(out.stderr.strip().splitlines()[-30:]))
+                continue
+            run = json.loads(json_lines[-1])
+            all_runs[cores].append(run)
+            print(f"local[{cores}] rep {rep}: {run}")
     for cores in core_pair:
-        script = RUNNER.replace("__REPO__", repo)
-        out = subprocess.run(
-            [sys.executable, "-c", script, str(cores), str(n_files), str(steps), edges_path],
-            capture_output=True, text=True, timeout=3600,
+        if not all_runs[cores]:
+            print(f"no successful runs at local[{cores}]")
+            sys.exit(1)
+        best = min(all_runs[cores], key=lambda r: r["wall_sec"])
+        # per-metric minima: steal can hit one algorithm's window and not
+        # another's within the same leg
+        best["wall_sec"] = min(r["wall_sec"] for r in all_runs[cores])
+        best["cc_wall_sec"] = min(r["cc_wall_sec"] for r in all_runs[cores])
+        best["lpa_wall_sec"] = min(r["lpa_wall_sec"] for r in all_runs[cores])
+        best["edges_per_sec_per_superstep"] = round(
+            best["edges"] * best["steps"] / best["wall_sec"], 1
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"local[{cores}]: {results[cores]}")
+        results[cores] = best
 
     n_c, n4_c = core_pair
     thr_n = results[n_c]["edges_per_sec_per_superstep"]
@@ -199,6 +229,19 @@ cluster.
 (cc round count is data-dependent but parallelism-independent — identical
 input runs identical rounds at N and 4N, so wall ratios are throughput
 ratios.)
+
+## All legs (steal disclosure)
+
+Legs alternate N / 4N x{reps}; the tables above use per-metric minima
+(steal only slows runs down, so minima are the least-contaminated
+estimates). Every leg measured:
+
+| parallelism | rep | pagerank wall (s) | cc wall (s) | lpa wall (s) |
+|---|---|---|---|---|
+""" + "\n".join(
+            f"| local[{c}] | {i} | {r['wall_sec']} | {r['cc_wall_sec']} | {r['lpa_wall_sec']} |"
+            for c in core_pair for i, r in enumerate(all_runs[c])
+        ) + f"""
 
 **Capacity-normalized efficiency = Spark throughput ratio
 ({thr_4n / thr_n:.2f}×) ÷ host raw-CPU capacity ratio ({cap_ratio:.2f}×) =
