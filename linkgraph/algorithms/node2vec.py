@@ -286,7 +286,9 @@ class Node2Vec(BaseEstimator):
         children = list(fs.listStatus(hpath))
         names = [c.getPath().getName() for c in children]
         foreign = [
-            nm for nm in names if not (nm.startswith("block=") or nm.startswith("_"))
+            nm
+            for nm in names
+            if not (nm.startswith("block=") or nm.startswith("_") or nm.startswith("."))
         ]
         if foreign:
             raise ValueError(
