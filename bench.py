@@ -160,10 +160,14 @@ def main():
         corpus_l = synthesize_corpus(
             spark, n_files=n_files_large, n_repos=max(50, n_files_large // 1000),
             commits_per_file=2, seed=42, num_partitions=cpus * 2,
-        )
+        ).persist()  # derive_edges scans the corpus in 3 relation branches —
+        # cache the synthesis kernel's output instead of re-executing it per
+        # branch (the headline path stages through parquet for the same
+        # reason; a persist avoids writing 3M content rows to disk)
         derive_edges(corpus_l, cochange_cap=16).write.mode("overwrite").parquet(
             f"{tmp2}/edges"
         )
+        corpus_l.unpersist()
         edges_l = spark.read.parquet(f"{tmp2}/edges")
         m_large = edges_l.count()
         extra["corpus_large_setup_sec"] = round(time.time() - t0, 2)

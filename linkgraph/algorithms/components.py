@@ -118,13 +118,16 @@ def connected_components(
             if use_local:
                 labels = _cc_local(graph)
         if not use_local:
-            # persist stays alive through the distributed rounds (the
-            # per-round fingerprint actions reuse it instead of re-deriving)
+            # persist stays alive until the round loop materializes its own
+            # checkpointed pair/label tables (which reuse the probe's cached
+            # partitions), then is released inside the loop so the raw-table
+            # cache doesn't ride along for every remaining round
             with static_plans(graph.edges.sparkSession):
                 if method == "two_star":
-                    labels = _cc_two_star(graph, max_iter)
+                    labels = _cc_two_star(graph, max_iter, tuple(we_persisted))
                 else:
-                    labels = _cc_min_label(graph, max_iter)
+                    labels = _cc_min_label(graph, max_iter, tuple(we_persisted))
+            we_persisted = []
     finally:
         for df in we_persisted:
             df.unpersist()
@@ -196,7 +199,9 @@ def _cc_local(graph: LinkGraph) -> DataFrame:
     return spark.createDataFrame(out)
 
 
-def _cc_two_star(graph: LinkGraph, max_iter: int) -> DataFrame:
+def _cc_two_star(
+    graph: LinkGraph, max_iter: int, release_after_build=()
+) -> DataFrame:
     # eager=False: the fingerprint aggregate is the ONE action per round and
     # materializes the checkpoint as a side effect (same fused superstep
     # shape as pagerank's stats job). Measured ~neutral at 1.2M edges (the
@@ -209,6 +214,11 @@ def _cc_two_star(graph: LinkGraph, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     fp = _fingerprint(pairs)
+    # the initial pair set is checkpoint-materialized by the fingerprint
+    # action above; a raw-table persist handed over by the strategy gate is
+    # dead weight from here on
+    for df in release_after_build:
+        df.unpersist()
     for _ in range(max_iter):
         pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
         fp_new = _fingerprint(pairs)
@@ -224,7 +234,9 @@ def _cc_two_star(graph: LinkGraph, max_iter: int) -> DataFrame:
     )
 
 
-def _cc_min_label(graph: LinkGraph, max_iter: int) -> DataFrame:
+def _cc_min_label(
+    graph: LinkGraph, max_iter: int, release_after_build=()
+) -> DataFrame:
     und = (
         graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
         .union(graph.edges.select(F.col(DST).alias("u"), F.col(SRC).alias("v")))
@@ -232,6 +244,10 @@ def _cc_min_label(graph: LinkGraph, max_iter: int) -> DataFrame:
         .distinct()
         .persist()
     )
+    if release_after_build:
+        und.count()  # materialize und's cache, then drop the gate's raw persist
+        for df in release_after_build:
+            df.unpersist()
     labels = graph.nodes.select(ID, F.col(ID).alias("component")).localCheckpoint(
         eager=True
     )

@@ -114,7 +114,7 @@ def pagerank(
         raise ValueError(
             "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
         )
-    def _run_distributed() -> PageRankResult:
+    def _run_distributed(release_after_build=()) -> PageRankResult:
         spark = graph.edges.sparkSession
         with static_plans(spark):
             return _pagerank_loop(
@@ -127,6 +127,7 @@ def pagerank(
                 checkpoint_interval,
                 resume,
                 use_arrow_kernel,
+                release_after_build,
             )
 
     we_persisted: list[DataFrame] = []
@@ -153,9 +154,12 @@ def pagerank(
             ):
                 return _pagerank_local(graph, damping, tol, max_iter)
             # Gate fell through to the distributed loop: keep the persist
-            # alive through the loop (edges_norm/node_state builds reuse the
-            # probe's cached partitions instead of re-running the derivation).
-            return _run_distributed()
+            # alive until the loop's own persisted tables (edges_norm /
+            # node_state) materialize — their builds reuse the probe's
+            # cached partitions instead of re-running the derivation — then
+            # release it, so the raw-table cache doesn't occupy memory for
+            # ~100 supersteps that never touch it again.
+            return _run_distributed(release_after_build=tuple(we_persisted))
         finally:
             for df in we_persisted:
                 df.unpersist()
@@ -260,6 +264,7 @@ def _pagerank_loop(
     checkpoint_interval: int,
     resume: bool,
     use_arrow_kernel: bool,
+    release_after_build=(),
 ) -> PageRankResult:
     spark = graph.edges.sparkSession
     if num_partitions is None:
@@ -296,6 +301,10 @@ def _pagerank_loop(
         .persist()
     )
     n_dangling = node_state.filter("_dangling").count()
+    # edges_norm and node_state are now materialized; any raw-table persist
+    # the strategy gate handed over is dead weight for the whole loop
+    for df in release_after_build:
+        df.unpersist()
 
     start_step = 0
     history: list[dict] = []

@@ -51,5 +51,5 @@ class BaseEstimator:
         ]
         fitted = self._fitted_attrs()
         if fitted:
-            lines += ["", f"Fitted attributes: {', '.join(fitted)}"]
+            lines += ["", f"State attributes: {', '.join(fitted)}"]
         return "\n".join(lines)

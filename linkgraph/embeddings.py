@@ -70,8 +70,11 @@ class Embeddings(BaseEstimator):
     ):
         self.dimension = dimension
         self.num_elements = num_elements
+        self.mean = mean
+        self.sd = sd
         self.learn_step = learn_step
         self.bidirectional = bidirectional
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         if num_elements > 0:
             self.embeddings_matrix_ = self._rng.normal(

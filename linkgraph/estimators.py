@@ -98,17 +98,25 @@ class Transition(BaseEstimator):
 class SparkRandomWalker(BaseEstimator):
     """Parity with mercury/graph/ml/spark_randomwalker.py:16-60: constructor
     (num_epochs, batch_size, n_sampling_edges); ``fit_predict(graph,
-    source_id)`` sets and returns ``paths_``."""
+    source_id)`` sets and returns ``paths_``.
+
+    ``batch_size`` in the reference forces a cache/plan break every N
+    epochs. This engine's walk loop localCheckpoints EVERY epoch
+    (random_walker.py:118) — i.e. the strictest batch_size=1 behavior,
+    always on — so the knob is accepted for signature parity and recorded,
+    but cannot loosen anything."""
 
     def __init__(
         self,
         num_epochs: int = 10,
         batch_size: int = 1,
         n_sampling_edges: int | None = None,
+        seed: int = 42,
     ):
         self.num_epochs = num_epochs
         self.batch_size = batch_size
         self.n_sampling_edges = n_sampling_edges
+        self.seed = seed
 
     def fit_predict(self, graph: LinkGraph, source_id) -> DataFrame:
         from linkgraph.algorithms.random_walker import random_walks
@@ -118,6 +126,7 @@ class SparkRandomWalker(BaseEstimator):
             source_id,
             num_epochs=self.num_epochs,
             n_sampling_edges=self.n_sampling_edges,
+            seed=self.seed,
         )
         return self.paths_
 

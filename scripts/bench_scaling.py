@@ -122,9 +122,10 @@ def main():
     corpus = synthesize_corpus(
         spark, n_files=n_files, n_repos=max(50, n_files // 1000),
         commits_per_file=2, seed=42, num_partitions=64,
-    )
+    ).persist()  # 3 relation branches in derive_edges scan the corpus
     edges_path = f"{tmp}/edges"
     derive_edges(corpus, cochange_cap=16).write.mode("overwrite").parquet(edges_path)
+    corpus.unpersist()
     n_edges = spark.read.parquet(edges_path).count()
     spark.stop()
     print(f"input: {n_edges} edges from {n_files} files → {edges_path}")
@@ -155,20 +156,30 @@ def main():
             run = json.loads(json_lines[-1])
             all_runs[cores].append(run)
             print(f"local[{cores}] rep {rep}: {run}")
+    import statistics
+
     for cores in core_pair:
         if not all_runs[cores]:
             print(f"no successful runs at local[{cores}]")
             sys.exit(1)
-        best = min(all_runs[cores], key=lambda r: r["wall_sec"])
-        # per-metric minima: steal can hit one algorithm's window and not
-        # another's within the same leg
-        best["wall_sec"] = min(r["wall_sec"] for r in all_runs[cores])
-        best["cc_wall_sec"] = min(r["cc_wall_sec"] for r in all_runs[cores])
-        best["lpa_wall_sec"] = min(r["lpa_wall_sec"] for r in all_runs[cores])
-        best["edges_per_sec_per_superstep"] = round(
-            best["edges"] * best["steps"] / best["wall_sec"], 1
+        # Per-metric MEDIAN across legs: minima are not robust on this host
+        # — hypervisor burst credits occasionally make a leg anomalously
+        # FAST (a measured local[8] leg ran 5x faster than its siblings),
+        # the one direction a "steal only slows runs" minimum cannot
+        # handle. Medians damp both tails. Derived throughputs are
+        # recomputed from the consolidated walls so the dict stays
+        # internally consistent.
+        cons = dict(all_runs[cores][0])
+        for k in ("wall_sec", "cc_wall_sec", "lpa_wall_sec"):
+            cons[k] = round(statistics.median(r[k] for r in all_runs[cores]), 2)
+        cons["edges_per_sec_per_superstep"] = round(
+            cons["edges"] * cons["steps"] / cons["wall_sec"], 1
         )
-        results[cores] = best
+        cons["cc_edges_per_sec"] = round(cons["edges"] / cons["cc_wall_sec"], 1)
+        cons["lpa_edges_per_sec_per_superstep"] = round(
+            cons["edges"] * 5 / cons["lpa_wall_sec"], 1
+        )
+        results[cores] = cons
 
     n_c, n4_c = core_pair
     thr_n = results[n_c]["edges_per_sec_per_superstep"]
@@ -189,8 +200,17 @@ def main():
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
 
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
-    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — N→4N scaling evidence ({stamp})
+    # Write to scaling_latest.md, NOT BENCH/BASELINE.md: BASELINE.md is the
+    # curated record (it carries cross-round context, the contamination
+    # disclosures, and the standing quiet-window measurement). Promote a run
+    # into it by hand after judging the host conditions — an automated
+    # overwrite once replaced it with a burst-leg artifact.
+    with open(f"{repo}/BENCH/scaling_latest.md", "w") as f:
+        f.write(f"""# BENCH/scaling_latest — N→4N scaling run ({stamp})
+
+(Generated by scripts/bench_scaling.py. The curated standing record is
+BENCH/BASELINE.md — promote these numbers there only after checking the
+per-leg variance table below for steal/burst contamination.)
 
 Protocol (BASELINE.md §3): identical PageRank job, identical input
 ({n_edges} edges derived from a {n_files}-file synthetic source-code corpus,
@@ -261,7 +281,7 @@ Prior measurements on this host (contamination-free, 8g heap unless noted):
 0.497 (8g) / 0.127 (32g heap, local[32] slower than local[8]) — consistent
 with the ~8-real-core calibration above, not with an engine bottleneck.
 """)
-    print(f"efficiency = {eff:.3f} → BENCH/BASELINE.md written")
+    print(f"efficiency = {eff:.3f} → BENCH/scaling_latest.md written")
 
     import shutil
 

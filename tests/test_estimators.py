@@ -39,7 +39,7 @@ def test_get_params_and_repr():
     assert "max_pass=3" in repr(lc)
     s = str(lc)
     assert "Object of class LouvainCommunities" in s
-    assert "Fitted attributes" not in s  # unfitted
+    assert "State attributes" not in s  # unfitted
 
     sc = SpectralClustering(n_clusters=4)
     assert sc.get_params() == {"n_clusters": 4, "max_iterations": 10}
@@ -48,6 +48,10 @@ def test_get_params_and_repr():
     n2v = Node2Vec(dimension=16)
     assert n2v.get_params()["dimension"] == 16
     assert "w2v_min_count" in n2v.get_params()
+    # get_params must report USER-PASSED values, not signature defaults
+    emb = Embeddings(dimension=4, mean=2.0, sd=0.5, seed=7)
+    p = emb.get_params()
+    assert p["mean"] == 2.0 and p["sd"] == 0.5 and p["seed"] == 7
     assert repr(Embeddings(dimension=4)).startswith("Embeddings(")
     assert GraphEmbedding(dimension=4, n_jumps=10).get_params()["n_jumps"] == 10
 
@@ -57,7 +61,7 @@ def test_louvain_estimator_fit(two_clique):
     assert lc.modularity_ > 0.3
     labs = {r["id"]: r["cluster"] for r in lc.labels_.select("id", "cluster").collect()}
     assert len(set(labs.values())) == 2
-    assert "Fitted attributes" in str(lc) and "modularity_" in str(lc)
+    assert "State attributes" in str(lc) and "modularity_" in str(lc)
 
 
 def test_spectral_estimator_fit(two_clique):
