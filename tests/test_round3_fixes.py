@@ -106,6 +106,25 @@ def test_cc_auto_preserves_caller_cache(spark):
         g.edges.unpersist()
 
 
+def test_gate_fallthrough_releases_cache(spark):
+    """When auto falls through to the distributed loop, the gate's raw-table
+    persist must be released (the loop's own persisted tables take over) —
+    no cached copy may outlive the call."""
+    from linkgraph.algorithms.components import connected_components
+    from linkgraph.algorithms.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 3}") for i in range(20)], ["src", "dst"]
+    )
+    g = LinkGraph(edges)
+    res = pagerank(g, strategy="auto", local_max_edges=1, tol=1e-6, max_iter=20)
+    assert res.converged
+    assert not g.edges.is_cached and not g.nodes.is_cached
+    cc = connected_components(g, strategy="auto", local_max_edges=1)
+    assert cc.count() > 0
+    assert not g.edges.is_cached and not g.nodes.is_cached
+
+
 def test_cc_local_empty_node_table_with_edges(spark):
     """Explicitly-empty node table + non-empty edges: the local plan must
     return the same typed empty result as the distributed plan (pandas can't
