@@ -158,8 +158,11 @@ def pagerank(
             # node_state) materialize — their builds reuse the probe's
             # cached partitions instead of re-running the derivation — then
             # release it, so the raw-table cache doesn't occupy memory for
-            # ~100 supersteps that never touch it again.
-            return _run_distributed(release_after_build=tuple(we_persisted))
+            # ~100 supersteps that never touch it again. Ownership of the
+            # unpersist transfers to the loop, so clear our list (mirrors
+            # components.py) — otherwise the finally block double-releases.
+            handover, we_persisted = tuple(we_persisted), []
+            return _run_distributed(release_after_build=handover)
         finally:
             for df in we_persisted:
                 df.unpersist()

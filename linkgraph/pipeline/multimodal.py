@@ -139,6 +139,11 @@ def _parse_bmp(buf: bytes) -> np.ndarray:
         )
     h = abs(h_raw)
     stride = (w * 3 + 3) // 4 * 4
+    if offset + stride * h > len(b):
+        raise ValueError(
+            f"truncated BMP stream: pixel array needs {stride * h} bytes "
+            f"at offset {offset}, buffer has {len(b)}"
+        )
     rows = b[offset : offset + stride * h].reshape(h, stride)[:, : w * 3]
     img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
     if h_raw > 0:
@@ -156,6 +161,11 @@ def _parse_wav(buf: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         size = int(np.frombuffer(buf[pos + 4 : pos + 8], dtype="<u4")[0])
+        if size > len(buf) - pos - 8:
+            raise ValueError(
+                f"truncated WAV stream: chunk {cid!r} declares {size} bytes "
+                f"but only {len(buf) - pos - 8} remain"
+            )
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = int(np.frombuffer(body[0:2], dtype="<u2")[0])
@@ -178,7 +188,9 @@ def _parse_wav(buf: bytes) -> tuple[np.ndarray, int]:
 def _parse_y4m(buf: bytes) -> np.ndarray:
     """Decode a Y4M mono stream to an (n_frames, h, w) uint8 luma array."""
     _reject_compressed(buf, "video")
-    nl = buf.index(b"\n")
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream: unterminated stream header")
     head = buf[:nl].decode("ascii", errors="replace")
     if not head.startswith("YUV4MPEG2"):
         raise ValueError("not a Y4M payload")
@@ -202,9 +214,16 @@ def _parse_y4m(buf: bytes) -> np.ndarray:
     pos = nl + 1
     fsize = w * h
     while pos < len(buf):
-        fnl = buf.index(b"\n", pos)
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated Y4M stream: unterminated FRAME header")
         if not buf[pos:fnl].startswith(b"FRAME"):
             raise ValueError("Y4M frame marker missing")
+        if fnl + 1 + fsize > len(buf):
+            raise ValueError(
+                f"truncated Y4M stream: frame needs {fsize} bytes, "
+                f"{len(buf) - fnl - 1} remain"
+            )
         plane = np.frombuffer(buf[fnl + 1 : fnl + 1 + fsize], dtype=np.uint8)
         frames.append(plane.reshape(h, w))
         pos = fnl + 1 + fsize

@@ -132,9 +132,10 @@ def main():
 
     # Shared-tenancy host steal swings single legs by 2-4x (one measured
     # local[32] leg ran 4x slower than the identical job an hour earlier).
-    # Protocol: alternate N / 4N legs LG_SCALE_REPS times and keep the
-    # best (minimum-wall) leg per parallelism — steal only ever slows a
-    # run down, so per-leg minima are the least-contaminated estimates.
+    # Protocol: alternate N / 4N legs LG_SCALE_REPS times and consolidate
+    # per-metric MEDIANS per parallelism — minima are not robust here
+    # because hypervisor burst credits occasionally make a leg anomalously
+    # FAST, the one direction a "steal only slows runs" minimum can't handle.
     reps = int(os.environ.get("LG_SCALE_REPS", "2"))
     results = {}
     all_runs = {c: [] for c in core_pair}
@@ -252,9 +253,10 @@ ratios.)
 
 ## All legs (steal disclosure)
 
-Legs alternate N / 4N x{reps}; the tables above use per-metric minima
-(steal only slows runs down, so minima are the least-contaminated
-estimates). Every leg measured:
+Legs alternate N / 4N x{reps}; the tables above use per-metric MEDIANS
+across legs (steal slows runs down, but hypervisor burst credits also make
+occasional legs anomalously fast — medians damp both tails). Every leg
+measured:
 
 | parallelism | rep | pagerank wall (s) | cc wall (s) | lpa wall (s) |
 |---|---|---|---|---|

@@ -80,6 +80,36 @@ def test_unsupported_formats_raise():
         _parse_y4m(y4m)
 
 
+def test_truncated_payloads_raise_not_mis_stat():
+    """Corrupt/short payloads must raise a descriptive ValueError, never
+    silently decode fewer samples/pixels (which would yield wrong stats)."""
+    # WAV: data chunk declares more bytes than the buffer holds
+    s = np.arange(100, dtype=np.int16)
+    wav = bytearray(_encode_wav(s, 8000))
+    short = bytes(wav[:-50])  # chop the tail of the data chunk
+    with pytest.raises(ValueError, match="truncated WAV"):
+        _parse_wav(short)
+    # WAV: the data chunk's declared size points far past the end
+    evil = bytearray(_encode_wav(s, 8000))
+    data_at = bytes(evil).find(b"data")
+    evil[data_at + 4 : data_at + 8] = np.uint32(10**9).tobytes()
+    with pytest.raises(ValueError, match="truncated WAV"):
+        _parse_wav(bytes(evil))
+    # Y4M: frame body shorter than W*H
+    frames = np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    y4m = _encode_y4m(frames)
+    with pytest.raises(ValueError, match="truncated Y4M"):
+        _parse_y4m(y4m[:-5])
+    # Y4M: header never terminated
+    with pytest.raises(ValueError, match="truncated Y4M"):
+        _parse_y4m(b"YUV4MPEG2 W4 H4 Cmono")
+    # BMP: pixel array chopped
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    bmp = _encode_bmp(img)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        _parse_bmp(bmp[:-10])
+
+
 # -------------------------------------------- fused stats vs closed forms
 
 SEED = 7
