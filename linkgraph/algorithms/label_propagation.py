@@ -10,16 +10,22 @@ order), so results are reproducible and testable.
 
 Dataflow per superstep (SURVEY.md A14):
     labels ⋈ edges → groupBy(dst, label).sum(weight)
-    → row_number over (partitionBy(dst) orderBy(desc(cnt), asc(label))) = 1
+    → groupBy(dst).min(struct(-wsum, label))   [desc weight, asc label]
 
-Scale notes: the heavy agg is algebraic (map-side combine handles hub fan-in);
-the top-1 window partitions by node so no global sort; per-superstep
-localCheckpoint stops plan growth; one action per superstep for convergence.
+Scale notes: both aggs are algebraic, so map-side combine bounds hub fan-in
+at every stage — in the FIRST supersteps every neighbor label is distinct,
+so a 10M-degree hub has 10M candidate rows; the former
+row_number over (partitionBy(v)) top-1 sorted all of them in one task,
+whereas the min(struct) partial-agg collapses them to one row per upstream
+partition before the exchange. (Measured cost at 2.3M edges/no hubs: the
+struct agg is ~1.2-1.5× the window's wall — the price of hub safety; see
+BENCH/lpa_top1_ab.md.) Per-superstep localCheckpoint stops plan growth;
+one action per superstep for convergence.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
@@ -34,6 +40,27 @@ def label_propagation(
     """Returns DataFrame[id, label]; label is a node id (min id wins ties)."""
     with static_plans(graph.edges.sparkSession):
         return _lpa_loop(graph, max_iter, weighted)
+
+
+def _best_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One superstep's label choice: most-frequent (weighted) neighbor label,
+    ties to the minimum label. Both aggregates are algebraic — no window —
+    so map-side combine bounds hub fan-in (see module docstring)."""
+    nbr = (
+        und.join(labels, und["u"] == labels[ID])
+        .groupBy("v", "label")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    # hub-safe top-1: min(struct(-wsum, label)) ≡ (desc wsum, asc label)
+    return (
+        nbr.groupBy("v")
+        .agg(
+            F.min(
+                F.struct((-F.col("wsum")).alias("nw"), F.col("label").alias("l"))
+            ).alias("_b")
+        )
+        .select(F.col("v"), F.col("_b.l").alias("_new"))
+    )
 
 
 def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
@@ -54,18 +81,8 @@ def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
         eager=True
     )
 
-    top1 = Window.partitionBy("v").orderBy(F.desc("wsum"), F.asc("label"))
     for _ in range(max_iter):
-        nbr = (
-            und.join(labels, und["u"] == labels[ID])
-            .groupBy("v", "label")
-            .agg(F.sum("w").alias("wsum"))
-        )
-        best = (
-            nbr.withColumn("_rn", F.row_number().over(top1))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("v"), F.col("label").alias("_new"))
-        )
+        best = _best_labels(und, labels)
         # carry the old label through: convergence check is a scan, no join
         staged = labels.join(best, labels[ID] == best["v"], "left").select(
             ID,

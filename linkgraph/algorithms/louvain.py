@@ -114,12 +114,17 @@ def _reassign_all(edges, partition, m, move_threshold=1e-4):
         .groupBy("id", "cj")
         .agg(F.sum("weight").alias("cj_sum_aix"))
     )
-    cj_ki = ld.withColumnRenamed("c", "cj").groupBy("cj").agg(
-        F.sum("degree").alias("cj_sum_ki")
-    )
+    # Community total degree, used on both sides of the move gain. As an
+    # algebraic aggregate it map-side combines; the former
+    # sum(degree) over (partitionBy(c)) window concentrated every member
+    # row of a community in one task — after a pass or two communities are
+    # huge, which is exactly the skew shape this engine de-windowed
+    # everywhere else.
+    c_ki = ld.groupBy("c").agg(F.sum("degree").alias("c_sum_ki"))
+    cj_ki = c_ki.selectExpr("c as cj", "c_sum_ki as cj_sum_ki")
 
     dq = (
-        ld.withColumn("cx_sum_ki", F.sum("degree").over(Window.partitionBy("c")))
+        ld.join(c_ki.withColumnRenamed("c_sum_ki", "cx_sum_ki"), "c")
         .join(cx_aix, "id", "left")
         .join(cj_aix, "id", "left")
         .join(cj_ki, "cj", "left")

@@ -94,6 +94,47 @@ class Transition(BaseEstimator):
             raise ValueError("call fit() before to_power()")
         return transition_power(self.matrix_, k)
 
+    def to_pandas(self, num_iterations: int = 1, max_nodes: int = 10_000):
+        """Dense T^num_iterations as a pandas DataFrame with node-labeled
+        rows and columns — the reference's driver-side convenience
+        (mercury/graph/ml/transition.py:69-95, `$s_{t+k} = T^k s_t$`).
+        ``num_iterations=0`` is the identity, matching
+        ``numpy.linalg.matrix_power(adj, 0)``.
+
+        Driver-local by definition (an n×n dense frame), so it is guarded:
+        raises on graphs above ``max_nodes`` — use ``to_power(k)`` (the
+        distributed sparse path) at scale. Rows/columns are sorted by node
+        id (the reference uses networkx insertion order; entry values are
+        identical)."""
+        import numpy as np
+        import pandas as pd
+
+        if not hasattr(self, "matrix_"):
+            raise ValueError("Error: fit() must be called first.")
+        if num_iterations < 0:
+            raise ValueError("num_iterations must be >= 0")
+        # every state appears as src (dangling states get self-loops in fit)
+        n = self.matrix_.select("src").distinct().limit(max_nodes + 1).count()
+        if n > max_nodes:
+            raise ValueError(
+                f"to_pandas is driver-local and guarded at {max_nodes} nodes; "
+                "use to_power(k) for the distributed sparse result"
+            )
+        names = sorted(
+            r[0] for r in self.matrix_.select("src").distinct().collect()
+        )
+        idx = {v: i for i, v in enumerate(names)}
+        dense = np.zeros((len(names), len(names)))
+        if num_iterations == 0:
+            np.fill_diagonal(dense, 1.0)
+        else:
+            sparse = (
+                self.matrix_ if num_iterations == 1 else self.to_power(num_iterations)
+            )
+            for r in sparse.collect():
+                dense[idx[r["src"]], idx[r["dst"]]] = r["prob"]
+        return pd.DataFrame(dense, index=names, columns=names)
+
 
 class SparkRandomWalker(BaseEstimator):
     """Parity with mercury/graph/ml/spark_randomwalker.py:16-60: constructor

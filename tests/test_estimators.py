@@ -85,6 +85,45 @@ def test_transition_estimator(spark):
         Transition().to_power(2)
 
 
+def test_transition_to_pandas_reference_parity(spark):
+    """Every assertion of the reference's TestTransition.test_to_pandas
+    (unit_tests/test_ml_transition.py:75-127) on the same F5 graph."""
+    import re
+
+    edges = [("Madrid", "Bilbao", 50.0), ("Madrid", "Barcelona", 50.0),
+             ("Bilbao", "Santander", 25.0), ("Bilbao", "Algorta", 75.0),
+             ("Barcelona", "Reus", 25.0), ("Barcelona", "Andorra", 75.0)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]),
+                  keys={"src": "src", "dst": "dst", "weight": "weight"})
+    T = Transition()
+    with pytest.raises(ValueError,
+                       match=re.escape("Error: fit() must be called first.")):
+        T.to_pandas(num_iterations=0)
+    T.fit(g)
+
+    tm = T.to_pandas()  # fit() parity assertions (reference :71)
+    assert tm.loc["Madrid", "Bilbao"] == 0.5 and tm.loc["Algorta", "Algorta"] == 1
+
+    tm = T.to_pandas(num_iterations=0)
+    assert tm.loc["Madrid", "Bilbao"] == 0 and tm.loc["Andorra", "Andorra"] == 1
+
+    tm = T.to_pandas(num_iterations=1)
+    assert tm["Madrid"].sum() == 0 and tm["Barcelona"].sum() == 0.5
+    assert (tm.loc["Madrid", "Algorta"] == 0
+            and tm.loc["Bilbao", "Algorta"] == 0.75
+            and tm.loc["Reus", "Reus"] == 1)
+
+    for k in (2, 2000):
+        tm = T.to_pandas(num_iterations=k)
+        assert (tm["Madrid"].sum() == 0 and tm["Barcelona"].sum() == 0
+                and tm["Bilbao"].sum() == 0)
+        assert (tm.loc["Madrid", "Algorta"] == 0.375
+                and tm.loc["Madrid", "Reus"] == 0.125)
+
+    with pytest.raises(ValueError, match="guarded"):
+        T.to_pandas(num_iterations=1, max_nodes=3)
+
+
 def test_walker_and_spread_estimators(spark):
     g = LinkGraph(spark.createDataFrame(
         [("a", "b"), ("b", "c")], ["src", "dst"]))

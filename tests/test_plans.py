@@ -94,3 +94,51 @@ def test_pagerank_superstep_single_exchange(spark):
     assert res.iterations == 2
     # history carries per-superstep metrics — one action per superstep
     assert [h["step"] for h in res.history] == [1, 2]
+
+def test_lpa_superstep_no_window(spark):
+    """The LPA top-1 must be algebraic aggregates only: a window
+    partitioned by node sorts a hub's whole candidate-label set in one
+    task, which is degree-sized in the first supersteps (VERDICT r3 §3)."""
+    from linkgraph.algorithms.label_propagation import _best_labels
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)], ["u", "v", "w"]
+    )
+    labels = spark.createDataFrame([("a", "a"), ("b", "b"), ("c", "c")],
+                                   ["id", "label"])
+    plan = _plan(_best_labels(edges, labels))
+    assert "Window" not in plan
+    # min(struct) plans as SortAggregate (struct buffers aren't hash-
+    # aggregable) — the partial_min is what bounds hub fan-in: it collapses
+    # a hub's candidate rows to one per upstream partition BEFORE the
+    # exchange, so no task ever holds a degree-sized row set.
+    assert "partial_min(struct" in plan and "Exchange" in plan
+    assert plan.count("HashAggregate") >= 2  # the (v, label) wsum agg
+
+
+def test_louvain_reassign_no_community_window(spark):
+    """_reassign_all may keep its per-node (mdq_rank) and per-community-pair
+    (sym_rank) windows, but the community total degree must come from an
+    algebraic aggregate + join, never sum over (partitionBy(c)) — community
+    partitions grow unboundedly after a pass (VERDICT r3 §4)."""
+    from linkgraph.algorithms.louvain import _reassign_all
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("a", "c", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    partition = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")], ["id", "c"]
+    )
+    plan = _plan(_reassign_all(edges, partition, m=4.0))
+    # exactly the two row_number windows remain: mdq_rank over id (top-1,
+    # which Spark pushes down as a Partial WindowGroupLimit — map-side
+    # top-1, hub-safe) and sym_rank over the sorted community pair
+    windows = [l for l in plan.splitlines() if "+- Window [" in l]
+    assert len(windows) == 2
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # no window partitions by the bare community column (the r3 flaw):
+    # community degree now arrives via an aggregate join
+    for w in windows:
+        assert "windowspecdefinition(c#" not in w
+    assert "cx_sum_ki" in plan  # still computed, via the aggregate join
