@@ -80,6 +80,9 @@ def connected_components(
     with_sizes: bool = True,
     strategy: str = "auto",
     local_max_edges: int = 2_000_000,
+    checkpoint=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns DataFrame[id, component(, component_size)] where component is
     the min node id in the component.
@@ -89,13 +92,28 @@ def connected_components(
     size) and routes sub-threshold graphs to a driver-local numpy min-label +
     pointer-doubling solve — two-star rounds on a graph that fits in one task
     are pure scheduler latency. Labels are identical (min node id per
-    component) under both plans."""
+    component) under both plans.
+
+    ``checkpoint``/``resume`` mirror pagerank's resumability (north rule,
+    BASELINE.json:14): every ``checkpoint_interval`` rounds (and at
+    convergence) the two-star pair table is snapshotted through a
+    :class:`linkgraph.checkpoint.CheckpointManager` with its convergence
+    fingerprint and per-round history; ``resume=True`` continues from the
+    latest snapshot, bit-exact with an uninterrupted run. Two-star only —
+    these options force the distributed plan (as in pagerank)."""
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
     if method not in ("two_star", "min_label"):
         # validate eagerly even when the local plan would ignore it — a typo
         # must not surface only once the input outgrows the local threshold
         raise ValueError(f"unknown method {method!r} (two_star|min_label)")
+    needs_cluster = checkpoint is not None or resume
+    if needs_cluster:
+        if strategy == "local":
+            raise ValueError("strategy='local' cannot honor checkpoint/resume")
+        if method != "two_star":
+            raise ValueError("checkpoint/resume is implemented for two_star")
+        strategy = "distributed"
     use_local = False
     we_persisted: list[DataFrame] = []
     if strategy != "distributed":
@@ -124,7 +142,14 @@ def connected_components(
             # cache doesn't ride along for every remaining round
             with static_plans(graph.edges.sparkSession):
                 if method == "two_star":
-                    labels = _cc_two_star(graph, max_iter, tuple(we_persisted))
+                    labels = _cc_two_star(
+                        graph,
+                        max_iter,
+                        tuple(we_persisted),
+                        checkpoint=checkpoint,
+                        checkpoint_interval=checkpoint_interval,
+                        resume=resume,
+                    )
                 else:
                     labels = _cc_min_label(graph, max_iter, tuple(we_persisted))
             we_persisted = []
@@ -200,29 +225,67 @@ def _cc_local(graph: LinkGraph) -> DataFrame:
 
 
 def _cc_two_star(
-    graph: LinkGraph, max_iter: int, release_after_build=()
+    graph: LinkGraph,
+    max_iter: int,
+    release_after_build=(),
+    checkpoint=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     # eager=False: the fingerprint aggregate is the ONE action per round and
     # materializes the checkpoint as a side effect (same fused superstep
     # shape as pagerank's stats job). Measured ~neutral at 1.2M edges (the
     # eager variant's second pass is a cached scan), but one fewer job per
     # round is one fewer scheduler round-trip at any scale.
-    pairs = (
-        graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    fp = _fingerprint(pairs)
-    # the initial pair set is checkpoint-materialized by the fingerprint
-    # action above; a raw-table persist handed over by the strategy gate is
-    # dead weight from here on
-    for df in release_after_build:
-        df.unpersist()
-    for _ in range(max_iter):
+    start_round = 0
+    history: list[dict] = []
+    if resume and checkpoint is not None and checkpoint.latest_step() is not None:
+        start_round = checkpoint.latest_step()
+        man = checkpoint.manifest(start_round)
+        pairs = checkpoint.load(start_round, "pairs").localCheckpoint(eager=False)
+        fp = tuple(man["metrics"]["fingerprint"])
+        history = man["metrics"].get("history", [])
+        for df in release_after_build:
+            df.unpersist()
+        if man["metrics"].get("converged"):
+            max_iter = 0  # nothing left to iterate; fall through to labeling
+    else:
+        pairs = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        fp = _fingerprint(pairs)
+        # the initial pair set is checkpoint-materialized by the fingerprint
+        # action above; a raw-table persist handed over by the strategy gate
+        # is dead weight from here on
+        for df in release_after_build:
+            df.unpersist()
+    for rnd in range(start_round + 1, start_round + 1 + max_iter):
         pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=False)
         fp_new = _fingerprint(pairs)
-        if fp_new == fp:
+        converged = fp_new == fp
+        # active-pair delta is the two-star convergence metric (the pair set
+        # is the frontier: it IS what changes between rounds)
+        history.append(
+            {"round": rnd, "pairs": fp_new[0], "pairs_delta": fp_new[0] - fp[0]}
+        )
+        if checkpoint is not None and (
+            rnd % checkpoint_interval == 0
+            or converged
+            or rnd == start_round + max_iter
+        ):
+            checkpoint.save(
+                rnd,
+                {"pairs": pairs},
+                {
+                    "fingerprint": list(fp_new),
+                    "converged": converged,
+                    "history": history,
+                },
+            )
+        if converged:
             break
         fp = fp_new
     # Converged: pairs are (node → root). Roots and isolated nodes map to self.

@@ -92,11 +92,21 @@ class IVFIndex(BaseEstimator):
     into ``n_centroids`` inverted lists; a query probes only the ``n_probe``
     nearest lists and exact-reranks within them.
 
-    Build: one KMeans fit (seeded, pyspark.ml) + one scan to assign list ids;
-    the assigned table is hash-partitioned by list id and persisted, so at
-    100 TB a probe touches n_probe/n_centroids of the data. Search: centroid
-    distances are computed driver-side (n_centroids is small by design), the
-    probed lists are filtered by partition key, reranked with JVM HOF cosine.
+    Build: one KMeans fit (seeded, pyspark.ml) + one scan to assign list ids.
+    Two storage layouts:
+
+    - ``index_path=None`` (default): the assigned table is hash-partitioned
+      by list id and persisted in memory. A probe's ``filter(_list.isin(...))``
+      is evaluated per cached block — cheap, but every block is touched.
+      This is the bench/interactive layout; it does NOT file-prune.
+    - ``index_path=<dir>``: the table is written as parquet PARTITIONED BY
+      ``_list`` and read back, so a probe's list filter becomes a Catalyst
+      partition filter — only n_probe/n_centroids of the FILES are read.
+      This is the 100 TB layout (asserted by a plan test).
+
+    Search: centroid distances are computed driver-side (n_centroids is
+    small by design), the probed lists are pruned as above, reranked with
+    JVM HOF cosine.
     """
 
     def __init__(
@@ -105,11 +115,13 @@ class IVFIndex(BaseEstimator):
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        index_path: str | None = None,
     ):
         self.n_centroids = n_centroids
         self.seed = seed
         self.id_col = id_col
         self.vec_col = vec_col
+        self.index_path = index_path
 
     def fit(self, emb: DataFrame) -> "IVFIndex":
         from pyspark.ml.clustering import KMeans
@@ -126,13 +138,18 @@ class IVFIndex(BaseEstimator):
                     predictionCol="_list")
         self.model_ = km.fit(feats)
         self.centroids_ = [list(map(float, c)) for c in self.model_.clusterCenters()]
-        self.lists_ = (
-            self.model_.transform(feats)
-            .select(self.id_col, self.vec_col, "_list")
-            .repartition(self.n_centroids, "_list")
-            .persist()
+        assigned = self.model_.transform(feats).select(
+            self.id_col, self.vec_col, "_list"
         )
-        self.lists_.count()
+        if self.index_path:
+            # one physical directory per inverted list → probes prune files
+            assigned.repartition(self.n_centroids, "_list").write.mode(
+                "overwrite"
+            ).partitionBy("_list").parquet(self.index_path)
+            self.lists_ = emb.sparkSession.read.parquet(self.index_path)
+        else:
+            self.lists_ = assigned.repartition(self.n_centroids, "_list").persist()
+            self.lists_.count()
         return self
 
     def search(self, query_vec: list, k: int = 10, n_probe: int = 4) -> DataFrame:

@@ -721,6 +721,25 @@ def q_checkpoint_roundtrip_degree(spark, sf_dir):
     return mgr.load(1, "deg")
 
 
+def q_cc_resume_nation_region(spark, sf_dir):
+    """Kill-and-resume equivalence through the driver gate: two-star is run
+    for ONE round with checkpointing (simulating an interrupted job), then a
+    second call resumes from the snapshot and finishes. The result must
+    hash-match the plain connected-components oracle — resumability proven
+    by value equality, not just a roundtrip."""
+    import tempfile
+
+    from linkgraph import CheckpointManager
+
+    g = nation_region_graph(spark, sf_dir)
+    mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_cc_"), spark)
+    connected_components(g, max_iter=1, checkpoint=mgr, checkpoint_interval=1,
+                         with_sizes=False)
+    if mgr.latest_step() != 1:
+        raise RuntimeError("interrupted run failed to checkpoint round 1")
+    return connected_components(g, checkpoint=mgr, resume=True)
+
+
 def q_node2vec_forced_cycle(spark, sf_dir):
     """node2vec walks made RNG-independent: on the directed 5-cycle over
     regions every reachable node has exactly ONE out-edge, so the inverse-CDF
@@ -1119,6 +1138,16 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT b AS id, component, component_size FROM comp
     """,
+    "cc_resume_nation_region": """
+        WITH e AS (SELECT 'n' || n_nationkey AS a, 'r' || n_regionkey AS b FROM nation),
+        comp AS (SELECT b, min(a) AS component,
+                        CAST(count(*) + 1 AS BIGINT) AS component_size
+                 FROM (SELECT DISTINCT a, b FROM e) GROUP BY b)
+        SELECT e.a AS id, comp.component, comp.component_size
+        FROM (SELECT DISTINCT a, b FROM e) e JOIN comp ON e.b = comp.b
+        UNION ALL
+        SELECT b AS id, component, component_size FROM comp
+    """,
     "triangle_count_copurchase": """
         WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
         e AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
@@ -1395,6 +1424,7 @@ QUERIES = {
     "graphembedding_nation_region": q_graphembedding_nation_region,  # rows-only
     "streaming_running_degree": q_streaming_running_degree,
     "checkpoint_roundtrip_degree": q_checkpoint_roundtrip_degree,
+    "cc_resume_nation_region": q_cc_resume_nation_region,
     "bpe_token_count_documents": q_bpe_token_count_documents,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "ivf_cosine_top10": q_ivf_cosine_top10,

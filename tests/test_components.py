@@ -100,3 +100,46 @@ def test_cc_strategy_validation(spark):
     g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
     with pytest.raises(ValueError):
         connected_components(g, strategy="nope")
+
+
+def test_cc_checkpoint_resume_equivalence(spark, tmp_ckpt):
+    """Two-star interrupted mid-round and resumed must produce bit-exact
+    labels vs an uninterrupted run (BASELINE.json:14 resumability, extended
+    beyond pagerank per VERDICT r3 item 6)."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    edges = random_digraph(60, 0.05, seed=13)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+
+    full = connected_components(g, strategy="distributed", with_sizes=False)
+    mgr = CheckpointManager(tmp_ckpt, spark)
+    # interrupt after 1 round (max_iter=1 simulates a killed run)
+    connected_components(g, max_iter=1, checkpoint=mgr,
+                         checkpoint_interval=1, with_sizes=False)
+    assert mgr.latest_step() == 1
+    man = mgr.manifest(1)
+    assert "fingerprint" in man["metrics"] and "pairs" in man["tables"]
+    assert man["tables"]["pairs"]["partition_rows"]  # per-partition lineage
+
+    resumed = connected_components(g, checkpoint=mgr, resume=True,
+                                   with_sizes=False)
+    a = {r["id"]: r["component"] for r in full.collect()}
+    b = {r["id"]: r["component"] for r in resumed.collect()}
+    assert a == b
+    # resume from a converged snapshot is a no-iteration label derivation
+    last = mgr.latest_step()
+    assert mgr.manifest(last)["metrics"]["converged"]
+    again = connected_components(g, checkpoint=mgr, resume=True,
+                                 with_sizes=False)
+    assert {r["id"]: r["component"] for r in again.collect()} == a
+
+
+def test_cc_checkpoint_gate_errors(spark):
+    from linkgraph.checkpoint import CheckpointManager
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError, match="local"):
+        connected_components(g, strategy="local", resume=True)
+    with pytest.raises(ValueError, match="two_star"):
+        connected_components(g, method="min_label",
+                             checkpoint=CheckpointManager("/tmp/_x", spark))

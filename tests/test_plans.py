@@ -142,3 +142,26 @@ def test_louvain_reassign_no_community_window(spark):
     for w in windows:
         assert "windowspecdefinition(c#" not in w
     assert "cx_sum_ki" in plan  # still computed, via the aggregate join
+
+
+def test_ivf_index_path_partition_prunes(spark, tmp_path):
+    """With index_path set, the inverted lists are parquet partitioned by
+    _list, so a probe's list filter must appear as a Catalyst PartitionFilter
+    (file pruning) — the 100 TB layout (VERDICT r3 §5)."""
+    from linkgraph.pipeline.similarity import IVFIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    idx = IVFIndex(n_centroids=4, index_path=str(tmp_path / "ivf")).fit(emb)
+    out = idx.search([1.0, 0.0, 1.0], k=5, n_probe=2)
+    plan = _formatted(out)
+    assert "PartitionFilters: [_list" in plan.replace("#", " #").replace(
+        "_list #", "_list"
+    ) or "_list IN" in plan
+    # and the same search returns identical ids through both layouts
+    mem = IVFIndex(n_centroids=4).fit(emb)
+    a = [r["vec_id"] for r in out.collect()]
+    b = [r["vec_id"] for r in mem.search([1.0, 0.0, 1.0], k=5, n_probe=2).collect()]
+    assert a == b
