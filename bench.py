@@ -123,6 +123,19 @@ def main():
     )
     timed("lpa_corpus", lambda: label_propagation(g, max_iter=5).limit(1).collect())
 
+    def _closeness_corpus():
+        # landmark-sampled closeness (the at-scale path; all-pairs is
+        # size-guarded): 16 deterministic landmarks, frontier BFS
+        from linkgraph import closeness_centrality
+
+        lms = [r[0] for r in g.nodes.orderBy("id").limit(16).collect()]
+        out = closeness_centrality(g, landmarks=lms, max_hops=20)
+        extra["closeness_sum"] = round(
+            out.agg(F.sum("closeness")).collect()[0][0] or 0.0, 3
+        )
+
+    timed("closeness_corpus", _closeness_corpus)
+
     g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri
