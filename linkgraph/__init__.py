@@ -26,8 +26,13 @@ from linkgraph.algorithms.transition import transition_matrix, transition_power
 from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
-from linkgraph.algorithms.closeness import closeness_centrality, shortest_path_lengths
+from linkgraph.algorithms.closeness import (
+    closeness_centrality,
+    harmonic_centrality,
+    shortest_path_lengths,
+)
 from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.kcore import core_number, k_core
 from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.estimators import (
     LouvainCommunities,
@@ -45,6 +50,8 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "k_core",
+    "core_number",
     "triangle_count",
     "triangle_counts_per_vertex",
     "louvain_communities",
@@ -56,6 +63,7 @@ __all__ = [
     "node2vec_walks",
     "spectral_clustering",
     "closeness_centrality",
+    "harmonic_centrality",
     "shortest_path_lengths",
     "betweenness_centrality",
     "Embeddings",

@@ -78,6 +78,30 @@ def shortest_path_lengths(
         return settled
 
 
+def harmonic_centrality(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> DataFrame:
+    """DataFrame[id, harmonic] = Σ_landmark 1/dist(id → landmark), dist > 0.
+
+    Harmonic centrality (Boldi & Vigna, "Axioms for centrality", 2014) is the
+    standard closeness fix for disconnected graphs: unreachable pairs
+    contribute 0 naturally instead of poisoning the sum. Shares the landmark
+    multi-source BFS with closeness — same frontier plan, different final
+    aggregate — so its scale profile is identical (one superstep per hop,
+    left_anti dedup, algebraic sums)."""
+    dists = shortest_path_lengths(graph, landmarks, max_hops)
+    sums = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy(ID)
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("_h"))
+    )
+    return (
+        graph.nodes.select(ID)
+        .join(sums, ID, "left")
+        .select(ID, F.coalesce(F.col("_h"), F.lit(0.0)).alias("harmonic"))
+    )
+
+
 def closeness_centrality(
     graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
 ) -> DataFrame:

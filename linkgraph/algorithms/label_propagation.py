@@ -36,10 +36,23 @@ def label_propagation(
     graph: LinkGraph,
     max_iter: int = 20,
     weighted: bool = False,
+    checkpoint=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
-    """Returns DataFrame[id, label]; label is a node id (min id wins ties)."""
+    """Returns DataFrame[id, label]; label is a node id (min id wins ties).
+
+    ``checkpoint``/``resume`` mirror pagerank's and connected_components'
+    resumability (north rule, BASELINE.json:14): every
+    ``checkpoint_interval`` supersteps (and at convergence) the label table
+    is snapshotted through a :class:`linkgraph.checkpoint.CheckpointManager`
+    with the changed-label count history; ``resume=True`` continues from the
+    latest snapshot, bit-exact with an uninterrupted run (synchronous LPA is
+    deterministic, so the label table IS the whole superstep state)."""
     with static_plans(graph.edges.sparkSession):
-        return _lpa_loop(graph, max_iter, weighted)
+        return _lpa_loop(
+            graph, max_iter, weighted, checkpoint, checkpoint_interval, resume
+        )
 
 
 def _best_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
@@ -63,7 +76,14 @@ def _best_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
+def _lpa_loop(
+    graph: LinkGraph,
+    max_iter: int,
+    weighted: bool,
+    checkpoint=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> DataFrame:
     w = graph.weight_col() if weighted else F.lit(1.0)
     und = (
         graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w"))
@@ -77,11 +97,21 @@ def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
         .agg(F.sum("w").alias("w"))
         .persist()
     )
-    labels = graph.nodes.select(ID, F.col(ID).alias("label")).localCheckpoint(
-        eager=True
-    )
+    start_step = 0
+    history: list[dict] = []
+    if resume and checkpoint is not None and checkpoint.latest_step() is not None:
+        start_step = checkpoint.latest_step()
+        man = checkpoint.manifest(start_step)
+        labels = checkpoint.load(start_step, "labels").localCheckpoint(eager=True)
+        history = man["metrics"].get("history", [])
+        if man["metrics"].get("converged"):
+            max_iter = 0  # nothing left to iterate
+    else:
+        labels = graph.nodes.select(ID, F.col(ID).alias("label")).localCheckpoint(
+            eager=True
+        )
 
-    for _ in range(max_iter):
+    for step in range(start_step + 1, start_step + 1 + max_iter):
         best = _best_labels(und, labels)
         # carry the old label through: convergence check is a scan, no join
         staged = labels.join(best, labels[ID] == best["v"], "left").select(
@@ -97,7 +127,20 @@ def _lpa_loop(graph: LinkGraph, max_iter: int, weighted: bool) -> DataFrame:
             or 0
         )
         labels = staged.select(ID, "label")
-        if changed == 0:
+        converged = changed == 0
+        # changed-label count is LPA's convergence metric (the active set)
+        history.append({"step": step, "changed": int(changed)})
+        if checkpoint is not None and (
+            step % checkpoint_interval == 0
+            or converged
+            or step == start_step + max_iter
+        ):
+            checkpoint.save(
+                step,
+                {"labels": labels},
+                {"converged": converged, "history": history},
+            )
+        if converged:
             break
     und.unpersist()
     return labels

@@ -62,12 +62,39 @@ def _make_update_kernel(damping: float, n: int, dangling_mass: float):
     return F.pandas_udf(_update, DoubleType())
 
 
+def _make_personalized_kernel(damping: float, dangling_mass: float):
+    """Arrow kernel for the personalized update: per-vertex teleport ``_p``."""
+    scale = (1.0 - damping) + damping * dangling_mass
+
+    def _update(contrib: pd.Series, p: pd.Series) -> pd.Series:
+        return p * scale + damping * contrib.fillna(0.0)
+
+    return F.pandas_udf(_update, DoubleType())
+
+
 def update_expr(
-    damping: float, n: int, dangling_mass: float, use_arrow_kernel: bool = False
+    damping: float,
+    n: int,
+    dangling_mass: float,
+    use_arrow_kernel: bool = False,
+    personalized: bool = False,
 ) -> F.Column:
     """The per-vertex rank update over ``_contrib``. Default is the native
     Column form (whole-stage codegen, no Python worker round-trip); the Arrow
-    kernel is the extension hook for non-affine per-vertex math."""
+    kernel is the extension hook for non-affine per-vertex math.
+
+    ``personalized=True`` replaces the uniform teleport 1/N with the
+    per-vertex ``_p`` column: r' = p·((1-d) + d·D) + d·Σcontrib — the
+    uniform path keeps its scalar-literal base (folded once at plan time,
+    bit-identical to the pre-PPR formula)."""
+    if personalized:
+        if use_arrow_kernel:
+            return _make_personalized_kernel(damping, dangling_mass)(
+                F.col("_contrib"), F.col("_p")
+            )
+        return F.col("_p") * F.lit(
+            (1.0 - damping) + damping * dangling_mass
+        ) + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
     if use_arrow_kernel:
         return _make_update_kernel(damping, n, dangling_mass)(F.col("_contrib"))
     return F.lit((1.0 - damping) / n + damping * dangling_mass / n) + F.lit(
@@ -87,8 +114,21 @@ def pagerank(
     use_arrow_kernel: bool = False,
     strategy: str = "auto",
     local_max_edges: int = 2_000_000,
+    personalization: dict | None = None,
 ) -> PageRankResult:
     """Run power iteration until L1(r' - r) <= tol or max_iter supersteps.
+
+    ``personalization`` — optional {node_id: weight} dict for personalized
+    PageRank (PPR): the teleport distribution becomes p (weights normalized
+    over graph nodes, networkx-style; nodes absent from the dict get 0) and
+    dangling mass is redistributed by p instead of uniformly:
+
+        r'(v) = (1-d)·p(v) + d·( Σ_{u→v} r(u)·w(u,v)/W(u) + D·p(v) )
+
+    r₀ = p (the iteration's fixpoint is teleport-seeded, so starting at the
+    seed distribution is both natural and what the fixed-step oracle
+    replicates). The seed dict is driver-small by design (top-k seeds) and
+    reaches the node table via a broadcast join — no extra shuffle.
 
     ``strategy`` picks the physical plan, the same way Catalyst picks
     broadcast vs shuffle joins by size:
@@ -114,6 +154,10 @@ def pagerank(
         raise ValueError(
             "strategy='local' cannot honor checkpoint/resume/use_arrow_kernel"
         )
+    if personalization is not None:
+        if not personalization or any(v < 0 for v in personalization.values()):
+            raise ValueError("personalization must be a non-empty dict of >=0 weights")
+
     def _run_distributed(release_after_build=()) -> PageRankResult:
         spark = graph.edges.sparkSession
         with static_plans(spark):
@@ -128,6 +172,7 @@ def pagerank(
                 resume,
                 use_arrow_kernel,
                 release_after_build,
+                personalization,
             )
 
     we_persisted: list[DataFrame] = []
@@ -152,7 +197,7 @@ def pagerank(
                 graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
                 and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
             ):
-                return _pagerank_local(graph, damping, tol, max_iter)
+                return _pagerank_local(graph, damping, tol, max_iter, personalization)
             # Gate fell through to the distributed loop: keep the persist
             # alive until the loop's own persisted tables (edges_norm /
             # node_state) materialize — their builds reuse the probe's
@@ -171,7 +216,11 @@ def pagerank(
 
 
 def _pagerank_local(
-    graph: LinkGraph, damping: float, tol: float, max_iter: int
+    graph: LinkGraph,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    personalization: dict | None = None,
 ) -> PageRankResult:
     """Driver-local power iteration — the small-graph physical strategy.
 
@@ -219,7 +268,17 @@ def _pagerank_local(
     has_out[si_all[known_src].astype(np.int64)] = True
     dangling = ~has_out
 
-    r = np.full(n, 1.0 / n)
+    if personalization is not None:
+        p = np.zeros(n)
+        hits = pd.Series(personalization).reindex(ids).fillna(0.0).to_numpy()
+        tot = float(hits.sum())
+        if tot <= 0:
+            raise ValueError("personalization has no mass on graph nodes")
+        p = hits / tot
+        r = p.copy()
+    else:
+        p = None
+        r = np.full(n, 1.0 / n)
     dm = float(r[dangling].sum())
     history: list[dict] = []
     converged = False
@@ -227,7 +286,10 @@ def _pagerank_local(
     for it in range(1, max_iter + 1):
         _t0 = _time.time()
         contrib = np.bincount(di, weights=r[si] * frac, minlength=n)
-        new = (1.0 - damping) / n + damping * dm / n + damping * contrib
+        if p is not None:
+            new = p * ((1.0 - damping) + damping * dm) + damping * contrib
+        else:
+            new = (1.0 - damping) / n + damping * dm / n + damping * contrib
         delta = np.abs(new - r)
         l1 = float(delta.sum())
         dm = float(new[dangling].sum())
@@ -268,8 +330,10 @@ def _pagerank_loop(
     resume: bool,
     use_arrow_kernel: bool,
     release_after_build=(),
+    personalization: dict | None = None,
 ) -> PageRankResult:
     spark = graph.edges.sparkSession
+    has_p = personalization is not None
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -291,7 +355,7 @@ def _pagerank_loop(
     m = edges_norm.count()  # materialize once; also the bench denominator
 
     # Node state with dangling flag (no out-edges): left_anti against sources.
-    node_state = (
+    ns = (
         graph.nodes.select(ID)
         .join(
             out_w.select(F.col(SRC).alias(ID)).withColumn("_has_out", F.lit(True)),
@@ -300,15 +364,39 @@ def _pagerank_loop(
         )
         .select(ID, F.coalesce(F.col("_has_out"), F.lit(False)).alias("_dangling"))
         .withColumn("_dangling", ~F.col("_dangling"))
-        .repartition(num_partitions, ID)
-        .persist()
     )
-    n_dangling = node_state.filter("_dangling").count()
+    if has_p:
+        # seed dict is driver-small (top-k seeds): broadcast join, no shuffle
+        seed_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in personalization.items()], [ID, "_p_raw"]
+        )
+        ns = ns.join(F.broadcast(seed_df), ID, "left").withColumn(
+            "_p_raw", F.coalesce(F.col("_p_raw"), F.lit(0.0))
+        )
+    node_state = ns.repartition(num_partitions, ID).persist()
+    if has_p:
+        # one agg materializes the persist AND yields the normalizer + the
+        # seed mass sitting on dangling nodes (dm₀ under r₀ = p)
+        row0 = node_state.agg(
+            F.sum(F.when(F.col("_dangling"), 1).otherwise(0)).alias("nd"),
+            F.sum("_p_raw").alias("tot"),
+            F.sum(F.when(F.col("_dangling"), F.col("_p_raw")).otherwise(0.0)).alias(
+                "dp"
+            ),
+        ).collect()[0]
+        n_dangling = int(row0["nd"])
+        p_total = float(row0["tot"] or 0.0)
+        if p_total <= 0:
+            raise ValueError("personalization has no mass on graph nodes")
+        p_dangling = float(row0["dp"]) / p_total
+    else:
+        n_dangling = node_state.filter("_dangling").count()
     # edges_norm and node_state are now materialized; any raw-table persist
     # the strategy gate handed over is dead weight for the whole loop
     for df in release_after_build:
         df.unpersist()
 
+    p_col = [(F.col("_p_raw") / F.lit(p_total)).alias("_p")] if has_p else []
     start_step = 0
     history: list[dict] = []
     if resume and checkpoint is not None and checkpoint.latest_step() is not None:
@@ -319,11 +407,17 @@ def _pagerank_loop(
         )
         state = (
             node_state.join(loaded, ID)
-            .select(ID, "_dangling", F.col("_pr").alias("pagerank"))
+            .select(ID, "_dangling", *p_col, F.col("_pr").alias("pagerank"))
             .repartition(num_partitions, ID)
         )
         dangling_mass = man["metrics"]["dangling_mass"]
         history = man["metrics"].get("history", [])
+    elif has_p:
+        # r₀ = p (teleport-seeded start; see pagerank() docstring)
+        state = node_state.select(
+            ID, "_dangling", *p_col, (F.col("_p_raw") / F.lit(p_total)).alias("pagerank")
+        )
+        dangling_mass = p_dangling
     else:
         # narrow projection of node_state: inherits its hash(id) partitioning
         state = node_state.select(ID, "_dangling", F.lit(1.0 / n).alias("pagerank"))
@@ -346,12 +440,16 @@ def _pagerank_loop(
             .groupBy(DST)
             .agg(F.sum(F.col("pagerank") * F.col("frac")).alias("_contrib"))
         )
-        new_rank_col = update_expr(damping, n, dangling_mass, use_arrow_kernel)
+        new_rank_col = update_expr(
+            damping, n, dangling_mass, use_arrow_kernel, personalized=has_p
+        )
+        carry_p = [F.col("_p")] if has_p else []
         # state hash(id) ⋈ contrib hash(dst): co-partitioned, no exchange;
         # the old rank rides along as _old so stats is a pure scan.
         new_state = state.join(contrib, F.col(ID) == F.col(DST), "left").select(
             ID,
             F.col("_dangling"),
+            *carry_p,
             F.col("pagerank").alias("_old"),
             new_rank_col.alias("pagerank"),
         )
@@ -402,7 +500,7 @@ def _pagerank_loop(
                     "history": history,
                 },
             )
-        state = new_state.select(ID, "_dangling", "pagerank")
+        state = new_state.select(ID, "_dangling", *carry_p, "pagerank")
         if l1 <= tol:
             converged = True
             break

@@ -68,3 +68,33 @@ def test_triangle_none(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "d")]
     g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
     assert triangle_count(g) == 0
+
+
+def test_lpa_checkpoint_resume_equivalence(spark, tmp_ckpt):
+    """LPA interrupted mid-superstep-loop and resumed must produce bit-exact
+    labels vs an uninterrupted run (BASELINE.json:14 resumability — third
+    resumable loop after pagerank and two-star CC). Synchronous LPA is
+    deterministic, so the label table is the entire superstep state."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    edges = random_digraph(60, 0.06, seed=21)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+
+    full = label_propagation(g, max_iter=12)
+    mgr = CheckpointManager(tmp_ckpt, spark)
+    # interrupt after 2 supersteps (max_iter=2 simulates a killed run)
+    label_propagation(g, max_iter=2, checkpoint=mgr, checkpoint_interval=2)
+    assert mgr.latest_step() == 2
+    man = mgr.manifest(2)
+    assert [h["step"] for h in man["metrics"]["history"]] == [1, 2]
+    assert man["tables"]["labels"]["partition_rows"]  # per-partition lineage
+
+    resumed = label_propagation(g, max_iter=10, checkpoint=mgr, resume=True)
+    a = {r["id"]: r["label"] for r in full.collect()}
+    b = {r["id"]: r["label"] for r in resumed.collect()}
+    assert a == b
+    # resume from a converged snapshot iterates zero supersteps
+    last = mgr.latest_step()
+    assert mgr.manifest(last)["metrics"]["converged"]
+    again = label_propagation(g, checkpoint=mgr, resume=True)
+    assert {r["id"]: r["label"] for r in again.collect()} == a

@@ -175,3 +175,76 @@ def test_default_update_path_is_codegen(spark):
     got = sorted(r["pagerank"] for r in native.collect())
     want = sorted(r["pagerank"] for r in arrow.collect())
     assert all(abs(x - y) < 1e-15 for x, y in zip(got, want))
+
+
+def _np_ppr(edges, personalization, directed=True, damping=0.85, iters=2000):
+    """Dense numpy personalized-PageRank oracle matching the engine's
+    documented semantics: p normalized over graph nodes, r0 = p, dangling
+    mass redistributed by p."""
+    g = nx.DiGraph() if directed else nx.Graph()
+    for e in edges:
+        g.add_edge(e[0], e[1])
+    nodes = sorted(g.nodes())
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for u, v in g.edges():
+        m[idx[u], idx[v]] += 1.0
+        if not directed:
+            m[idx[v], idx[u]] += 1.0
+    out = m.sum(axis=1)
+    dangling = out == 0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m = np.where(out[:, None] > 0, m / np.where(out[:, None] == 0, 1, out[:, None]), 0)
+    p = np.array([personalization.get(v, 0.0) for v in nodes], dtype=float)
+    p = p / p.sum()
+    r = p.copy()
+    for _ in range(iters):
+        dm = r[dangling].sum()
+        r_new = (1 - damping) * p + damping * (m.T @ r + dm * p)
+        if np.abs(r_new - r).sum() < 1e-13:
+            return {v: r_new[idx[v]] for v in nodes}, True
+        r = r_new
+    return {v: r[idx[v]] for v in nodes}, False
+
+
+def test_personalized_pagerank_parity(spark):
+    edges = random_digraph(40, 0.08, seed=7)
+    seeds = {edges[0][0]: 2.0, edges[1][0]: 1.0, edges[2][1]: 1.0}
+    oracle, _ = _np_ppr([(s, d) for s, d, _ in edges], seeds)
+    df = spark.createDataFrame([(s, d) for s, d, _ in edges], ["src", "dst"])
+    g = LinkGraph(df)
+    res = pagerank(g, personalization=seeds, tol=1e-12, max_iter=500)
+    got = {r["id"]: r["pagerank"] for r in res.ranks.collect()}
+    assert set(got) == set(oracle)
+    ours = np.array([got[k] for k in sorted(oracle)])
+    ref = np.array([oracle[k] for k in sorted(oracle)])
+    assert np.allclose(ours, ref, atol=1e-8), np.abs(ours - ref).max()
+    # teleport-seeded mass: seeds hold strictly more rank than uniform share
+    assert got[edges[0][0]] > 1.0 / len(oracle)
+
+
+def test_personalized_strategies_agree(spark):
+    edges = random_digraph(30, 0.1, seed=3)
+    seeds = {edges[0][0]: 1.0}
+    df = spark.createDataFrame([(s, d) for s, d, _ in edges], ["src", "dst"])
+    g = LinkGraph(df)
+    a = pagerank(g, personalization=seeds, tol=1e-10, max_iter=200,
+                 strategy="local")
+    b = pagerank(g, personalization=seeds, tol=1e-10, max_iter=200,
+                 strategy="distributed")
+    ga = {r["id"]: r["pagerank"] for r in a.ranks.collect()}
+    gb = {r["id"]: r["pagerank"] for r in b.ranks.collect()}
+    assert set(ga) == set(gb)
+    assert np.allclose([ga[k] for k in sorted(ga)], [gb[k] for k in sorted(ga)],
+                       atol=1e-9)
+
+
+def test_personalization_validation(spark):
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(g, personalization={})
+    with pytest.raises(ValueError, match=">=0"):
+        pagerank(g, personalization={"a": -1.0})
+    with pytest.raises(ValueError, match="no mass"):
+        pagerank(g, personalization={"zzz": 1.0}, strategy="distributed")

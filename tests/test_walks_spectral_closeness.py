@@ -228,3 +228,31 @@ def test_node2vec_zero_weight_edges_uniform(spark):
             if r["random_walks"][0] == "s":
                 seen.add(r["random_walks"][1])
     assert len(seen) > 1  # NaN CDF would deterministically pick one target
+
+
+def test_harmonic_matches_networkx(spark):
+    from linkgraph import harmonic_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"),
+             ("x", "y")]  # disconnected pair: harmonic handles it natively
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = LinkGraph(df, keys={"directed": False})
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    ref = nx.harmonic_centrality(nx.Graph(edges))
+    assert set(got) == set(ref)
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_harmonic_landmarks_subset(spark):
+    from linkgraph import harmonic_centrality
+
+    edges = [("a", "b"), ("b", "c")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": False})
+    got = {r["id"]: r["harmonic"] for r in
+           harmonic_centrality(g, landmarks=["a"]).collect()}
+    # 1/d(b→a)=1, 1/d(c→a)=0.5, landmark itself contributes 0
+    assert got["b"] == pytest.approx(1.0)
+    assert got["c"] == pytest.approx(0.5)
+    assert got["a"] == 0.0
