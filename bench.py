@@ -136,6 +136,15 @@ def main():
 
     timed("closeness_corpus", _closeness_corpus)
 
+    def _kcore_corpus():
+        # 2-core peeling at scale: algebraic degree agg + two semi-joins per
+        # round, fixpoint on the surviving-edge count
+        from linkgraph import k_core
+
+        extra["kcore2_nodes"] = k_core(g, 2).count()
+
+    timed("kcore2_corpus", _kcore_corpus)
+
     g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri

@@ -1448,3 +1448,139 @@ QUERIES = {
 
 ORACLE_SQL.update(_media_oracle_sql())
 ORACLE_SQL.update(_ROUND3_ORACLES)
+
+
+# ------------------------------------------------------------------ round 4
+
+
+def q_ppr_nation_region_5(spark, sf_dir):
+    """Personalized PageRank, fixed 5 supersteps through the DISTRIBUTED
+    plan (the broadcast-seed teleport path): seeds n0/n1/r0 at 1:1:2.
+    SQL-expressible by unrolling; nation-region is dangling-free (undirected),
+    so the update is r' = p·(1-d) + d·Σ contrib with r0 = p."""
+    g = nation_region_graph(spark, sf_dir)
+    res = pagerank(
+        g,
+        damping=DAMPING,
+        tol=0.0,
+        max_iter=5,
+        strategy="distributed",
+        personalization={"n0": 1.0, "n1": 1.0, "r0": 2.0},
+    )
+    return res.ranks.select(
+        "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_millionths")
+    )
+
+
+def _ppr_unrolled_sql(n_iters: int = 5, damping: float = DAMPING) -> str:
+    """Unrolled personalized PageRank on nation-region; seeds n0/n1/r0 at
+    1:1:2 (normalizer 4 is a power of two, so p is float-exact)."""
+    d = damping
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "p AS (SELECT id, CASE WHEN id = 'n0' THEN CAST(1.0 AS DOUBLE) / 4 "
+        "WHEN id = 'n1' THEN CAST(1.0 AS DOUBLE) / 4 "
+        "WHEN id = 'r0' THEN CAST(2.0 AS DOUBLE) / 4 "
+        "ELSE CAST(0.0 AS DOUBLE) END AS p FROM nodes)",
+        "r0 AS (SELECT id, p AS r FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT p.id, p.p * (CAST(1.0 AS DOUBLE) - {d}) "
+            f"+ {d} * coalesce(c.s, CAST(0 AS DOUBLE)) AS r "
+            f"FROM p LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r{i-1}.r / deg.d) AS s "
+            f"FROM e JOIN r{i-1} ON e.src = r{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON p.id = c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(r * 1000000) AS BIGINT) AS pr_millionths FROM r{n_iters}"
+    )
+
+
+def q_harmonic_nation_region(spark, sf_dir):
+    """Harmonic centrality, all-pairs on the 30-node star forest. Closed
+    form: a nation sees its region at 1 and its (k_r - 1) siblings at 2; a
+    region sees its k_r nations at 1; other components unreachable (harmonic
+    handles that natively — no division blowup)."""
+    from linkgraph import harmonic_centrality
+
+    g = nation_region_graph(spark, sf_dir)
+    return harmonic_centrality(g).select(
+        "id", F.round(F.col("harmonic") * 1e6).cast("long").alias("h_millionths")
+    )
+
+
+def q_core_number_region_clique(spark, sf_dir):
+    """Exact core numbers on a K5 region clique with nation tails: regions
+    peel at phase 4 (core 4), nations at phase 1 (core 1) — closed form,
+    value-hash-checkable, exercises multi-phase peeling end-to-end."""
+    from linkgraph import core_number
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    star = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    g = LinkGraph(clique.union(star))
+    return core_number(g)
+
+
+def q_lpa_resume_events_2(spark, sf_dir):
+    """Kill-and-resume equivalence for LPA through the driver gate: one
+    superstep with checkpointing (simulating an interrupted job), then a
+    resumed call runs exactly one more — the result must hash-match the
+    2-superstep unrolled oracle, proving bit-exact resumability by value
+    equality (third resumable loop after pagerank and two-star CC)."""
+    import tempfile
+
+    from linkgraph import CheckpointManager
+
+    g = events_graph(spark, sf_dir)
+    mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_lpa_"), spark)
+    label_propagation(g, max_iter=1, checkpoint=mgr, checkpoint_interval=1)
+    if mgr.latest_step() != 1:
+        raise RuntimeError("interrupted run failed to checkpoint step 1")
+    return label_propagation(g, max_iter=1, checkpoint=mgr, resume=True)
+
+
+_ROUND4_ORACLES = {
+    "ppr_nation_region_5": _ppr_unrolled_sql(5),
+    "harmonic_nation_region": """
+        WITH k AS (SELECT n_regionkey, CAST(count(*) AS DOUBLE) AS kr
+                   FROM nation GROUP BY n_regionkey)
+        SELECT 'n' || n_nationkey AS id,
+               CAST(round((1.0 + (kr - 1.0) / 2.0) * 1000000) AS BIGINT)
+               AS h_millionths
+        FROM nation JOIN k USING (n_regionkey)
+        UNION ALL
+        SELECT 'r' || n_regionkey AS id,
+               CAST(round(kr * 1000000) AS BIGINT) AS h_millionths
+        FROM k
+    """,
+    "core_number_region_clique": """
+        SELECT 'r' || r_regionkey AS id, CAST(4 AS INT) AS core FROM region
+        UNION ALL
+        SELECT 'n' || n_nationkey AS id, CAST(1 AS INT) AS core FROM nation
+    """,
+    "lpa_resume_events_2": _lpa_unrolled_sql(2),
+}
+
+QUERIES.update(
+    {
+        "ppr_nation_region_5": q_ppr_nation_region_5,
+        "harmonic_nation_region": q_harmonic_nation_region,
+        "core_number_region_clique": q_core_number_region_clique,
+        "lpa_resume_events_2": q_lpa_resume_events_2,
+    }
+)
+ORACLE_SQL.update(_ROUND4_ORACLES)

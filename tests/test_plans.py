@@ -165,3 +165,40 @@ def test_ivf_index_path_partition_prunes(spark, tmp_path):
     a = [r["vec_id"] for r in out.collect()]
     b = [r["vec_id"] for r in mem.search([1.0, 0.0, 1.0], k=5, n_probe=2).collect()]
     assert a == b
+
+
+def test_kcore_peel_round_is_algebraic(spark):
+    """One k-core peel round must be: algebraic degree aggregate + two
+    semi-joins — no Window, no Python stage. A window-ranked degree would
+    concentrate hub candidate rows in one task (same risk class as the r3
+    LPA/Louvain findings)."""
+    from linkgraph.algorithms.kcore import _undirected_pairs
+
+    g = LinkGraph(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]))
+    pairs = _undirected_pairs(g)
+    keep = (pairs.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= 2).select("u"))
+    nxt = (pairs.join(keep, "u", "left_semi")
+           .join(keep.select(F.col("u").alias("v")), "v", "left_semi"))
+    plan = _plan(nxt)
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_ppr_distributed_seed_join_broadcasts(spark):
+    """The personalized-PageRank seed table must reach the node table via a
+    broadcast join (seeds are driver-small by design) — never a shuffle of
+    the 100-TB node table against a 3-row dict."""
+    from linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"])
+    g = LinkGraph(edges)
+    res = pagerank(g, personalization={"a": 1.0, "b": 1.0}, max_iter=2,
+                   tol=0.0, strategy="distributed")
+    ranks = {r["id"]: r["pagerank"] for r in res.ranks.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # seeds hold the teleport mass; 'd' only receives via its in-edge
+    assert ranks["a"] > ranks["d"]
