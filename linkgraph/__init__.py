@@ -33,6 +33,8 @@ from linkgraph.algorithms.closeness import (
 )
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.kcore import core_number, k_core
+from linkgraph.algorithms.linkpred import link_prediction_scores
+from linkgraph.io import read_edges_bucketed, write_edges_bucketed
 from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.estimators import (
     LouvainCommunities,
@@ -52,6 +54,9 @@ __all__ = [
     "label_propagation",
     "k_core",
     "core_number",
+    "link_prediction_scores",
+    "write_edges_bucketed",
+    "read_edges_bucketed",
     "triangle_count",
     "triangle_counts_per_vertex",
     "louvain_communities",

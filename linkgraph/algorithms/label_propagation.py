@@ -17,10 +17,12 @@ at every stage — in the FIRST supersteps every neighbor label is distinct,
 so a 10M-degree hub has 10M candidate rows; the former
 row_number over (partitionBy(v)) top-1 sorted all of them in one task,
 whereas the min(struct) partial-agg collapses them to one row per upstream
-partition before the exchange. (Measured cost at 2.3M edges/no hubs: the
-struct agg is ~1.2-1.5× the window's wall — the price of hub safety; see
-BENCH/lpa_top1_ab.md.) Per-superstep localCheckpoint stops plan growth;
-one action per superstep for convergence.
+partition before the exchange. (Measured, interleaved A/B medians at
+local[32]: struct 0.63× the window's wall on the hub-free 2.3M-edge corpus
+and a tie on a degree-4M star hub — Spark 4's Partial WindowGroupLimit
+makes the window top-1 map-side-bounded too, but the algebraic form still
+wins or ties; see BENCH/lpa_top1_ab.md.) Per-superstep localCheckpoint
+stops plan growth; one action per superstep for convergence.
 """
 
 from __future__ import annotations

@@ -202,3 +202,42 @@ def test_ppr_distributed_seed_join_broadcasts(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     # seeds hold the teleport mass; 'd' only receives via its in-edge
     assert ranks["a"] > ranks["d"]
+
+
+def test_bucketed_edge_table_joins_without_exchange(spark, tmp_path):
+    """Edges written bucketBy(src) must let a src-keyed aggregation and a
+    src=src self-join plan WITHOUT shuffling the edge table — the bucket
+    layout is the shuffle, paid once at write time (the 100 TB co-located
+    join story; a plain parquet read of the same files would exchange)."""
+    from linkgraph import read_edges_bucketed, write_edges_bucketed
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 7}", f"d{i}", 1.0) for i in range(50)],
+        ["src", "dst", "weight"],
+    )
+    write_edges_bucketed(edges, "edges_bkt", buckets=4,
+                         path=str(tmp_path / "edges_bkt"))
+    try:
+        g = read_edges_bucketed(spark, "edges_bkt")
+        agg_plan = _plan(g.edges.groupBy("src").count())
+        assert "Exchange" not in agg_plan  # bucket layout satisfies the agg
+        # Disable auto-broadcast: at test size the planner would broadcast
+        # one side (fine, but it hides the layout property under audit —
+        # at 100 TB neither side of the self-join is broadcastable).
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = g.edges.alias("a"), g.edges.alias("b")
+            j = a.join(b, F.col("a.src") == F.col("b.src")).where(
+                F.col("a.dst") < F.col("b.dst")
+            )
+            join_plan = _plan(j)
+            assert "Exchange" not in join_plan  # co-located self-join
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # sanity: same files through a catalog-less read DO exchange
+        raw = spark.read.parquet(str(tmp_path / "edges_bkt"))
+        raw_plan = _plan(raw.groupBy("src").count())
+        assert "Exchange" in raw_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_bkt")
