@@ -1553,6 +1553,70 @@ def q_lpa_resume_events_2(spark, sf_dir):
     return label_propagation(g, max_iter=1, checkpoint=mgr, resume=True)
 
 
+def _linkpred_rounded(df):
+    return df.select(
+        "u",
+        "v",
+        F.col("common").cast("long").alias("common"),
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jac_millionths"),
+        F.round(F.col("adamic_adar") * 1e6).cast("long").alias("aa_millionths"),
+    )
+
+
+def q_linkpred_capped_lineitem(spark, sf_dir):
+    """Link-prediction scores over the supplier-part bipartite graph with
+    the hub cap binding: parts (degree ~30-52 across SFs) stay as wedge
+    middles, suppliers (degree ~600) are dropped from the wedge role, so
+    the result is supplier-supplier candidate pairs scored by shared parts
+    — common / Jaccard / Adamic-Adar, with Jaccard denominators still using
+    FULL degrees. Value-hash-checks the capped semantics end-to-end."""
+    from linkgraph import link_prediction_scores
+
+    g = lineitem_graph(spark, sf_dir)
+    return _linkpred_rounded(
+        link_prediction_scores(g, max_neighbor_degree=100)
+    )
+
+
+def q_linkpred_events(spark, sf_dir):
+    """Uncapped link-prediction over the user-event bipartite graph: both
+    wedge roles contribute (user-user pairs via shared event types AND
+    event-event pairs via shared users)."""
+    from linkgraph import link_prediction_scores
+
+    g = events_graph(spark, sf_dir)
+    return _linkpred_rounded(link_prediction_scores(g))
+
+
+def _linkpred_sql(edge_cte: str, cap: int | None) -> str:
+    cap_pred = f"WHERE d.deg <= {cap}" if cap is not None else ""
+    return f"""
+        WITH e0 AS ({edge_cte}),
+        e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM e0 WHERE s <> d),
+        nb AS (SELECT a AS node, b AS nbr FROM e
+               UNION ALL SELECT b AS node, a AS nbr FROM e),
+        deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+        byw AS (SELECT nb.nbr AS w, nb.node, d.deg AS wdeg
+                FROM nb JOIN deg d ON nb.nbr = d.node {cap_pred}),
+        pairs AS (SELECT l.node AS u, r.node AS v,
+                         count(*) AS common,
+                         sum(1.0 / ln(CAST(l.wdeg AS DOUBLE))) AS aa
+                  FROM byw l JOIN byw r
+                  ON l.w = r.w AND l.node < r.node
+                  GROUP BY l.node, r.node),
+        ne AS (SELECT p.* FROM pairs p LEFT JOIN e
+               ON p.u = e.a AND p.v = e.b WHERE e.a IS NULL)
+        SELECT ne.u, ne.v, CAST(ne.common AS BIGINT) AS common,
+               CAST(round(CAST(ne.common AS DOUBLE)
+                    / (du.deg + dv.deg - ne.common) * 1000000) AS BIGINT)
+               AS jac_millionths,
+               CAST(round(aa * 1000000) AS BIGINT) AS aa_millionths
+        FROM ne JOIN deg du ON ne.u = du.node
+                JOIN deg dv ON ne.v = dv.node
+    """
+
+
 _ROUND4_ORACLES = {
     "ppr_nation_region_5": _ppr_unrolled_sql(5),
     "harmonic_nation_region": """
@@ -1573,6 +1637,16 @@ _ROUND4_ORACLES = {
         SELECT 'n' || n_nationkey AS id, CAST(1 AS INT) AS core FROM nation
     """,
     "lpa_resume_events_2": _lpa_unrolled_sql(2),
+    "linkpred_capped_lineitem": _linkpred_sql(
+        "SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
+        " FROM lineitem",
+        cap=100,
+    ),
+    "linkpred_events": _linkpred_sql(
+        "SELECT DISTINCT 'u' || user_id AS s, 'e' || event_type AS d"
+        " FROM events",
+        cap=None,
+    ),
 }
 
 QUERIES.update(
@@ -1581,6 +1655,8 @@ QUERIES.update(
         "harmonic_nation_region": q_harmonic_nation_region,
         "core_number_region_clique": q_core_number_region_clique,
         "lpa_resume_events_2": q_lpa_resume_events_2,
+        "linkpred_capped_lineitem": q_linkpred_capped_lineitem,
+        "linkpred_events": q_linkpred_events,
     }
 )
 ORACLE_SQL.update(_ROUND4_ORACLES)

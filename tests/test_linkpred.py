@@ -1,0 +1,96 @@
+"""Link-prediction scores parity vs networkx, cap semantics, plan shape."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from linkgraph import LinkGraph, link_prediction_scores
+from tests.fixtures import random_digraph
+
+
+def _nx_graph(edges):
+    g = nx.Graph()
+    g.add_edges_from((s, d) for s, d, *_ in edges if s != d)
+    return g
+
+
+def _collect(df):
+    return {
+        (r["u"], r["v"]): (r["common"], r["jaccard"], r["adamic_adar"])
+        for r in df.collect()
+    }
+
+
+def test_scores_networkx_parity(spark):
+    edges = random_digraph(50, 0.08, seed=7)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    got = _collect(link_prediction_scores(g))
+    nxg = _nx_graph(edges)
+    pairs = list(got)
+    assert pairs, "test graph produced no 2-hop non-edges"
+    jac = {(u, v): p for u, v, p in nx.jaccard_coefficient(nxg, pairs)}
+    aa = {(u, v): p for u, v, p in nx.adamic_adar_index(nxg, pairs)}
+    for (u, v), (common, j, a) in got.items():
+        assert not nxg.has_edge(u, v)  # exclude_edges
+        assert common == len(list(nx.common_neighbors(nxg, u, v)))
+        assert j == pytest.approx(jac[(u, v)], abs=1e-12)
+        assert a == pytest.approx(aa[(u, v)], abs=1e-12)
+    # completeness: every non-adjacent 2-hop pair with >=1 common nbr shows up
+    expected = {
+        tuple(sorted((u, v)))
+        for u in nxg
+        for v in nxg
+        if u < v
+        and not nxg.has_edge(u, v)
+        and len(list(nx.common_neighbors(nxg, u, v)))
+    }
+    assert set(got) == expected
+
+
+def test_include_edges_and_min_common(spark):
+    # square a-b-c-d-a plus diagonal a-c: pair (b,d) has common {a,c}
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    all_pairs = _collect(link_prediction_scores(g, exclude_edges=False))
+    # existing edge (a, c) scored too: common nbrs {b, d}
+    assert all_pairs[("a", "c")][0] == 2
+    only_new = _collect(link_prediction_scores(g))
+    assert ("a", "c") not in only_new
+    assert only_new[("b", "d")][0] == 2
+    # jaccard for (b,d): deg b=2, deg d=2, common 2 -> 2/(2+2-2)=1.0
+    assert only_new[("b", "d")][1] == pytest.approx(1.0)
+    # adamic-adar: a and c both have degree 3 -> 2/ln 3
+    assert only_new[("b", "d")][2] == pytest.approx(2.0 / math.log(3.0))
+    assert _collect(link_prediction_scores(g, min_common=3)) == {}
+
+
+def test_max_neighbor_degree_caps_wedges_not_jaccard_degrees(spark):
+    # hub h adjacent to x0..x4; x0-x1 also share low-degree w
+    edges = [("h", f"x{i}") for i in range(5)] + [("w", "x0"), ("w", "x1")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    capped = _collect(link_prediction_scores(g, max_neighbor_degree=2))
+    # wedges through h (deg 5) dropped: (x0,x1) survives only via w; the
+    # (h,w) pair survives via x0/x1 (deg 2, under the cap); all (xi,xj)
+    # pairs whose only wedge is h disappear
+    assert set(capped) == {("x0", "x1"), ("h", "w")}
+    assert capped[("h", "w")][0] == 2
+    common, j, a = capped[("x0", "x1")]
+    assert common == 1
+    # jaccard denominator uses FULL degrees (x0: {h,w}=2, x1: 2) -> 1/3
+    assert j == pytest.approx(1.0 / 3.0)
+    assert a == pytest.approx(1.0 / math.log(2.0))
+    uncapped = _collect(link_prediction_scores(g))
+    assert uncapped[("x0", "x1")][0] == 2  # h and w both common
+
+
+def test_no_window_in_plan(spark):
+    from linkgraph.algorithms.linkpred import _scores_lazy
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    df, und = _scores_lazy(g, None, True, 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    und.unpersist()
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
