@@ -145,6 +145,16 @@ def main():
 
     timed("kcore2_corpus", _kcore_corpus)
 
+    def _linkpred_corpus():
+        # capped wedge enumeration + one algebraic groupBy; min_common=2
+        # cuts the weak-candidate tail before the shuffle writes it
+        from linkgraph import link_prediction_scores
+
+        out = link_prediction_scores(g, max_neighbor_degree=64, min_common=2)
+        extra["linkpred_pairs"] = out.count()
+
+    timed("linkpred_corpus", _linkpred_corpus)
+
     g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri

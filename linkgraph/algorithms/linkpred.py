@@ -66,13 +66,14 @@ def link_prediction_scores(
     neighbors — at scale, raise it to cut the long tail of weak candidates
     before the shuffle writes them.
     """
-    out, und = _scores_lazy(
+    out, cached = _scores_lazy(
         graph, max_neighbor_degree, exclude_edges, min_common
     )
-    # materialize before releasing the shared undirected-edge cache
+    # materialize before releasing the shared caches
     # (repo-wide pattern, cf. triangles.triangle_counts_per_vertex)
     out = out.localCheckpoint(eager=True)
-    und.unpersist()
+    for df in cached:
+        df.unpersist()
     return out
 
 
@@ -82,14 +83,21 @@ def _scores_lazy(
     exclude_edges: bool,
     min_common: int,
 ):
-    """Lazy scores plan + the persisted undirected edge table it reuses
-    (split out so tests can audit the plan before lineage truncation)."""
+    """Lazy scores plan + the persisted DataFrames it reuses (returned so
+    the caller releases them after materializing; split out so tests can
+    audit the plan before lineage truncation).
+
+    Cache discipline (plan-audited): without persists the degree aggregate
+    recomputes FOUR times (both wedge-join sides + du + dv) and the capped
+    wedge table twice — each a full exchange over the edge table. ``deg``
+    and ``by_w`` are persisted so every reuse is a cache scan; the big
+    shuffle left is the single groupBy((u, v)) over the wedge join."""
     und = _undirected_edges(graph).persist()
     # symmetric neighbor table: one row (node, nbr) per direction
     nbrs = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     # wedge-role neighbors: each row says "w is adjacent to node"; cap w's
     # degree here so a hub never enters the self-join fan-out
@@ -98,6 +106,7 @@ def _scores_lazy(
     by_w = by_w.join(wdeg, "w")
     if max_neighbor_degree is not None:
         by_w = by_w.filter(F.col("wdeg") <= F.lit(max_neighbor_degree))
+    by_w = by_w.persist()
 
     left = by_w.select("w", F.col("node").alias("u"), "wdeg")
     right = by_w.select("w", F.col("node").alias("v"))
@@ -135,4 +144,4 @@ def _scores_lazy(
             "adamic_adar",
         )
     )
-    return out, und
+    return out, (und, deg, by_w)

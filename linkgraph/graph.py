@@ -300,6 +300,13 @@ class LinkGraph:
 
         return connected_components(self, **kwargs)
 
+    def link_prediction(self, **kwargs) -> DataFrame:
+        """Beyond-reference surface; DataFrame[u, v, common, jaccard,
+        adamic_adar] over 2-hop candidate pairs."""
+        from linkgraph.algorithms.linkpred import link_prediction_scores
+
+        return link_prediction_scores(self, **kwargs)
+
     # ------------------------------------------------------ degrees (A1)
 
     def out_degree(self) -> DataFrame:

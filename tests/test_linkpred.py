@@ -63,6 +63,8 @@ def test_include_edges_and_min_common(spark):
     # adamic-adar: a and c both have degree 3 -> 2/ln 3
     assert only_new[("b", "d")][2] == pytest.approx(2.0 / math.log(3.0))
     assert _collect(link_prediction_scores(g, min_common=3)) == {}
+    # method wrapper parity
+    assert _collect(g.link_prediction()) == only_new
 
 
 def test_max_neighbor_degree_caps_wedges_not_jaccard_degrees(spark):
@@ -89,8 +91,9 @@ def test_no_window_in_plan(spark):
 
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
     g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
-    df, und = _scores_lazy(g, None, True, 1)
+    df, cached = _scores_lazy(g, None, True, 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    und.unpersist()
+    for c in cached:
+        c.unpersist()
     assert "Window" not in plan
     assert "EvalPython" not in plan
