@@ -177,53 +177,162 @@ def louvain_communities(
     max_iter: int = 10,
     resolution: float = 1.0,
     all_partitions: bool = False,
+    checkpoint=None,
+    checkpoint_interval: int = 2,
+    max_supersteps: int | None = None,
+    resume: bool = False,
 ) -> LouvainResult:
     """Fit Louvain on an undirected graph given as single-stored edges
-    (each undirected edge appears once; weights optional)."""
+    (each undirected edge appears once; weights optional).
+
+    ``checkpoint``/``resume`` complete the resumability story
+    (BASELINE.json:14) for the fourth and last iterative loop (after
+    pagerank, two-star CC and LPA): every ``checkpoint_interval`` inner
+    reassignment iterations the full cross-pass state — coarsened ``edges``,
+    the per-pass label accumulator ``ret`` and the in-pass partition ``p1``
+    — is snapshotted through a :class:`linkgraph.checkpoint.CheckpointManager`
+    together with scalar loop state (pass index, inner iteration, ``m``,
+    last modularity, per-step moved-node counts). ``resume=True`` continues
+    mid-pass; the reassignment has deterministic tie-breaks, so a resumed
+    run is bit-exact with an uninterrupted one. ``max_supersteps`` is a
+    global inner-iteration budget across passes (a clean kill switch for
+    budget-limited runs): when exhausted the run snapshots its state (if a
+    manager is set) and returns the best completed-pass labels so far."""
     if resolution < 0:
         raise ValueError(f"Resolution value is {resolution} and cannot be < 0.")
     with static_plans(graph.edges.sparkSession):
         return _louvain_loop(
-            graph, min_modularity_gain, max_pass, max_iter, resolution, all_partitions
+            graph,
+            min_modularity_gain,
+            max_pass,
+            max_iter,
+            resolution,
+            all_partitions,
+            checkpoint,
+            checkpoint_interval,
+            max_supersteps,
+            resume,
         )
+
+
+def _finish(ret: DataFrame, modularity: float, n_pass: int, all_partitions: bool):
+    pass_cols = sorted(
+        (c for c in ret.columns if c.startswith("pass")),
+        key=lambda c: int(c.replace("pass", "")),
+    )
+    last = pass_cols[-1]
+    if all_partitions:
+        labels = ret.select(["id"] + pass_cols).withColumn("cluster", F.col(last))
+    else:
+        labels = ret.select("id", F.col(last).alias("cluster"))
+    return LouvainResult(labels=labels, modularity=modularity, passes=n_pass)
 
 
 def _louvain_loop(
-    graph, min_modularity_gain, max_pass, max_iter, resolution, all_partitions
+    graph,
+    min_modularity_gain,
+    max_pass,
+    max_iter,
+    resolution,
+    all_partitions,
+    checkpoint,
+    checkpoint_interval,
+    max_supersteps,
+    resume,
 ):
-    edges = graph.edges.select(SRC, DST, graph.weight_col().alias("weight"))
-    _check_no_duplicates(edges)
-    edges = edges.localCheckpoint(eager=True)
+    gstep = 0
+    history: list[dict] = []
+    p1 = None
+    it = 0
+    if resume and checkpoint is not None and checkpoint.latest_step() is not None:
+        gstep = checkpoint.latest_step()
+        met = checkpoint.manifest(gstep)["metrics"]
+        ret = checkpoint.load(gstep, "ret").localCheckpoint(eager=True)
+        if met.get("done"):
+            return _finish(ret, met["modularity0"], met["n_pass"], all_partitions)
+        edges = checkpoint.load(gstep, "edges").localCheckpoint(eager=True)
+        p1 = checkpoint.load(gstep, "p1").localCheckpoint(eager=True)
+        m = float(met["m"])
+        modularity0 = float(met["modularity0"])
+        n_pass = int(met["n_pass"])
+        it = int(met["it"])
+        history = met.get("history", [])
+    else:
+        edges = graph.edges.select(SRC, DST, graph.weight_col().alias("weight"))
+        _check_no_duplicates(edges)
+        edges = edges.localCheckpoint(eager=True)
 
-    nodes0 = (
-        edges.selectExpr(f"{SRC} as id")
-        .unionByName(edges.selectExpr(f"{DST} as id"))
-        .distinct()
-    )
-    # ret accumulates the community of each ORIGINAL node per pass
-    ret = nodes0.withColumn("pass0", F.col("id")).localCheckpoint(eager=True)
-
-    m = edges.agg(F.sum("weight")).collect()[0][0]
-    m = float(m)
-    modularity0 = -1.0
-    n_pass = 0
-
-    can_pass = True
-    while can_pass:
-        p1 = (
+        nodes0 = (
             edges.selectExpr(f"{SRC} as id")
             .unionByName(edges.selectExpr(f"{DST} as id"))
             .distinct()
-            .withColumn("c", F.col("id"))
         )
-        it = 0
+        # ret accumulates the community of each ORIGINAL node per pass
+        ret = nodes0.withColumn("pass0", F.col("id")).localCheckpoint(eager=True)
+
+        m = float(edges.agg(F.sum("weight")).collect()[0][0])
+        modularity0 = -1.0
+        n_pass = 0
+
+    def _save(done: bool):
+        tables = {"ret": ret} if done else {"ret": ret, "edges": edges, "p1": p1}
+        checkpoint.save(
+            gstep,
+            tables,
+            {
+                "done": done,
+                "m": m,
+                "modularity0": modularity0,
+                "n_pass": n_pass,
+                "it": it,
+                "history": history,
+            },
+        )
+
+    budget_left = None if max_supersteps is None else max(0, max_supersteps - gstep)
+
+    can_pass = True
+    while can_pass:
+        if p1 is None:
+            p1 = (
+                edges.selectExpr(f"{SRC} as id")
+                .unionByName(edges.selectExpr(f"{DST} as id"))
+                .distinct()
+                .withColumn("c", F.col("id"))
+            )
+            it = 0
         while it < max_iter:
+            if budget_left is not None and budget_left <= 0:
+                # budget kill switch: snapshot mid-pass and hand back the
+                # labels of the last COMPLETED pass (ret is pass-granular)
+                if checkpoint is not None:
+                    _save(done=False)
+                return _finish(
+                    ret, modularity0, n_pass, all_partitions
+                )
             p2 = _reassign_all(edges, p1, m).localCheckpoint(eager=False)
-            moved = p2.where("cx != cj").limit(1).count() > 0
+            if checkpoint is not None:
+                # moved-node count is Louvain's convergence metric; only
+                # computed when a manager records it (otherwise the cheaper
+                # existence probe keeps the hot path unchanged)
+                n_moved = p2.where("cx != cj").count()
+                moved = n_moved > 0
+            else:
+                n_moved = None
+                moved = p2.where("cx != cj").limit(1).count() > 0
             if not moved:
                 break
             p1 = p2.selectExpr("id", "cj as c")
             it += 1
+            gstep += 1
+            if budget_left is not None:
+                budget_left -= 1
+            if checkpoint is not None:
+                history.append(
+                    {"step": gstep, "pass": n_pass, "it": it, "moved": int(n_moved)}
+                )
+                if it % checkpoint_interval == 0:
+                    _save(done=False)
 
         modularity1 = _modularity(edges, p1, m, resolution)
         can_pass = (modularity1 - modularity0 > min_modularity_gain) and (
@@ -243,14 +352,8 @@ def _louvain_loop(
                 .selectExpr(f"cSrc as {SRC}", f"cDst as {DST}", "weight")
             ).localCheckpoint(eager=True)
         n_pass += 1
+        p1 = None
 
-    pass_cols = sorted(
-        (c for c in ret.columns if c.startswith("pass")),
-        key=lambda c: int(c.replace("pass", "")),
-    )
-    last = pass_cols[-1]
-    if all_partitions:
-        labels = ret.select(["id"] + pass_cols).withColumn("cluster", F.col(last))
-    else:
-        labels = ret.select("id", F.col(last).alias("cluster"))
-    return LouvainResult(labels=labels, modularity=modularity0, passes=n_pass)
+    if checkpoint is not None:
+        _save(done=True)
+    return _finish(ret, modularity0, n_pass, all_partitions)

@@ -1617,6 +1617,44 @@ def _linkpred_sql(edge_cte: str, cap: int | None) -> str:
     """
 
 
+def q_louvain_resume_two_clique(spark, sf_dir):
+    """Kill-and-resume equivalence for Louvain through the driver gate
+    (fourth resumable loop after pagerank, two-star CC and LPA): the run is
+    killed after ONE global inner reassignment iteration via the
+    ``max_supersteps`` budget (state snapshotted mid-pass), then a resumed
+    call finishes the optimization. The canonical labels must hash-match the
+    same closed-form two-clique oracle as ``louvain_two_clique`` — bit-exact
+    resumability proven by value equality."""
+    import tempfile
+
+    from linkgraph import CheckpointManager, louvain_communities
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    a = n.filter("k < 4")
+    b = n.filter("k >= 4 and k < 8")
+
+    def clique(side):
+        x, y = side.alias("x"), side.alias("y")
+        return x.join(y, F.col("x.k") < F.col("y.k")).select(
+            F.col("x.id").alias("src"), F.col("y.id").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+
+    bridge = spark.createDataFrame([("n0", "n4", 0.1)], ["src", "dst", "weight"])
+    g = LinkGraph(clique(a).union(clique(b)).union(bridge))
+
+    mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_lv_"), spark)
+    louvain_communities(g, checkpoint=mgr, checkpoint_interval=1, max_supersteps=1)
+    if mgr.latest_step() != 1 or mgr.manifest(1)["metrics"]["done"]:
+        raise RuntimeError("interrupted louvain failed to checkpoint mid-pass")
+    res = louvain_communities(g, checkpoint=mgr, resume=True)
+    lab = res.labels.select("id", "cluster")
+    rep = lab.groupBy("cluster").agg(F.min("id").alias("community_rep"))
+    return lab.join(rep, "cluster").select("id", "community_rep")
+
+
 _ROUND4_ORACLES = {
     "ppr_nation_region_5": _ppr_unrolled_sql(5),
     "harmonic_nation_region": """
@@ -1637,6 +1675,11 @@ _ROUND4_ORACLES = {
         SELECT 'n' || n_nationkey AS id, CAST(1 AS INT) AS core FROM nation
     """,
     "lpa_resume_events_2": _lpa_unrolled_sql(2),
+    "louvain_resume_two_clique": """
+        SELECT 'n' || n_nationkey AS id,
+               CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS community_rep
+        FROM nation WHERE n_nationkey < 8
+    """,
     "linkpred_capped_lineitem": _linkpred_sql(
         "SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
         " FROM lineitem",
@@ -1655,6 +1698,7 @@ QUERIES.update(
         "harmonic_nation_region": q_harmonic_nation_region,
         "core_number_region_clique": q_core_number_region_clique,
         "lpa_resume_events_2": q_lpa_resume_events_2,
+        "louvain_resume_two_clique": q_louvain_resume_two_clique,
         "linkpred_capped_lineitem": q_linkpred_capped_lineitem,
         "linkpred_events": q_linkpred_events,
     }

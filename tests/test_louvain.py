@@ -58,3 +58,47 @@ def test_louvain_two_cliques_unweighted(spark):
     res = louvain_communities(LinkGraph(df))
     groups = _groups(res.labels.collect())
     assert groups == [{0, 1, 2, 3}, {10, 11, 12, 13}]
+
+
+def test_louvain_checkpoint_resume_equivalence(spark, tmp_ckpt):
+    """Louvain interrupted mid-pass (max_supersteps budget as the kill
+    switch) and resumed must produce bit-exact labels AND modularity vs an
+    uninterrupted run — the fourth resumable loop (BASELINE.json:14) after
+    pagerank, two-star CC and LPA. Deterministic tie-breaks make the whole
+    cross-pass state (edges, ret, p1, scalars) sufficient for exactness."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    def clique(members):
+        return [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]
+
+    edges = (clique(list(range(5))) + clique(list(range(10, 15)))
+             + clique(list(range(20, 24))) + [(0, 10), (10, 20)])
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    g = LinkGraph(df)
+
+    full = louvain_communities(g)
+    mgr = CheckpointManager(tmp_ckpt, spark)
+    # interrupt after 1 global inner iteration (simulates a killed run)
+    partial = louvain_communities(
+        g, checkpoint=mgr, checkpoint_interval=1, max_supersteps=1
+    )
+    assert mgr.latest_step() == 1
+    man = mgr.manifest(1)
+    assert man["metrics"]["done"] is False
+    assert man["metrics"]["history"][0]["moved"] > 0
+    assert man["tables"]["p1"]["partition_rows"]  # per-partition lineage
+    # the killed run hands back only completed-pass labels (pass0 identity)
+    assert partial.passes == 0
+
+    resumed = louvain_communities(g, checkpoint=mgr, resume=True)
+    assert resumed.modularity == full.modularity
+    assert resumed.passes == full.passes
+    a = sorted(full.labels.collect())
+    b = sorted(resumed.labels.collect())
+    assert a == b
+    # resume from a done snapshot recomputes nothing and matches again
+    last = mgr.latest_step()
+    assert mgr.manifest(last)["metrics"]["done"] is True
+    again = louvain_communities(g, checkpoint=mgr, resume=True)
+    assert sorted(again.labels.collect()) == a
+    assert again.modularity == full.modularity
