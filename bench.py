@@ -145,6 +145,30 @@ def main():
 
     timed("kcore2_corpus", _kcore_corpus)
 
+    def _scc_corpus():
+        # directed stress for SCC: orient every corpus edge low→high id and
+        # add the reverse direction for a deterministic 1/3 of edges — the
+        # SCCs are the components of the symmetric subgraph, the rest is
+        # DAG mass the trim rounds must dissolve (the honest mixed workload,
+        # not symmetric-everything ≡ CC)
+        from linkgraph import strongly_connected_components
+
+        und = g.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+        dedges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            und.filter(F.pmod(F.xxhash64("a", "b"), F.lit(3)) == 0).select(
+                F.col("b").alias("src"), F.col("a").alias("dst")
+            )
+        )
+        gd = LinkGraph(dedges)
+        out = strongly_connected_components(
+            gd, strategy="distributed", max_iter=400
+        )
+        extra["scc_components"] = out.select("scc").distinct().count()
+
+    timed("scc_corpus", _scc_corpus)
+
     def _linkpred_corpus():
         # capped wedge enumeration + one algebraic groupBy; min_common=2
         # cuts the weak-candidate tail before the shuffle writes it

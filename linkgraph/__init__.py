@@ -18,6 +18,7 @@ from linkgraph.graph import LinkGraph
 from linkgraph.checkpoint import CheckpointManager
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
+from linkgraph.algorithms.scc import strongly_connected_components
 from linkgraph.algorithms.label_propagation import label_propagation
 from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
 from linkgraph.algorithms.louvain import louvain_communities
@@ -51,6 +52,7 @@ __all__ = [
     "CheckpointManager",
     "pagerank",
     "connected_components",
+    "strongly_connected_components",
     "label_propagation",
     "k_core",
     "core_number",

@@ -1,0 +1,346 @@
+"""Strongly connected components — trim + forward-coloring + backward reach
+(the FW-BW/coloring family: Orzan's coloring, McLendon et al. trimming),
+from scratch on DataFrame ops.
+
+NOT present in the reference (no SCC computation anywhere under ``mercury/``
+— ``Graph.connected_components`` at ``mercury/graph/core/graph.py:692-720``
+is undirected-only); added because a directed-graph engine without SCC
+leaves every reachability/condensation workload to the user.
+
+Semantics: nodes u, v share a component iff each can reach the other along
+directed edges. Output labels each node with the MINIMUM node id of its SCC
+(canonical up to relabeling, same convention as connected_components).
+Self-loops and isolated nodes are singleton SCCs labeled with their own id.
+
+Algorithm (distributed plan), peeling rounds over the active subgraph:
+
+1. **Trim to fixpoint**: a node with no in-edge or no out-edge inside the
+   active subgraph cannot sit on a directed cycle — assign it its own id and
+   drop it. Repeated trimming alone dissolves DAG regions (most of a
+   web-scale graph's mass) with two cheap semi-joins per round and no
+   label shuffle.
+2. **Forward coloring**: propagate ``c(v) = min(c(v), min over in-edges of
+   c(u))`` to fixpoint, starting from ``c(v) = v``. On convergence, ``c(v)``
+   is the minimum id that forward-reaches v; every occupied color class c
+   contains its own pivot node c (anything coloring c below c would also
+   re-color the whole class).
+3. **Backward reach**: from each pivot, grow reachability along REVERSED
+   edges restricted to same-colored endpoints. The reached set of pivot c is
+   exactly SCC(c), and c is its minimum member id (a smaller member would
+   have recolored the pivot). Assign, peel, repeat from 1.
+
+Every round peels at least one SCC per occupied color class, so rounds are
+bounded by the longest pivot-chain, and in practice by a handful on
+power-law graphs (one giant SCC + DAG periphery: trim eats the periphery,
+one coloring round takes the core).
+
+Scale notes:
+- All supersteps are algebraic joins/groupBys (map-side combine bounds hub
+  fan-in); there is no window and no per-row Python anywhere.
+- One action per superstep: trim and backward-reach converge on a count,
+  coloring on the same count+bit_xor fingerprint connected_components uses.
+- Per-superstep ``localCheckpoint`` stops iterative plan growth (the same
+  pattern as every other loop in this engine).
+- ``strategy="auto"`` routes sub-threshold graphs (edge/node probe, O(k) at
+  any table size) to a driver-local iterative Tarjan — one linear pass, no
+  scheduler round-trips — with identical min-id labels.
+- O(diameter) inner fixpoints: a 10M-hop directed path is the adversarial
+  worst case (inherent to label propagation without pointer doubling); real
+  graphs converge in tens of supersteps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def strongly_connected_components(
+    graph: LinkGraph,
+    max_iter: int = 200,
+    with_sizes: bool = False,
+    strategy: str = "auto",
+    local_max_edges: int = 2_000_000,
+) -> DataFrame:
+    """Returns DataFrame[id, scc(, scc_size)] where ``scc`` is the minimum
+    node id in the strongly connected component.
+
+    ``max_iter`` is a GLOBAL superstep budget across all peeling rounds and
+    inner fixpoints; exhausting it raises (a partially-peeled SCC labeling
+    is wrong, not approximate). ``strategy`` mirrors the other loops' gates:
+    ``auto`` probes size and solves driver-locally under the threshold."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
+    we_persisted: list[DataFrame] = []
+    use_local = False
+    labels = None
+    if strategy != "distributed":
+        for df in (graph.edges, graph.nodes):
+            if not df.is_cached:
+                df.persist()
+                we_persisted.append(df)
+    try:
+        if strategy != "distributed":
+            use_local = strategy == "local" or (
+                graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
+                and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
+            )
+            if use_local:
+                labels = _scc_local(graph)
+        if not use_local:
+            with static_plans(graph.edges.sparkSession):
+                labels = _scc_distributed(graph, max_iter, tuple(we_persisted))
+            we_persisted = []
+    finally:
+        for df in we_persisted:
+            df.unpersist()
+
+    if with_sizes:
+        sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).alias("scc_size"))
+        labels = labels.join(sizes, "scc").select(ID, "scc", "scc_size")
+    return labels
+
+
+def _scc_local(graph: LinkGraph) -> DataFrame:
+    """Driver-local iterative Tarjan — the small-graph physical strategy.
+
+    One DFS pass, explicit stack (no recursion-limit hazard). ``np.unique``
+    index order is id order (binary comparison, same as Spark's min over
+    strings), so the minimum member INDEX maps back to the minimum member id
+    — label parity with the distributed plan by construction."""
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    npdf = graph.nodes.select(ID).toPandas()
+    epdf = graph.edges.select(SRC, DST).toPandas()
+    # solve over nodes ∪ endpoints, exactly like _cc_local: an endpoint
+    # outside the node table still shapes reachability; only its output row
+    # is dropped
+    ids = np.unique(
+        np.concatenate(
+            [npdf[ID].to_numpy(), epdf[SRC].to_numpy(), epdf[DST].to_numpy()]
+        )
+    )
+    n = len(ids)
+    if n == 0:
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+    lookup = pd.Series(np.arange(n), index=ids)
+    u = epdf[SRC].map(lookup).to_numpy(dtype=np.int64)
+    v = epdf[DST].map(lookup).to_numpy(dtype=np.int64)
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    # CSR out-adjacency
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, u + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # (node, next-edge-cursor) work stack
+        work = [(root, indptr[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            x, cur = work[-1]
+            if cur < indptr[x + 1]:
+                work[-1] = (x, cur + 1)
+                y = v[cur]
+                if index[y] == -1:
+                    index[y] = low[y] = counter
+                    counter += 1
+                    stack.append(y)
+                    on_stack[y] = True
+                    work.append((y, indptr[y]))
+                elif on_stack[y]:
+                    low[x] = min(low[x], index[y])
+            else:
+                work.pop()
+                if work:
+                    px = work[-1][0]
+                    low[px] = min(low[px], low[x])
+                if low[x] == index[x]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        members.append(w)
+                        if w == x:
+                            break
+                    rep = min(members)  # min INDEX == min id (sorted ids)
+                    for w in members:
+                        comp[w] = rep
+
+    out = pd.DataFrame({ID: ids, "scc": ids[comp]})
+    out = out[out[ID].isin(set(npdf[ID]))].reset_index(drop=True)
+    if len(out) == 0:
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+    return spark.createDataFrame(out)
+
+
+def _label_fp(labels: DataFrame) -> tuple[int, int]:
+    row = labels.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.bit_xor(F.xxhash64("id", "c")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def _semi_on(df: DataFrame, keep: DataFrame, col: str) -> DataFrame:
+    return df.join(keep.select(F.col("id").alias(col)), col, "left_semi")
+
+
+def _scc_distributed(
+    graph: LinkGraph, max_iter: int, release_after_build=()
+) -> DataFrame:
+    spark = graph.edges.sparkSession
+    edges = (
+        graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+        .filter(F.col("u") != F.col("v"))  # self-loops don't change SCCs
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    active = (
+        graph.nodes.select(F.col(ID).alias("id"))
+        .union(edges.select(F.col("u").alias("id")))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_active = active.count()
+    for df in release_after_build:
+        df.unpersist()
+
+    parts: list[DataFrame] = []
+    steps = 0
+
+    def _spend():
+        nonlocal steps
+        steps += 1
+        if steps > max_iter:
+            raise RuntimeError(
+                f"scc did not finish within max_iter={max_iter} supersteps "
+                f"({n_active} nodes still unassigned); raise max_iter — "
+                "inner fixpoints are O(active-subgraph diameter)"
+            )
+
+    while n_active > 0:
+        # ---- 1. trim to fixpoint: no in-edge or no out-edge => singleton
+        while True:
+            core = (
+                _semi_on(
+                    _semi_on(active, edges.select(F.col("u").alias("id")), "id"),
+                    edges.select(F.col("v").alias("id")),
+                    "id",
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_core = core.count()
+            _spend()
+            if n_core == n_active:
+                break
+            parts.append(
+                active.join(core, "id", "left_anti")
+                .select("id", F.col("id").alias("scc"))
+                .localCheckpoint(eager=False)
+            )
+            active, n_active = core, n_core
+            edges = _semi_on(_semi_on(edges, core, "u"), core, "v").localCheckpoint(
+                eager=False
+            )
+            if n_active == 0:
+                break
+        if n_active == 0:
+            break
+
+        # ---- 2. forward coloring to fixpoint
+        color = active.select("id", F.col("id").alias("c")).localCheckpoint(
+            eager=False
+        )
+        fp = _label_fp(color)
+        _spend()
+        while True:
+            inc = (
+                edges.join(
+                    color.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
+                )
+                .groupBy("v")
+                .agg(F.min("cu").alias("cin"))
+            )
+            color_new = (
+                color.join(inc, color["id"] == inc["v"], "left")
+                .select(
+                    "id",
+                    F.least(F.col("c"), F.coalesce("cin", "c")).alias("c"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            fp_new = _label_fp(color_new)
+            _spend()
+            color = color_new
+            if fp_new == fp:
+                break
+            fp = fp_new
+
+        # ---- 3. backward reach from pivots within each color class
+        intra = (
+            edges.join(
+                color.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
+            )
+            .join(color.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+            .filter(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        reached = color.filter(F.col("id") == F.col("c")).select("id")
+        reached = reached.localCheckpoint(eager=False)
+        n_reached = reached.count()
+        _spend()
+        while True:
+            grown = (
+                reached.union(
+                    _semi_on(intra, reached, "v").select(F.col("u").alias("id"))
+                )
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n_grown = grown.count()
+            _spend()
+            if n_grown == n_reached:
+                break
+            reached, n_reached = grown, n_grown
+
+        parts.append(
+            reached.join(color, "id").select("id", F.col("c").alias("scc"))
+            .localCheckpoint(eager=False)
+        )
+        active = active.join(reached, "id", "left_anti").localCheckpoint(eager=False)
+        edges = _semi_on(_semi_on(edges, active, "u"), active, "v").localCheckpoint(
+            eager=False
+        )
+        n_active = active.count()
+        _spend()
+
+    if not parts:
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    # restrict to the caller's node table (parity with connected_components:
+    # outside endpoints shape reachability but emit no output row)
+    return out.join(graph.nodes.select(F.col(ID).alias("id")), "id", "left_semi")

@@ -300,6 +300,13 @@ class LinkGraph:
 
         return connected_components(self, **kwargs)
 
+    def strongly_connected_components(self, **kwargs) -> DataFrame:
+        """Beyond-reference surface (no SCC in mercury); DataFrame[id,
+        scc(, scc_size)] with scc = min node id in the component."""
+        from linkgraph.algorithms.scc import strongly_connected_components
+
+        return strongly_connected_components(self, **kwargs)
+
     def link_prediction(self, **kwargs) -> DataFrame:
         """Beyond-reference surface; DataFrame[u, v, common, jaccard,
         adamic_adar] over 2-hop candidate pairs."""

@@ -1655,6 +1655,46 @@ def q_louvain_resume_two_clique(spark, sf_dir):
     return lab.join(rep, "cluster").select("id", "community_rep")
 
 
+def q_scc_region_cycles(spark, sf_dir):
+    """Strongly connected components on a mixed graph: within each region the
+    nations form one directed cycle (by nationkey order, max wraps to min) —
+    a multi-node SCC per region — plus the nation→region DAG edges, which
+    make every region node a sink singleton. Forces the DISTRIBUTED
+    trim+coloring+backward-reach plan (the auto gate would route a 30-node
+    graph to local Tarjan); scc label = min nation id per region cycle,
+    closed-form in SQL."""
+    from pyspark.sql import Window
+
+    from linkgraph import strongly_connected_components
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    w = Window.partitionBy("r").orderBy("k")
+    nxt = F.coalesce(
+        F.lead("k").over(w), F.min("k").over(Window.partitionBy("r"))
+    )
+    cyc = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("src"),
+        F.concat(F.lit("n"), nxt.cast("string")).alias("dst"),
+    )
+    dag = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("r").cast("string")).alias("dst"),
+    )
+    g = LinkGraph(cyc.union(dag))
+    return strongly_connected_components(g, strategy="distributed")
+
+
+def q_scc_events(spark, sf_dir):
+    """SCC on the real bipartite user→event_type graph — a DAG, so every
+    node is its own singleton SCC. Exercises the auto gate's local Tarjan
+    path; a buggy coloring/condensation would merge nodes and mismatch."""
+    from linkgraph import strongly_connected_components
+
+    return strongly_connected_components(events_graph(spark, sf_dir))
+
+
 _ROUND4_ORACLES = {
     "ppr_nation_region_5": _ppr_unrolled_sql(5),
     "harmonic_nation_region": """
@@ -1675,6 +1715,20 @@ _ROUND4_ORACLES = {
         SELECT 'n' || n_nationkey AS id, CAST(1 AS INT) AS core FROM nation
     """,
     "lpa_resume_events_2": _lpa_unrolled_sql(2),
+    "scc_region_cycles": """
+        SELECT 'n' || n_nationkey AS id,
+               MIN('n' || n_nationkey) OVER (PARTITION BY n_regionkey) AS scc
+        FROM nation
+        UNION ALL
+        SELECT DISTINCT 'r' || n_regionkey, 'r' || n_regionkey FROM nation
+    """,
+    "scc_events": """
+        SELECT id, id AS scc FROM (
+            SELECT DISTINCT 'u' || user_id AS id FROM events
+            UNION
+            SELECT DISTINCT 'e' || event_type AS id FROM events
+        )
+    """,
     "louvain_resume_two_clique": """
         SELECT 'n' || n_nationkey AS id,
                CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS community_rep
@@ -1699,6 +1753,8 @@ QUERIES.update(
         "core_number_region_clique": q_core_number_region_clique,
         "lpa_resume_events_2": q_lpa_resume_events_2,
         "louvain_resume_two_clique": q_louvain_resume_two_clique,
+        "scc_region_cycles": q_scc_region_cycles,
+        "scc_events": q_scc_events,
         "linkpred_capped_lineitem": q_linkpred_capped_lineitem,
         "linkpred_events": q_linkpred_events,
     }
