@@ -34,7 +34,10 @@ from linkgraph.algorithms.closeness import (
 )
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.kcore import core_number, k_core
-from linkgraph.algorithms.linkpred import link_prediction_scores
+from linkgraph.algorithms.linkpred import (
+    link_prediction_scores,
+    link_prediction_top_k,
+)
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
 from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.estimators import (
@@ -57,6 +60,7 @@ __all__ = [
     "k_core",
     "core_number",
     "link_prediction_scores",
+    "link_prediction_top_k",
     "write_edges_bucketed",
     "read_edges_bucketed",
     "triangle_count",

@@ -77,6 +77,58 @@ def link_prediction_scores(
     return out
 
 
+def link_prediction_top_k(
+    graph: LinkGraph,
+    k: int = 10,
+    score: str = "adamic_adar",
+    max_neighbor_degree: int | None = None,
+    exclude_edges: bool = True,
+    min_common: int = 1,
+) -> DataFrame:
+    """Per-node top-k link-prediction candidates:
+    (node, candidate, rank, common, jaccard, adamic_adar).
+
+    Every scored pair contributes to BOTH endpoints' lists; ranking is
+    (``score`` desc, candidate asc) — fully deterministic, ties broken by
+    candidate id. ``score`` ∈ {common, jaccard, adamic_adar}.
+
+    Scale note: the per-node top-k is a ``row_number`` window, the one shape
+    this engine otherwise avoids — here it is the right physical plan:
+    Spark 4 rewrites ``rank <= k`` filters into ``WindowGroupLimit`` with a
+    Partial mode BEFORE the exchange, so each map task forwards at most k
+    rows per node and a 10M-candidate hub never concentrates in one task
+    (measured on a degree-4M star: window top-1 ties the algebraic
+    ``min(struct)`` form, BENCH/lpa_top1_ab.md — and unlike LPA's top-1,
+    top-k-with-rank has no algebraic equivalent)."""
+    if score not in ("common", "jaccard", "adamic_adar"):
+        raise ValueError(
+            f"unknown score {score!r} (common|jaccard|adamic_adar)"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    out, cached = _scores_lazy(
+        graph, max_neighbor_degree, exclude_edges, min_common
+    )
+    cols = ["common", "jaccard", "adamic_adar"]
+    sym = out.select(
+        F.col("u").alias("node"), F.col("v").alias("candidate"), *cols
+    ).unionAll(
+        out.select(F.col("v").alias("node"), F.col("u").alias("candidate"), *cols)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc(score), F.asc("candidate"))
+    top = (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select("node", "candidate", "rank", *cols)
+    )
+    top = top.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return top
+
+
 def _scores_lazy(
     graph: LinkGraph,
     max_neighbor_degree: int | None,

@@ -314,6 +314,13 @@ class LinkGraph:
 
         return link_prediction_scores(self, **kwargs)
 
+    def link_prediction_top_k(self, k: int = 10, **kwargs) -> DataFrame:
+        """Per-node top-k candidates; DataFrame[node, candidate, rank,
+        common, jaccard, adamic_adar]."""
+        from linkgraph.algorithms.linkpred import link_prediction_top_k
+
+        return link_prediction_top_k(self, k=k, **kwargs)
+
     # ------------------------------------------------------ degrees (A1)
 
     def out_degree(self) -> DataFrame:

@@ -1588,7 +1588,7 @@ def q_linkpred_events(spark, sf_dir):
     return _linkpred_rounded(link_prediction_scores(g))
 
 
-def _linkpred_sql(edge_cte: str, cap: int | None) -> str:
+def _linkpred_body(edge_cte: str, cap: int | None) -> str:
     cap_pred = f"WHERE d.deg <= {cap}" if cap is not None else ""
     return f"""
         WITH e0 AS ({edge_cte}),
@@ -1606,15 +1606,58 @@ def _linkpred_sql(edge_cte: str, cap: int | None) -> str:
                   ON l.w = r.w AND l.node < r.node
                   GROUP BY l.node, r.node),
         ne AS (SELECT p.* FROM pairs p LEFT JOIN e
-               ON p.u = e.a AND p.v = e.b WHERE e.a IS NULL)
+               ON p.u = e.a AND p.v = e.b WHERE e.a IS NULL),
+        scored AS (
         SELECT ne.u, ne.v, CAST(ne.common AS BIGINT) AS common,
                CAST(round(CAST(ne.common AS DOUBLE)
                     / (du.deg + dv.deg - ne.common) * 1000000) AS BIGINT)
                AS jac_millionths,
                CAST(round(aa * 1000000) AS BIGINT) AS aa_millionths
         FROM ne JOIN deg du ON ne.u = du.node
-                JOIN deg dv ON ne.v = dv.node
+                JOIN deg dv ON ne.v = dv.node)
     """
+
+
+def _linkpred_sql(edge_cte: str, cap: int | None) -> str:
+    return _linkpred_body(edge_cte, cap) + "SELECT * FROM scored"
+
+
+def _linkpred_topk_sql(edge_cte: str, cap: int | None, k: int) -> str:
+    # rank by the exact integer `common` (float scores could flip near-tie
+    # ranks between engines), candidate id breaks ties — same ordering the
+    # Spark window uses
+    return _linkpred_body(edge_cte, cap) + f"""
+        , sym AS (
+            SELECT u AS node, v AS candidate, common, jac_millionths,
+                   aa_millionths FROM scored
+            UNION ALL
+            SELECT v, u, common, jac_millionths, aa_millionths FROM scored),
+        ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY node ORDER BY common DESC, candidate ASC
+            ) AS INT) AS rank FROM sym)
+        SELECT node, candidate, rank, common, jac_millionths, aa_millionths
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def q_linkpred_topk_events(spark, sf_dir):
+    """Per-node top-3 link-prediction candidates over the user-event graph,
+    ranked by the exact integer common-neighbor count (candidate id breaks
+    ties) — the window's Spark 4 WindowGroupLimit plan hash-checked against
+    DuckDB's row_number with the identical ordering."""
+    from linkgraph import link_prediction_top_k
+
+    g = events_graph(spark, sf_dir)
+    top = link_prediction_top_k(g, k=3, score="common")
+    return top.select(
+        "node",
+        "candidate",
+        "rank",
+        F.col("common").cast("long").alias("common"),
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jac_millionths"),
+        F.round(F.col("adamic_adar") * 1e6).cast("long").alias("aa_millionths"),
+    )
 
 
 def q_louvain_resume_two_clique(spark, sf_dir):
@@ -1734,6 +1777,12 @@ _ROUND4_ORACLES = {
                CASE WHEN n_nationkey < 4 THEN 'n0' ELSE 'n4' END AS community_rep
         FROM nation WHERE n_nationkey < 8
     """,
+    "linkpred_topk_events": _linkpred_topk_sql(
+        "SELECT DISTINCT 'u' || user_id AS s, 'e' || event_type AS d"
+        " FROM events",
+        None,
+        3,
+    ),
     "linkpred_capped_lineitem": _linkpred_sql(
         "SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
         " FROM lineitem",
@@ -1757,6 +1806,7 @@ QUERIES.update(
         "scc_events": q_scc_events,
         "linkpred_capped_lineitem": q_linkpred_capped_lineitem,
         "linkpred_events": q_linkpred_events,
+        "linkpred_topk_events": q_linkpred_topk_events,
     }
 )
 ORACLE_SQL.update(_ROUND4_ORACLES)

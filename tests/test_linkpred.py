@@ -97,3 +97,47 @@ def test_no_window_in_plan(spark):
         c.unpersist()
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_top_k_per_node(spark):
+    from linkgraph import link_prediction_top_k
+
+    # K4 minus edge (a,d): (a,d) has common {b,c}=2; (b,c) is an edge so
+    # excluded; remaining candidate pairs all have known common counts
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    top = link_prediction_top_k(g, k=5, score="common")
+    rows = {(r["node"], r["candidate"]): (r["rank"], r["common"])
+            for r in top.collect()}
+    # only non-edge 2-hop pair is (a,d) -> appears in BOTH endpoint lists
+    assert rows == {("a", "d"): (1, 2), ("d", "a"): (1, 2)}
+
+
+def test_top_k_cutoff_and_tiebreak(spark):
+    from linkgraph import link_prediction_top_k
+
+    # star: center s, leaves l1..l4 — every leaf pair shares exactly {s};
+    # per-leaf candidate lists are the other 3 leaves, all tied on
+    # common=1, so rank order must be candidate-ascending; k=2 truncates
+    edges = [("s", f"l{i}") for i in range(1, 5)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    top = link_prediction_top_k(g, k=2, score="common")
+    by_node = {}
+    for r in top.collect():
+        by_node.setdefault(r["node"], []).append((r["rank"], r["candidate"]))
+    for node, lst in by_node.items():
+        assert len(lst) == 2
+        cands = [c for _, c in sorted(lst)]
+        expected = sorted(x for x in ["l1", "l2", "l3", "l4"] if x != node)[:2]
+        assert cands == expected
+    assert set(by_node) == {"l1", "l2", "l3", "l4"}
+
+
+def test_top_k_score_validation(spark):
+    from linkgraph import link_prediction_top_k
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError, match="unknown score"):
+        link_prediction_top_k(g, score="pagerank")
+    with pytest.raises(ValueError, match="k must be"):
+        link_prediction_top_k(g, k=0)
