@@ -166,6 +166,9 @@ def main():
             gd, strategy="distributed", max_iter=400
         )
         extra["scc_components"] = out.select("scc").distinct().count()
+        from linkgraph.algorithms import scc as _sccmod
+
+        extra["scc_supersteps"] = dict(_sccmod.LAST_STATS)
 
     timed("scc_corpus", _scc_corpus)
 

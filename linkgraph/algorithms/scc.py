@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 from linkgraph.graph import DST, ID, SRC, LinkGraph
 from linkgraph.session import static_plans
 
+# superstep accounting of the last _scc_distributed call (diagnostic only —
+# written on completion; read by bench/tests to see where rounds go)
+LAST_STATS: dict = {}
+
 
 def strongly_connected_components(
     graph: LinkGraph,
@@ -208,11 +212,20 @@ def _scc_distributed(
     graph: LinkGraph, max_iter: int, release_after_build=()
 ) -> DataFrame:
     spark = graph.edges.sparkSession
-    edges = (
+    # Edges are kept hash-partitioned by u across supersteps (localCheckpoint
+    # preserves partitioning): the coloring join then shuffles only the
+    # node-sized color table each superstep, never the edge table — the same
+    # rank-side-only-shuffle shape as pagerank's loop (pagerank.py:345-355).
+    # Edges are re-partitioned only when the peel actually filters them.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _by_u(e: DataFrame) -> DataFrame:
+        return e.repartition(npart, "u").localCheckpoint(eager=False)
+
+    edges = _by_u(
         graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
         .filter(F.col("u") != F.col("v"))  # self-loops don't change SCCs
         .distinct()
-        .localCheckpoint(eager=False)
     )
     active = (
         graph.nodes.select(F.col(ID).alias("id"))
@@ -228,8 +241,11 @@ def _scc_distributed(
     parts: list[DataFrame] = []
     steps = 0
 
-    def _spend():
+    stats = {"rounds": 0, "trim": 0, "color": 0, "reach": 0, "other": 0}
+
+    def _spend(kind: str = "other"):
         nonlocal steps
+        stats[kind] += 1
         steps += 1
         if steps > max_iter:
             raise RuntimeError(
@@ -250,7 +266,7 @@ def _scc_distributed(
                 .localCheckpoint(eager=False)
             )
             n_core = core.count()
-            _spend()
+            _spend("trim")
             if n_core == n_active:
                 break
             parts.append(
@@ -259,9 +275,7 @@ def _scc_distributed(
                 .localCheckpoint(eager=False)
             )
             active, n_active = core, n_core
-            edges = _semi_on(_semi_on(edges, core, "u"), core, "v").localCheckpoint(
-                eager=False
-            )
+            edges = _by_u(_semi_on(_semi_on(edges, core, "u"), core, "v"))
             if n_active == 0:
                 break
         if n_active == 0:
@@ -272,7 +286,7 @@ def _scc_distributed(
             eager=False
         )
         fp = _label_fp(color)
-        _spend()
+        _spend("color")
         while True:
             inc = (
                 edges.join(
@@ -290,7 +304,7 @@ def _scc_distributed(
                 .localCheckpoint(eager=False)
             )
             fp_new = _label_fp(color_new)
-            _spend()
+            _spend("color")
             color = color_new
             if fp_new == fp:
                 break
@@ -309,7 +323,7 @@ def _scc_distributed(
         reached = color.filter(F.col("id") == F.col("c")).select("id")
         reached = reached.localCheckpoint(eager=False)
         n_reached = reached.count()
-        _spend()
+        _spend("reach")
         while True:
             grown = (
                 reached.union(
@@ -319,7 +333,7 @@ def _scc_distributed(
                 .localCheckpoint(eager=False)
             )
             n_grown = grown.count()
-            _spend()
+            _spend("reach")
             if n_grown == n_reached:
                 break
             reached, n_reached = grown, n_grown
@@ -329,12 +343,13 @@ def _scc_distributed(
             .localCheckpoint(eager=False)
         )
         active = active.join(reached, "id", "left_anti").localCheckpoint(eager=False)
-        edges = _semi_on(_semi_on(edges, active, "u"), active, "v").localCheckpoint(
-            eager=False
-        )
+        edges = _by_u(_semi_on(_semi_on(edges, active, "u"), active, "v"))
         n_active = active.count()
-        _spend()
+        _spend("other")
+        stats["rounds"] += 1
 
+    LAST_STATS.clear()
+    LAST_STATS.update(stats, total=steps)
     if not parts:
         t = graph.nodes.schema[ID].dataType.simpleString()
         return spark.createDataFrame([], f"{ID} {t}, scc {t}")
