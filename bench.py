@@ -136,6 +136,20 @@ def main():
 
     timed("closeness_corpus", _closeness_corpus)
 
+    def _betweenness_corpus():
+        # source-sampled Brandes estimator (the at-scale path; exact is
+        # driver-local + size-guarded): 8 deterministic sources, forward
+        # sigma BFS + backward dependency sweep, hop-capped
+        from linkgraph import betweenness_sampled
+
+        srcs = [r[0] for r in g.nodes.orderBy("id").limit(8).collect()]
+        out = betweenness_sampled(g, sources=srcs, max_hops=12)
+        extra["betweenness_sum"] = round(
+            out.agg(F.sum("betweenness")).collect()[0][0] or 0.0, 3
+        )
+
+    timed("betweenness_corpus", _betweenness_corpus)
+
     def _kcore_corpus():
         # 2-core peeling at scale: algebraic degree agg + two semi-joins per
         # round, fixpoint on the surviving-edge count

@@ -32,7 +32,10 @@ from linkgraph.algorithms.closeness import (
     harmonic_centrality,
     shortest_path_lengths,
 )
-from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.betweenness import (
+    betweenness_centrality,
+    betweenness_sampled,
+)
 from linkgraph.algorithms.kcore import core_number, k_core
 from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
@@ -77,6 +80,7 @@ __all__ = [
     "harmonic_centrality",
     "shortest_path_lengths",
     "betweenness_centrality",
+    "betweenness_sampled",
     "Embeddings",
     "GraphEmbedding",
     "LouvainCommunities",

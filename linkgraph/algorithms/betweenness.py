@@ -1,19 +1,25 @@
-"""Betweenness centrality — driver-local, explicitly size-guarded.
+"""Betweenness centrality — driver-local exact plus distributed sampled.
 
 The reference is networkx-only here with the comment that the algorithm "is
 too computationally expensive to use on large graphs"
 (``mercury/graph/core/graph.py:673-679``); no distributed path exists in the
-reference and none is pretended here (documented out of scale scope,
-SURVEY.md A5). The graph is collected to the driver, Brandes' algorithm runs
-in networkx (pure Python, no scipy needed), and the result returns as a
-DataFrame.
+reference. ``betweenness_centrality`` keeps that driver-local exact path
+(size-guarded). ``betweenness_sampled`` goes beyond the reference: the
+standard source-sampled Brandes estimator (Brandes & Pich, "Centrality
+estimation in large networks", 2007) expressed as level-synchronous
+DataFrame supersteps — a forward multi-source BFS that counts shortest paths
+(sigma) per (source, node), then a backward per-level dependency sweep — so
+it runs distributed with one bounded join per level and scales with the
+number of sampled sources, not |V|².
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
 
 
 def betweenness_centrality(
@@ -39,4 +45,144 @@ def betweenness_centrality(
     spark = graph.edges.sparkSession
     return spark.createDataFrame(
         [(k, float(v)) for k, v in bc.items()], [ID, "betweenness"]
+    )
+
+
+def betweenness_sampled(
+    graph: LinkGraph,
+    sources: DataFrame | list | int | None = None,
+    max_hops: int = 50,
+    normalized: bool = True,
+) -> DataFrame:
+    """DataFrame[id, betweenness] — source-sampled Brandes estimator.
+
+    ``sources``: None = all nodes (EXACT betweenness, O(V) BFS sweeps — only
+    sane on small graphs); a list/DataFrame of node ids = those sources; an
+    int k = a deterministic hash-ordered sample of k nodes. With k < n
+    sources the per-source dependencies are scaled by n/k (the unbiased
+    Brandes–Pich estimator), matching ``networkx.betweenness_centrality(k=k)``
+    up to its random source choice. Distances are hop counts (unweighted
+    shortest paths), as in the reference's networkx default.
+
+    Scale shape: the forward phase is a level-synchronous multi-source BFS
+    over state rows (source, node, sigma); each level is one join of the
+    level frontier against the edge table (hash-partitioned by src once,
+    reused every superstep — only the frontier shuffles) plus one algebraic
+    groupBy summing path counts. The backward phase replays the levels
+    deepest-first: one join per level against the reversed edge table and one
+    groupBy summing dependency contributions. State is O(k·V) rows total,
+    every aggregate is algebraic (map-side partial), and no window functions
+    or driver-side iteration over rows exist anywhere.
+    """
+    spark = graph.edges.sparkSession
+    n = graph.number_of_nodes()
+    if isinstance(sources, int):
+        src_df = (
+            graph.nodes.select(F.col(ID).alias("s"))
+            .orderBy(F.xxhash64(F.col("s"), F.lit(13)))
+            .limit(sources)
+        )
+    elif isinstance(sources, list):
+        src_df = spark.createDataFrame([(x,) for x in sources], ["s"])
+    elif sources is None:
+        src_df = graph.nodes.select(F.col(ID).alias("s"))
+    else:
+        src_df = sources.select(F.col(sources.columns[0]).alias("s"))
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_plans(spark):
+        fwd = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(npart, "u")
+            .localCheckpoint(eager=True)
+        )
+        rev = fwd.repartition(npart, "v").localCheckpoint(eager=True)
+
+        # Forward: levels[L] = DataFrame[s, id, sigma] of nodes first reached
+        # at hop L, sigma = number of shortest s→id paths (double: path
+        # counts grow combinatorially and ANSI mode makes integer overflow
+        # throw rather than wrap).
+        level0 = src_df.select(
+            "s", F.col("s").alias(ID), F.lit(1.0).alias("sigma")
+        ).localCheckpoint(eager=True)
+        k = level0.count()
+        levels = [level0]
+        seen = level0.select("s", ID).localCheckpoint(eager=True)
+        for _ in range(max_hops):
+            frontier = levels[-1]
+            nxt = (
+                frontier.join(fwd, frontier[ID] == fwd["u"])
+                .select("s", F.col("v").alias(ID), "sigma")
+                .groupBy("s", ID)
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(seen, ["s", ID], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            seen = seen.unionByName(nxt.select("s", ID)).localCheckpoint(eager=True)
+
+        # Backward: delta(v) = Σ_{w: succ on BFS DAG} sigma_v/sigma_w·(1+delta_w).
+        # In unweighted BFS every DAG successor of a level-(L-1) node sits at
+        # level L, so each node's dependency is complete after one sweep step.
+        parts: list[DataFrame] = []
+        delta_cur: DataFrame | None = None  # deltas of levels[L] while at L
+        for lvl in range(len(levels) - 1, 0, -1):
+            w = levels[lvl]
+            if delta_cur is not None:
+                w = w.join(delta_cur, ["s", ID], "left").select(
+                    "s", ID, "sigma",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+            else:
+                w = w.select("s", ID, "sigma", F.lit(0.0).alias("delta"))
+            w = w.localCheckpoint(eager=True)
+            parts.append(w.select("s", ID, "delta"))
+            prev = levels[lvl - 1]
+            delta_cur = (
+                w.join(rev, w[ID] == rev["v"])
+                .select(
+                    "s",
+                    F.col("u").alias("_p"),
+                    ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_r"),
+                )
+                .join(
+                    prev.select("s", F.col(ID).alias("_p"), F.col("sigma").alias("_sp")),
+                    ["s", "_p"],
+                )
+                .groupBy("s", F.col("_p").alias(ID))
+                .agg(F.sum(F.col("_sp") * F.col("_r")).alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+
+        if parts:
+            raw = parts[0]
+            for p in parts[1:]:
+                raw = raw.unionByName(p)
+            bc = raw.groupBy(ID).agg(F.sum("delta").alias("_b"))
+        else:
+            t = graph.nodes.schema[ID].dataType.simpleString()
+            bc = spark.createDataFrame([], f"{ID} {t}, _b double")
+
+    # networkx _rescale parity: normalized → 1/((n-1)(n-2)) (None if n<=2);
+    # unnormalized undirected → 0.5 (raw counts each unordered pair twice);
+    # sampled (k<n) → additionally ×(n/k).
+    scale = None
+    if normalized:
+        if n > 2:
+            scale = 1.0 / ((n - 1) * (n - 2))
+    elif not graph.is_directed:
+        scale = 0.5
+    if k < n:
+        scale = (1.0 if scale is None else scale) * (float(n) / k)
+    val = F.coalesce(F.col("_b"), F.lit(0.0))
+    if scale is not None:
+        val = val * F.lit(scale)
+    return (
+        graph.nodes.select(ID)
+        .join(bc, ID, "left")
+        .select(ID, val.alias("betweenness"))
     )

@@ -288,6 +288,13 @@ class LinkGraph:
 
         return betweenness_centrality(self, **kwargs)
 
+    def betweenness_sampled(self, sources=None, **kwargs) -> DataFrame:
+        """Distributed source-sampled Brandes estimator (beyond reference);
+        DataFrame[id, betweenness]."""
+        from linkgraph.algorithms.betweenness import betweenness_sampled
+
+        return betweenness_sampled(self, sources=sources, **kwargs)
+
     def pagerank(self, **kwargs) -> DataFrame:
         """graph.py:331-338 parity; DataFrame[id, pagerank]."""
         from linkgraph.algorithms.pagerank import pagerank

@@ -1810,3 +1810,92 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_ROUND4_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Round 4b: distributed sampled betweenness (beyond reference)
+
+
+def _nation_path_edges(spark, sf_dir, limit=10):
+    """Directed path over the ``limit`` smallest-key nations in n_nationkey
+    order: pos i → pos i+1. Kept short — betweenness supersteps scale with
+    path diameter and the sandbox job floor is ~0.5 s/superstep."""
+    from pyspark.sql import Window
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(limit)
+    )
+    nxt = F.lead("k").over(Window.orderBy("k"))
+    return (
+        n.select(
+            F.concat(F.lit("n"), F.col("k").cast("string")).alias("src"),
+            F.concat(F.lit("n"), nxt.cast("string")).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def q_betweenness_path_nation(spark, sf_dir):
+    """Exact distributed betweenness (all sources) on the UNDIRECTED nation
+    path — closed form: node at position i has unnormalized betweenness
+    i*(n-1-i). Exercises edge symmetrization, the forward sigma BFS, the
+    backward dependency sweep, and the undirected 0.5 rescale."""
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    g = LinkGraph(_nation_path_edges(spark, sf_dir), keys={"directed": False})
+    out = betweenness_sampled(g, normalized=False)
+    return out.select(
+        "id", F.round(F.col("betweenness")).cast("long").alias("bc")
+    )
+
+
+def q_betweenness_sampled_nation_path(spark, sf_dir):
+    """Brandes–Pich estimator with the 5 smallest-key nations as explicit
+    sources on the DIRECTED nation path — closed form: estimate at position
+    i is (n/k)·|{s in sample : s < i}|·(n-1-i) = 5·min(i,5)·(n-1-i).
+    Hash-pins the n/k sampling scale factor."""
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    srcs = [
+        "n" + str(r["k"]) for r in n.orderBy("k").limit(5).collect()
+    ]
+    g = LinkGraph(_nation_path_edges(spark, sf_dir))
+    out = betweenness_sampled(g, sources=srcs, normalized=False)
+    return out.select(
+        "id", F.round(F.col("betweenness")).cast("long").alias("bc")
+    )
+
+
+_ROUND4B_ORACLES = {
+    "betweenness_path_nation": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10),
+             c AS (SELECT count(*) AS cnt FROM p)
+        SELECT id, CAST(pos * (cnt - 1 - pos) AS BIGINT) AS bc FROM p, c
+    """,
+    "betweenness_sampled_nation_path": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10),
+             c AS (SELECT count(*) AS cnt FROM p)
+        SELECT id,
+               CAST((cnt / 5) * LEAST(pos, 5) * (cnt - 1 - pos) AS BIGINT)
+               AS bc
+        FROM p, c
+    """,
+}
+
+QUERIES.update(
+    {
+        "betweenness_path_nation": q_betweenness_path_nation,
+        "betweenness_sampled_nation_path": q_betweenness_sampled_nation_path,
+    }
+)
+ORACLE_SQL.update(_ROUND4B_ORACLES)

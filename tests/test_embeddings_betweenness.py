@@ -94,3 +94,75 @@ def test_embedding_guard_before_collect(spark, monkeypatch):
     monkeypatch.setattr(LinkGraph, "grouped_adjacency", boom)
     with pytest.raises(ValueError, match="max_nodes"):
         GraphEmbedding(dimension=2, n_jumps=5, max_nodes=1).fit(g)
+
+
+# ---------------------------------------------------------------------------
+# betweenness_sampled (distributed Brandes estimator, beyond reference)
+
+
+def _nx_graph(edges, directed):
+    import networkx as nx
+
+    g = nx.DiGraph() if directed else nx.Graph()
+    g.add_edges_from(edges)
+    return g
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("normalized", [True, False])
+def test_betweenness_sampled_exact_matches_networkx(spark, directed, normalized):
+    import random
+
+    import networkx as nx
+
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(18)]
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a != b and rng.random() < 0.18
+        }
+    )
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": directed})
+    out = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(g, normalized=normalized).collect()
+    }
+    exp = nx.betweenness_centrality(_nx_graph(edges, directed),
+                                    normalized=normalized)
+    # compare only nodes with at least one edge (LinkGraph has no isolates)
+    for node, v in exp.items():
+        if node in out:
+            assert out[node] == pytest.approx(v, abs=1e-9), node
+
+
+def test_betweenness_sampled_estimator_scale(spark):
+    """Directed path 0→…→9, sources = first 4 nodes: the n/k-scaled estimate
+    has the closed form (10/4)·|{s in sample : s < i}|·(9-i)."""
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    out = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(
+            g, sources=[f"n{i}" for i in range(4)], normalized=False
+        ).collect()
+    }
+    for i in range(10):
+        assert out[f"n{i}"] == pytest.approx(2.5 * min(i, 4) * (9 - i))
+
+
+def test_betweenness_sampled_int_k_deterministic(spark):
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    edges = [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    a = sorted(map(tuple, betweenness_sampled(g, sources=5).collect()))
+    b = sorted(map(tuple, betweenness_sampled(g, sources=5).collect()))
+    assert a == b
