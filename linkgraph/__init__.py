@@ -20,13 +20,20 @@ from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
 from linkgraph.algorithms.label_propagation import label_propagation
-from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
+from linkgraph.algorithms.assortativity import degree_assortativity
+from linkgraph.algorithms.triangles import (
+    average_clustering,
+    local_clustering_coefficient,
+    triangle_count,
+    triangle_counts_per_vertex,
+)
 from linkgraph.algorithms.louvain import louvain_communities
 from linkgraph.algorithms.spread_activation import spread_activation
 from linkgraph.algorithms.transition import transition_matrix, transition_power
 from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
+from linkgraph.algorithms.sssp import shortest_paths_weighted
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     harmonic_centrality,
@@ -68,6 +75,9 @@ __all__ = [
     "read_edges_bucketed",
     "triangle_count",
     "triangle_counts_per_vertex",
+    "local_clustering_coefficient",
+    "average_clustering",
+    "degree_assortativity",
     "louvain_communities",
     "spread_activation",
     "transition_matrix",
@@ -79,6 +89,7 @@ __all__ = [
     "closeness_centrality",
     "harmonic_centrality",
     "shortest_path_lengths",
+    "shortest_paths_weighted",
     "betweenness_centrality",
     "betweenness_sampled",
     "Embeddings",

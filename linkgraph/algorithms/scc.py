@@ -68,6 +68,10 @@ def strongly_connected_components(
     with_sizes: bool = False,
     strategy: str = "auto",
     local_max_edges: int = 2_000_000,
+    checkpoint=None,
+    checkpoint_interval: int = 1,
+    max_rounds: int | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns DataFrame[id, scc(, scc_size)] where ``scc`` is the minimum
     node id in the strongly connected component.
@@ -75,9 +79,25 @@ def strongly_connected_components(
     ``max_iter`` is a GLOBAL superstep budget across all peeling rounds and
     inner fixpoints; exhausting it raises (a partially-peeled SCC labeling
     is wrong, not approximate). ``strategy`` mirrors the other loops' gates:
-    ``auto`` probes size and solves driver-locally under the threshold."""
+    ``auto`` probes size and solves driver-locally under the threshold.
+
+    ``checkpoint``/``resume`` make SCC the fifth resumable loop (after
+    pagerank, two-star CC, LPA and Louvain): every ``checkpoint_interval``
+    completed peel rounds the full cross-round state — remaining edges,
+    active nodes, labels assigned so far, superstep accounting — is
+    snapshotted through a :class:`linkgraph.checkpoint.CheckpointManager`;
+    ``resume=True`` continues from the last completed round with bit-exact
+    labels (peeling is deterministic: min-id coloring, no RNG anywhere).
+    ``max_rounds`` is a round-granular budget kill switch: on exhaustion the
+    run snapshots ``done=False`` and returns the PARTIAL labels assigned so
+    far (unassigned nodes absent) for the resumed run to complete."""
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
+    needs_cluster = checkpoint is not None or resume
+    if needs_cluster and strategy == "local":
+        raise ValueError("strategy='local' cannot honor checkpoint/resume")
+    if needs_cluster:
+        strategy = "distributed"
     we_persisted: list[DataFrame] = []
     use_local = False
     labels = None
@@ -96,7 +116,15 @@ def strongly_connected_components(
                 labels = _scc_local(graph)
         if not use_local:
             with static_plans(graph.edges.sparkSession):
-                labels = _scc_distributed(graph, max_iter, tuple(we_persisted))
+                labels = _scc_distributed(
+                    graph,
+                    max_iter,
+                    tuple(we_persisted),
+                    checkpoint=checkpoint,
+                    checkpoint_interval=checkpoint_interval,
+                    max_rounds=max_rounds,
+                    resume=resume,
+                )
             we_persisted = []
     finally:
         for df in we_persisted:
@@ -209,7 +237,13 @@ def _semi_on(df: DataFrame, keep: DataFrame, col: str) -> DataFrame:
 
 
 def _scc_distributed(
-    graph: LinkGraph, max_iter: int, release_after_build=()
+    graph: LinkGraph,
+    max_iter: int,
+    release_after_build=(),
+    checkpoint=None,
+    checkpoint_interval: int = 1,
+    max_rounds: int | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
     # Edges are kept hash-partitioned by u across supersteps (localCheckpoint
@@ -222,26 +256,77 @@ def _scc_distributed(
     def _by_u(e: DataFrame) -> DataFrame:
         return e.repartition(npart, "u").localCheckpoint(eager=False)
 
-    edges = _by_u(
-        graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
-        .filter(F.col("u") != F.col("v"))  # self-loops don't change SCCs
-        .distinct()
-    )
-    active = (
-        graph.nodes.select(F.col(ID).alias("id"))
-        .union(edges.select(F.col("u").alias("id")))
-        .union(edges.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n_active = active.count()
-    for df in release_after_build:
-        df.unpersist()
+    def _restrict(labels: DataFrame) -> DataFrame:
+        # parity with connected_components: outside endpoints shape
+        # reachability but emit no output row
+        return labels.join(
+            graph.nodes.select(F.col(ID).alias("id")), "id", "left_semi"
+        )
 
     parts: list[DataFrame] = []
+    stats = {"rounds": 0, "trim": 0, "color": 0, "reach": 0, "other": 0}
     steps = 0
 
-    stats = {"rounds": 0, "trim": 0, "color": 0, "reach": 0, "other": 0}
+    if resume and checkpoint is not None and checkpoint.latest_step() is not None:
+        rnd0 = checkpoint.latest_step()
+        met = checkpoint.manifest(rnd0)["metrics"]
+        stats = dict(met["stats"])
+        steps = met["steps"]
+        if met["n_assigned"]:
+            parts = [checkpoint.load(rnd0, "assigned").localCheckpoint(eager=False)]
+        for df in release_after_build:
+            df.unpersist()
+        if met.get("done"):
+            LAST_STATS.clear()
+            LAST_STATS.update(stats, total=steps)
+            if not parts:
+                t = graph.nodes.schema[ID].dataType.simpleString()
+                return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+            return _restrict(parts[0])
+        edges = _by_u(checkpoint.load(rnd0, "edges"))
+        active = checkpoint.load(rnd0, "active").localCheckpoint(eager=False)
+        n_active = met["n_active"]
+    else:
+        edges = _by_u(
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .filter(F.col("u") != F.col("v"))  # self-loops don't change SCCs
+            .distinct()
+        )
+        active = (
+            graph.nodes.select(F.col(ID).alias("id"))
+            .union(edges.select(F.col("u").alias("id")))
+            .union(edges.select(F.col("v").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_active = active.count()
+        for df in release_after_build:
+            df.unpersist()
+
+    def _assigned() -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
+    def _save(done: bool):
+        assigned = _assigned()
+        tables = {} if done else {"edges": edges, "active": active}
+        if assigned is not None:
+            tables["assigned"] = assigned
+        checkpoint.save(
+            stats["rounds"],
+            tables,
+            {
+                "done": done,
+                "n_active": n_active,
+                "n_assigned": len(parts),
+                "steps": steps,
+                "stats": stats,
+            },
+        )
 
     def _spend(kind: str = "other"):
         nonlocal steps
@@ -254,7 +339,20 @@ def _scc_distributed(
                 "inner fixpoints are O(active-subgraph diameter)"
             )
 
+    saved_done = False
     while n_active > 0:
+        if max_rounds is not None and stats["rounds"] >= max_rounds:
+            # budget kill switch: snapshot the cross-round state and hand
+            # back the labels peeled so far (partial — resume to complete)
+            if checkpoint is not None:
+                _save(done=False)
+            LAST_STATS.clear()
+            LAST_STATS.update(stats, total=steps)
+            a = _assigned()
+            if a is None:
+                t = graph.nodes.schema[ID].dataType.simpleString()
+                return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+            return _restrict(a)
         # ---- 1. trim to fixpoint: no in-edge or no out-edge => singleton
         while True:
             core = (
@@ -347,15 +445,20 @@ def _scc_distributed(
         n_active = active.count()
         _spend("other")
         stats["rounds"] += 1
+        if checkpoint is not None and (
+            stats["rounds"] % checkpoint_interval == 0 or n_active == 0
+        ):
+            _save(done=n_active == 0)
+            saved_done = n_active == 0
 
+    if checkpoint is not None and not saved_done:
+        # covers completion paths that exit mid-round (trim dissolving the
+        # last active nodes) or before round 1 ever completes
+        _save(done=True)
     LAST_STATS.clear()
     LAST_STATS.update(stats, total=steps)
-    if not parts:
+    out = _assigned()
+    if out is None:
         t = graph.nodes.schema[ID].dataType.simpleString()
         return spark.createDataFrame([], f"{ID} {t}, scc {t}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    # restrict to the caller's node table (parity with connected_components:
-    # outside endpoints shape reachability but emit no output row)
-    return out.join(graph.nodes.select(F.col(ID).alias("id")), "id", "left_semi")
+    return _restrict(out)

@@ -1,0 +1,104 @@
+"""Weighted single/multi-source shortest paths — Bellman-Ford supersteps.
+
+NOT present in the reference (its distances are hop counts via GraphFrames
+``shortestPaths``, ``mercury/graph/core/graph.py:656-671`` — unweighted
+only); added because a weighted-graph engine without weighted distances
+pushes every routing/cost workload back to the user.
+
+Distributed plan: the classic Bellman-Ford relaxation expressed as one
+superstep join —
+
+    cand(v) = min over in-edges (u,v,w) of dist(u) + w
+    dist'   = min(dist, cand)
+
+iterated to fixpoint. Frontier-pruned: only nodes whose distance IMPROVED
+last round feed the next relaxation (the textbook queue-based refinement),
+so supersteps touch the active frontier, not all settled state. Edges are
+hash-partitioned by src once and reused every superstep (localCheckpoint
+preserves partitioning) — only the frontier shuffles, the same
+rank-side-only-shuffle shape as pagerank/SCC. Convergence is the improved
+count reaching zero, read from the SAME aggregate that materializes the
+superstep (one action per round).
+
+Weights must be non-negative (checked lazily: negative-cycle divergence
+hits ``max_iter`` and raises; plain negative edges without cycles still
+converge to correct Bellman-Ford answers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def shortest_paths_weighted(
+    graph: LinkGraph,
+    sources: DataFrame | list,
+    max_iter: int = 200,
+) -> DataFrame:
+    """DataFrame[id, dist] — minimum edge-weight sum from the NEAREST source
+    along edge direction (undirected graphs already materialize both
+    directions). Unreachable nodes get no row (join/zero-fill is the
+    caller's policy choice). Multi-source by construction: pass one source
+    for classic SSSP, many for the nearest-facility pattern."""
+    spark = graph.edges.sparkSession
+    if isinstance(sources, list):
+        src_df = spark.createDataFrame([(x,) for x in sources], [ID])
+    else:
+        src_df = sources.select(F.col(sources.columns[0]).alias(ID))
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = graph.weight_col()
+    with static_plans(spark):
+        edges = (
+            graph.edges.select(
+                F.col(SRC).alias("u"), F.col(DST).alias("v"),
+                w.cast("double").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+            .repartition(npart, "u")
+            .localCheckpoint(eager=True)
+        )
+        dist = src_df.select(ID, F.lit(0.0).alias("dist")).distinct()
+        dist = dist.localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_iter):
+            cand = (
+                frontier.join(edges, frontier[ID] == edges["u"])
+                .select(F.col("v").alias(ID), (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy(ID)
+                .agg(F.min("d").alias("d"))
+            )
+            merged = (
+                dist.join(cand, ID, "full")
+                .select(
+                    ID,
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("d", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("d").isNotNull()
+                        & (F.col("d") < F.coalesce("dist", F.lit(float("inf"))))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_imp = merged.filter("_imp").count()  # materializes the round
+            if n_imp == 0:
+                dist = merged.select(ID, "dist")
+                break
+            frontier = merged.filter("_imp").select(ID, "dist").localCheckpoint(
+                eager=False
+            )
+            dist = merged.select(ID, "dist")
+        else:
+            raise RuntimeError(
+                f"shortest_paths_weighted did not converge within "
+                f"max_iter={max_iter} supersteps — negative cycle, or raise "
+                "max_iter (rounds are bounded by the weighted-path hop count)"
+            )
+    return dist

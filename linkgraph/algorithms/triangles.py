@@ -101,3 +101,54 @@ def triangle_counts_per_vertex(graph: LinkGraph) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def local_clustering_coefficient(graph: LinkGraph) -> DataFrame:
+    """DataFrame[id, lcc] — networkx ``clustering()`` parity on the
+    underlying undirected simple graph: lcc(v) = 2·T(v) / (d(v)·(d(v)−1))
+    with d the distinct-neighbor degree (self-loops dropped), 0.0 when
+    d < 2.
+
+    Shares the degree-oriented triangle pipeline: one extra algebraic degree
+    aggregate over the already-persisted oriented edge set (orientation is a
+    bijection on the distinct undirected edges, so appearances in u ∪ v ARE
+    the simple degree) plus one zero-filled join — no new shuffle shape
+    beyond ``triangle_counts_per_vertex``."""
+    tri, e = _triangle_triples(graph)
+    corners = (
+        tri.select(F.col("x").alias(ID))
+        .union(tri.select(F.col("y").alias(ID)))
+        .union(tri.select(F.col("z").alias(ID)))
+    )
+    counts = corners.groupBy(ID).agg(F.count(F.lit(1)).alias("t"))
+    deg = (
+        e.select(F.col("u").alias(ID))
+        .union(e.select(F.col("v").alias(ID)))
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    out = (
+        graph.nodes.select(ID)
+        .join(deg, ID, "left")
+        .join(counts, ID, "left")
+        .select(
+            ID,
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def average_clustering(graph: LinkGraph) -> float:
+    """networkx ``average_clustering()`` parity: mean lcc over ALL nodes."""
+    lcc = local_clustering_coefficient(graph)
+    row = lcc.agg(F.avg("lcc").alias("a")).collect()[0]
+    return float(row["a"] or 0.0)

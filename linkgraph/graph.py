@@ -295,6 +295,26 @@ class LinkGraph:
 
         return betweenness_sampled(self, sources=sources, **kwargs)
 
+    def shortest_paths_weighted(self, sources, **kwargs) -> DataFrame:
+        """Weighted multi-source shortest paths (beyond reference);
+        DataFrame[id, dist]."""
+        from linkgraph.algorithms.sssp import shortest_paths_weighted
+
+        return shortest_paths_weighted(self, sources, **kwargs)
+
+    def local_clustering_coefficient(self) -> DataFrame:
+        """Per-node clustering coefficient (beyond reference);
+        DataFrame[id, lcc]."""
+        from linkgraph.algorithms.triangles import local_clustering_coefficient
+
+        return local_clustering_coefficient(self)
+
+    def degree_assortativity(self) -> float:
+        """Degree-degree Pearson correlation over edges (beyond reference)."""
+        from linkgraph.algorithms.assortativity import degree_assortativity
+
+        return degree_assortativity(self)
+
     def pagerank(self, **kwargs) -> DataFrame:
         """graph.py:331-338 parity; DataFrame[id, pagerank]."""
         from linkgraph.algorithms.pagerank import pagerank

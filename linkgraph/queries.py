@@ -1899,3 +1899,189 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_ROUND4B_ORACLES)
+
+
+def q_scc_resume_two_cycles(spark, sf_dir):
+    """Checkpoint/resume equivalence for SCC (5th resumable loop): two
+    4-cycles over the 8 string-smallest nation ids joined by one bridge from
+    the cycle holding the global-minimum id — coloring paints both cycles
+    with that minimum, backward reach peels only the upstream cycle, so the
+    run NEEDS two peel rounds. Round 1 is killed via the max_rounds budget
+    (asserted mid-run: done=False), then resumed to completion. Labels are
+    closed-form: min string id per cycle."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from linkgraph import strongly_connected_components
+    from linkgraph.checkpoint import CheckpointManager
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id")
+    )
+    w = Window.orderBy("id")
+    p = (
+        n.select("id", (F.row_number().over(w) - 1).alias("pos"))
+        .filter(F.col("pos") < 8)
+    )
+    grp = (F.col("pos") / 4).cast("int")
+    wg = Window.partitionBy(grp).orderBy("pos")
+    nxt = F.coalesce(
+        F.lead("id").over(wg), F.first("id").over(wg.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    cycles = p.select(F.col("id").alias("src"), nxt.alias("dst"))
+    bridge = (
+        p.filter(F.col("pos") == 3).select(F.col("id").alias("src"))
+        .crossJoin(p.filter(F.col("pos") == 4).select(F.col("id").alias("dst")))
+    )
+    g = LinkGraph(cycles.union(bridge))
+    mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_scc_"), spark)
+    strongly_connected_components(g, checkpoint=mgr, checkpoint_interval=1,
+                                  max_rounds=1)
+    if mgr.latest_step() != 1 or mgr.manifest(1)["metrics"]["done"]:
+        raise RuntimeError("interrupted scc failed to checkpoint mid-peel")
+    return strongly_connected_components(g, checkpoint=mgr, resume=True)
+
+
+_ROUND4C_ORACLES = {
+    "scc_resume_two_cycles": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY 'n' || n_nationkey) - 1
+                            AS pos
+                     FROM nation) WHERE pos < 8)
+        SELECT id, min(id) OVER (PARTITION BY CASE WHEN pos < 4 THEN 0
+                                              ELSE 1 END) AS scc
+        FROM p
+    """,
+}
+
+QUERIES.update({"scc_resume_two_cycles": q_scc_resume_two_cycles})
+ORACLE_SQL.update(_ROUND4C_ORACLES)
+
+
+def q_lcc_region_clique(spark, sf_dir):
+    """Local clustering coefficient on the K5 region clique with nation
+    tails: each region sits in C(4,2)=6 triangles with degree 4+|nations in
+    region|, so lcc_r = 12/(d·(d−1)); nation leaves have degree 1 → 0.
+    Closed form, millionths-cast for exact hashing."""
+    from linkgraph.algorithms.triangles import local_clustering_coefficient
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    star = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    g = LinkGraph(clique.union(star))
+    out = local_clustering_coefficient(g)
+    return out.select(
+        "id", F.round(F.col("lcc") * 1e6).cast("long").alias("lcc_millionths")
+    )
+
+
+_ROUND4D_ORACLES = {
+    "lcc_region_clique": """
+        WITH c AS (SELECT n_regionkey AS rk, count(*) AS cnt
+                   FROM nation GROUP BY n_regionkey)
+        SELECT 'r' || r_regionkey AS id,
+               CAST(round(1000000.0 * 12.0 /
+                    ((4 + coalesce(cnt, 0)) * (3 + coalesce(cnt, 0))))
+                    AS BIGINT) AS lcc_millionths
+        FROM region LEFT JOIN c ON r_regionkey = rk
+        UNION ALL
+        SELECT 'n' || n_nationkey, 0 FROM nation
+    """,
+}
+
+QUERIES.update({"lcc_region_clique": q_lcc_region_clique})
+ORACLE_SQL.update(_ROUND4D_ORACLES)
+
+
+def q_assortativity_nation_region(spark, sf_dir):
+    """Degree assortativity on the undirected nation↔region bipartite graph
+    (hubs attach to leaves → strongly disassortative). One corr aggregate;
+    DuckDB replays the identical symmetrized-pair correlation."""
+    from linkgraph.algorithms.assortativity import degree_assortativity
+
+    g = LinkGraph(
+        _t(spark, sf_dir, "nation").select(
+            _tag("n_nationkey", "n").alias("src"),
+            _tag("n_regionkey", "r").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    r = degree_assortativity(g)
+    return spark.createDataFrame(
+        [(int(round(r * 1e6)),)], "assort_millionths long"
+    )
+
+
+_ROUND4E_ORACLES = {
+    "assortativity_nation_region": """
+        WITH e AS (SELECT 'n' || n_nationkey AS a, 'r' || n_regionkey AS b
+                   FROM nation
+                   UNION ALL
+                   SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation),
+             d AS (SELECT a, count(*) AS deg FROM e GROUP BY a)
+        SELECT CAST(round(1000000 * corr(dx.deg, dy.deg)) AS BIGINT)
+               AS assort_millionths
+        FROM e JOIN d dx ON e.a = dx.a JOIN d dy ON e.b = dy.a
+    """,
+}
+
+QUERIES.update({"assortativity_nation_region": q_assortativity_nation_region})
+ORACLE_SQL.update(_ROUND4E_ORACLES)
+
+
+def q_sssp_path_nation(spark, sf_dir):
+    """Weighted multi-source shortest paths on the undirected 10-node nation
+    path with edge (i, i+1) weighted i+1, sources = BOTH ends — closed form:
+    dist(pos i) = min(i·(i+1)/2, 45 − i·(i+1)/2). Exercises weighted
+    relaxation, frontier pruning, min-merge of competing sources, and the
+    undirected symmetrized edge set."""
+    from pyspark.sql import Window
+
+    from linkgraph import shortest_paths_weighted
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(10)
+    )
+    w = Window.orderBy("k")
+    p = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.lead(F.concat(F.lit("n"), F.col("k").cast("string"))).over(w).alias("nxt"),
+    )
+    edges = p.filter(F.col("nxt").isNotNull()).select(
+        F.col("id").alias("src"), F.col("nxt").alias("dst"),
+        (F.col("pos") + 1).cast("double").alias("weight"),
+    )
+    ends = p.filter((F.col("pos") == 0) | (F.col("pos") == 9)).select("id")
+    g = LinkGraph(edges, keys={"directed": False})
+    out = shortest_paths_weighted(g, sources=ends)
+    return out.select("id", F.round("dist").cast("long").alias("dist"))
+
+
+_ROUND4F_ORACLES = {
+    "sssp_path_nation": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10)
+        SELECT id,
+               CAST(least(pos * (pos + 1) / 2,
+                          45 - pos * (pos + 1) / 2) AS BIGINT) AS dist
+        FROM p
+    """,
+}
+
+QUERIES.update({"sssp_path_nation": q_sssp_path_nation})
+ORACLE_SQL.update(_ROUND4F_ORACLES)

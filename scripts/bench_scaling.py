@@ -4,7 +4,9 @@ No multi-executor cluster exists in the sandbox, so the north rule's
 "N to 4N executors, efficiency ≥ 0.8" criterion is evidenced by running the
 IDENTICAL PageRank job on IDENTICAL input at local[8] vs local[32]
 (4× cores), shuffle partitions scaled to cores, and reporting edges/sec per
-superstep at both plus per-core scaling efficiency. Writes BENCH/BASELINE.md.
+superstep at both plus per-core scaling efficiency. Writes
+BENCH/scaling_latest.md (promote to BENCH/BASELINE.md by hand after
+checking the legs are steal-free).
 
 Each parallelism level runs in a fresh subprocess (own JVM) so nothing leaks
 between runs. The measured phase is a fixed number of supersteps (after the

@@ -98,3 +98,61 @@ def test_lpa_checkpoint_resume_equivalence(spark, tmp_ckpt):
     assert mgr.manifest(last)["metrics"]["converged"]
     again = label_propagation(g, checkpoint=mgr, resume=True)
     assert {r["id"]: r["label"] for r in again.collect()} == a
+
+
+def test_clustering_karate(spark):
+    from linkgraph import average_clustering, local_clustering_coefficient
+
+    edges = karate_edges()
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    ref = nx.clustering(_nx_graph(edges))
+    got = {r["id"]: r["lcc"] for r in local_clustering_coefficient(g).collect()}
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
+    assert average_clustering(g) == pytest.approx(
+        nx.average_clustering(_nx_graph(edges)), abs=1e-12
+    )
+
+
+def test_clustering_random_with_self_loops(spark):
+    from linkgraph import local_clustering_coefficient
+
+    edges = random_digraph(60, 0.09, seed=9)
+    # self-loops must be ignored (networkx clustering drops them too)
+    looped = edges + [(s, s, 1.0) for s, _, _ in edges[:5]]
+    g = LinkGraph(spark.createDataFrame(looped, ["src", "dst", "weight"]))
+    nxg = _nx_graph(edges)
+    ref = nx.clustering(nxg)
+    got = {r["id"]: r["lcc"] for r in local_clustering_coefficient(g).collect()}
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_assortativity_karate(spark):
+    from linkgraph import degree_assortativity
+
+    edges = karate_edges()
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": False})
+    ref = nx.degree_assortativity_coefficient(_nx_graph(edges))
+    assert degree_assortativity(g) == pytest.approx(ref, rel=1e-9)
+
+
+def test_assortativity_directed(spark):
+    from linkgraph import degree_assortativity
+
+    edges = random_digraph(60, 0.08, seed=3)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst", "weight"]))
+    nxg = nx.DiGraph()
+    nxg.add_edges_from((s, d) for s, d, _ in edges)
+    ref = nx.degree_assortativity_coefficient(nxg)  # default x='out', y='in'
+    assert degree_assortativity(g) == pytest.approx(ref, rel=1e-9)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from linkgraph import degree_assortativity
+
+    edges = [("c", f"l{i}") for i in range(6)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": False})
+    assert degree_assortativity(g) == pytest.approx(-1.0)

@@ -82,3 +82,47 @@ def test_graph_method(spark):
     g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
     lab = _labels(g.strongly_connected_components())
     assert lab == {1: 1, 2: 1}
+
+
+def test_checkpoint_resume_bit_exact(spark, tmp_path):
+    """Kill after round 1 via max_rounds budget, resume, compare with an
+    uninterrupted run — bit-exact labels (peeling is deterministic)."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    # two 4-cycles A={1..4}, B={10..13} joined by a bridge: coloring paints
+    # both with min(A), backward reach peels only A in round 1, so the run
+    # genuinely needs two rounds
+    cyc = lambda ns: [(ns[i], ns[(i + 1) % len(ns)]) for i in range(len(ns))]
+    edges = cyc([1, 2, 3, 4]) + cyc([10, 11, 12, 13]) + [(4, 10)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    full = _labels(strongly_connected_components(g, strategy="distributed"))
+    assert full == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    mgr = CheckpointManager(str(tmp_path / "scc_ckpt"), spark)
+    partial = strongly_connected_components(
+        g, checkpoint=mgr, checkpoint_interval=1, max_rounds=1
+    )
+    assert mgr.latest_step() == 1
+    assert mgr.manifest(1)["metrics"]["done"] is False
+    # partial = only the round-1 peel (cycle A); B still unassigned
+    assert _labels(partial) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    resumed = strongly_connected_components(g, checkpoint=mgr, resume=True)
+    assert _labels(resumed) == full
+    assert mgr.manifest(mgr.latest_step())["metrics"]["done"] is True
+    # resuming a DONE checkpoint returns the stored labels unchanged
+    again = strongly_connected_components(g, checkpoint=mgr, resume=True)
+    assert _labels(again) == full
+
+
+def test_checkpoint_trim_only_graph_saves_done(spark, tmp_path):
+    """A DAG dissolves entirely in the trim phase (exits mid-round); the
+    manager must still end with a done=True snapshot."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    mgr = CheckpointManager(str(tmp_path / "scc_dag"), spark)
+    out = strongly_connected_components(g, checkpoint=mgr)
+    assert _labels(out) == {i: i for i in range(1, 5)}
+    assert mgr.manifest(mgr.latest_step())["metrics"]["done"] is True

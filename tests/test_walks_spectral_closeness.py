@@ -256,3 +256,58 @@ def test_harmonic_landmarks_subset(spark):
     assert got["b"] == pytest.approx(1.0)
     assert got["c"] == pytest.approx(0.5)
     assert got["a"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths_weighted (Bellman-Ford supersteps, beyond reference)
+
+
+def test_sssp_matches_dijkstra(spark):
+    import random
+
+    import networkx as nx
+
+    from linkgraph import LinkGraph, shortest_paths_weighted
+
+    rng = random.Random(5)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted({
+        (a, b) for a in nodes for b in nodes if a != b and rng.random() < 0.12
+    })
+    wedges = [(a, b, float(1 + (hash((a, b)) % 9))) for a, b in edges]
+    g = LinkGraph(spark.createDataFrame(wedges, ["src", "dst", "weight"]))
+    got = {r["id"]: r["dist"] for r in
+           shortest_paths_weighted(g, sources=["n0"]).collect()}
+    nxg = nx.DiGraph()
+    nxg.add_weighted_edges_from(wedges)
+    exp = nx.single_source_dijkstra_path_length(nxg, "n0")
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_sssp_multi_source_undirected(spark):
+    import networkx as nx
+
+    from linkgraph import LinkGraph, shortest_paths_weighted
+
+    wedges = [(f"n{i}", f"n{i+1}", float(i + 1)) for i in range(9)]
+    g = LinkGraph(spark.createDataFrame(wedges, ["src", "dst", "weight"]),
+                  keys={"directed": False})
+    got = {r["id"]: r["dist"] for r in
+           shortest_paths_weighted(g, sources=["n0", "n9"]).collect()}
+    nxg = nx.Graph()
+    nxg.add_weighted_edges_from(wedges)
+    exp = nx.multi_source_dijkstra_path_length(nxg, {"n0", "n9"})
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_sssp_parallel_edges_keep_cheapest(spark):
+    from linkgraph import LinkGraph, shortest_paths_weighted
+
+    wedges = [("a", "b", 5.0), ("a", "b", 2.0), ("b", "c", 1.0)]
+    g = LinkGraph(spark.createDataFrame(wedges, ["src", "dst", "weight"]))
+    got = {r["id"]: r["dist"] for r in
+           shortest_paths_weighted(g, sources=["a"]).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 3.0}
