@@ -142,8 +142,11 @@ def main():
         # sigma BFS + backward dependency sweep, hop-capped
         from linkgraph import betweenness_sampled
 
+        # hop-bounded (k=8) betweenness: the standard bounded-distance
+        # estimator — supersteps cost ~2 jobs/level, so the hop cap is the
+        # wall knob, not the source count
         srcs = [r[0] for r in g.nodes.orderBy("id").limit(8).collect()]
-        out = betweenness_sampled(g, sources=srcs, max_hops=12)
+        out = betweenness_sampled(g, sources=srcs, max_hops=8)
         extra["betweenness_sum"] = round(
             out.agg(F.sum("betweenness")).collect()[0][0] or 0.0, 3
         )

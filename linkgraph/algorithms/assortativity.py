@@ -48,5 +48,10 @@ def degree_assortativity(graph: LinkGraph) -> float:
                   edges[DST] == F.col("_v"))
             .select("dx", "dy")
         )
-    row = pairs.agg(F.corr("dx", "dy").alias("r")).collect()[0]
+    try:
+        row = pairs.agg(F.corr("dx", "dy").alias("r")).collect()[0]
+    except Exception as e:  # ANSI mode: zero degree variance → DIVIDE_BY_ZERO
+        if "DIVIDE_BY_ZERO" in str(e):
+            return float("nan")
+        raise
     return float("nan") if row["r"] is None else float(row["r"])

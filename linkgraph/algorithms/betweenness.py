@@ -48,6 +48,38 @@ def betweenness_centrality(
     )
 
 
+def _forward_level(frontier: DataFrame, fwd: DataFrame, seen: DataFrame) -> DataFrame:
+    """One forward-BFS superstep: expand the frontier along ``fwd``, sum
+    shortest-path counts per (source, node), drop already-settled pairs.
+    Factored out for the plan-audit tests (algebraic, window-free)."""
+    return (
+        frontier.join(fwd, frontier[ID] == fwd["u"])
+        .select("s", F.col("v").alias(ID), "sigma")
+        .groupBy("s", ID)
+        .agg(F.sum("sigma").alias("sigma"))
+        .join(seen, ["s", ID], "left_anti")
+    )
+
+
+def _backward_level(w: DataFrame, rev: DataFrame, prev: DataFrame) -> DataFrame:
+    """One backward-sweep superstep: push dependencies from level-L nodes
+    ``w`` (s, id, sigma, delta) to their BFS-DAG predecessors in ``prev``."""
+    return (
+        w.join(rev, w[ID] == rev["v"])
+        .select(
+            "s",
+            F.col("u").alias("_p"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_r"),
+        )
+        .join(
+            prev.select("s", F.col(ID).alias("_p"), F.col("sigma").alias("_sp")),
+            ["s", "_p"],
+        )
+        .groupBy("s", F.col("_p").alias(ID))
+        .agg(F.sum(F.col("_sp") * F.col("_r")).alias("delta"))
+    )
+
+
 def betweenness_sampled(
     graph: LinkGraph,
     sources: DataFrame | list | int | None = None,
@@ -112,14 +144,7 @@ def betweenness_sampled(
         seen = level0.select("s", ID).localCheckpoint(eager=True)
         for _ in range(max_hops):
             frontier = levels[-1]
-            nxt = (
-                frontier.join(fwd, frontier[ID] == fwd["u"])
-                .select("s", F.col("v").alias(ID), "sigma")
-                .groupBy("s", ID)
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(seen, ["s", ID], "left_anti")
-                .localCheckpoint(eager=True)
-            )
+            nxt = _forward_level(frontier, fwd, seen).localCheckpoint(eager=True)
             if nxt.limit(1).count() == 0:
                 break
             levels.append(nxt)
@@ -142,21 +167,7 @@ def betweenness_sampled(
             w = w.localCheckpoint(eager=True)
             parts.append(w.select("s", ID, "delta"))
             prev = levels[lvl - 1]
-            delta_cur = (
-                w.join(rev, w[ID] == rev["v"])
-                .select(
-                    "s",
-                    F.col("u").alias("_p"),
-                    ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_r"),
-                )
-                .join(
-                    prev.select("s", F.col(ID).alias("_p"), F.col("sigma").alias("_sp")),
-                    ["s", "_p"],
-                )
-                .groupBy("s", F.col("_p").alias(ID))
-                .agg(F.sum(F.col("_sp") * F.col("_r")).alias("delta"))
-                .localCheckpoint(eager=True)
-            )
+            delta_cur = _backward_level(w, rev, prev).localCheckpoint(eager=True)
 
         if parts:
             raw = parts[0]

@@ -34,6 +34,29 @@ from linkgraph.graph import DST, ID, SRC, LinkGraph
 from linkgraph.session import static_plans
 
 
+def _relax_round(dist: DataFrame, frontier: DataFrame, edges: DataFrame) -> DataFrame:
+    """One Bellman-Ford superstep: relax the frontier's out-edges, min-merge
+    into ``dist``, and flag improvements. Pure dataflow (factored out so the
+    plan-audit tests can assert it stays algebraic and window-free)."""
+    cand = (
+        frontier.join(edges, frontier[ID] == edges["u"])
+        .select(F.col("v").alias(ID), (F.col("dist") + F.col("w")).alias("d"))
+        .groupBy(ID)
+        .agg(F.min("d").alias("d"))
+    )
+    return dist.join(cand, ID, "full").select(
+        ID,
+        F.least(
+            F.coalesce("dist", F.lit(float("inf"))),
+            F.coalesce("d", F.lit(float("inf"))),
+        ).alias("dist"),
+        (
+            F.col("d").isNotNull()
+            & (F.col("d") < F.coalesce("dist", F.lit(float("inf"))))
+        ).alias("_imp"),
+    )
+
+
 def shortest_paths_weighted(
     graph: LinkGraph,
     sources: DataFrame | list,
@@ -66,27 +89,7 @@ def shortest_paths_weighted(
         dist = dist.localCheckpoint(eager=True)
         frontier = dist
         for _ in range(max_iter):
-            cand = (
-                frontier.join(edges, frontier[ID] == edges["u"])
-                .select(F.col("v").alias(ID), (F.col("dist") + F.col("w")).alias("d"))
-                .groupBy(ID)
-                .agg(F.min("d").alias("d"))
-            )
-            merged = (
-                dist.join(cand, ID, "full")
-                .select(
-                    ID,
-                    F.least(
-                        F.coalesce("dist", F.lit(float("inf"))),
-                        F.coalesce("d", F.lit(float("inf"))),
-                    ).alias("dist"),
-                    (
-                        F.col("d").isNotNull()
-                        & (F.col("d") < F.coalesce("dist", F.lit(float("inf"))))
-                    ).alias("_imp"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            merged = _relax_round(dist, frontier, edges).localCheckpoint(eager=False)
             n_imp = merged.filter("_imp").count()  # materializes the round
             if n_imp == 0:
                 dist = merged.select(ID, "dist")

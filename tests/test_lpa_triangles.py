@@ -156,3 +156,15 @@ def test_assortativity_star_is_minus_one(spark):
     g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
                   keys={"directed": False})
     assert degree_assortativity(g) == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_is_nan(spark):
+    import math
+
+    from linkgraph import degree_assortativity
+
+    # directed 3-cycle: all out/in degrees 1 → zero variance → nan (ANSI
+    # corr divide-by-zero is converted, matching networkx's nan)
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    assert math.isnan(degree_assortativity(g))
