@@ -25,8 +25,18 @@ from linkgraph.graph import DST, SRC, LinkGraph
 
 def degree_assortativity(graph: LinkGraph) -> float:
     """Pearson degree-degree correlation over edges; NaN on degenerate
-    inputs (no edges, or zero degree variance) exactly like networkx."""
-    edges = graph.edges.select(SRC, DST)
+    inputs (no edges, or zero degree variance) exactly like networkx.
+
+    Edges are canonicalized first — parallel edges collapsed, self-loops
+    dropped — so a weighted multigraph input measures the same simple-graph
+    statistic networkx computes on its collapsed Graph/DiGraph (networkx's
+    own self-loop handling counts a loop twice in the degree; this engine
+    follows its triangle/clustering convention and ignores loops)."""
+    edges = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
     if graph.is_directed:
         dout = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("dx"))
         din = (

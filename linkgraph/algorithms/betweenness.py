@@ -89,12 +89,19 @@ def betweenness_sampled(
     """DataFrame[id, betweenness] — source-sampled Brandes estimator.
 
     ``sources``: None = all nodes (EXACT betweenness, O(V) BFS sweeps — only
-    sane on small graphs); a list/DataFrame of node ids = those sources; an
-    int k = a deterministic hash-ordered sample of k nodes. With k < n
-    sources the per-source dependencies are scaled by n/k (the unbiased
-    Brandes–Pich estimator), matching ``networkx.betweenness_centrality(k=k)``
-    up to its random source choice. Distances are hop counts (unweighted
-    shortest paths), as in the reference's networkx default.
+    sane on small graphs; raises if ``max_hops`` truncates the BFS before
+    the frontier empties); a list/DataFrame of node ids = those sources
+    (deduplicated and restricted to nodes actually in the graph); an int k =
+    a deterministic hash-ordered sample of k nodes. With k < n sources the
+    per-source dependencies are scaled by n/k (the unbiased Brandes–Pich
+    estimator), matching ``networkx.betweenness_centrality(k=k)`` up to its
+    random source choice — EXCEPT directed+unnormalized+sampled, where
+    networkx's ``_rescale`` skips the n/k factor entirely (scale is None);
+    this engine applies n/k there too, keeping the estimator unbiased for
+    every flag combination. Distances are hop counts (unweighted shortest
+    paths), as in the reference's networkx default; with sampled sources a
+    deliberately small ``max_hops`` gives the standard bounded-distance
+    estimate.
 
     Scale shape: the forward phase is a level-synchronous multi-source BFS
     over state rows (source, node, sigma); each level is one join of the
@@ -108,6 +115,7 @@ def betweenness_sampled(
     """
     spark = graph.edges.sparkSession
     n = graph.number_of_nodes()
+    exact = sources is None
     if isinstance(sources, int):
         src_df = (
             graph.nodes.select(F.col(ID).alias("s"))
@@ -115,11 +123,18 @@ def betweenness_sampled(
             .limit(sources)
         )
     elif isinstance(sources, list):
+        if not sources:
+            raise ValueError("sources must be non-empty")
         src_df = spark.createDataFrame([(x,) for x in sources], ["s"])
     elif sources is None:
         src_df = graph.nodes.select(F.col(ID).alias("s"))
     else:
         src_df = sources.select(F.col(sources.columns[0]).alias("s"))
+    # duplicate or unknown sources would corrupt both the sigma counts and
+    # the n/k estimator scale — canonicalize before the BFS
+    src_df = src_df.distinct().join(
+        graph.nodes.select(F.col(ID).alias("s")), "s", "left_semi"
+    )
 
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
@@ -140,15 +155,35 @@ def betweenness_sampled(
             "s", F.col("s").alias(ID), F.lit(1.0).alias("sigma")
         ).localCheckpoint(eager=True)
         k = level0.count()
+        if k == 0:
+            raise ValueError("sources must resolve to at least one graph node")
         levels = [level0]
-        seen = level0.select("s", ID).localCheckpoint(eager=True)
-        for _ in range(max_hops):
+        # `seen` stays a LAZY union over the eagerly-cached level frontiers:
+        # re-checkpointing it each level would rewrite all prior levels'
+        # rows every superstep (O(levels²·k·V) write amplification); as a
+        # union of cached scans the anti-join reads each level once
+        seen = level0.select("s", ID)
+        truncated = False
+        for hop in range(max_hops):
             frontier = levels[-1]
             nxt = _forward_level(frontier, fwd, seen).localCheckpoint(eager=True)
             if nxt.limit(1).count() == 0:
                 break
             levels.append(nxt)
-            seen = seen.unionByName(nxt.select("s", ID)).localCheckpoint(eager=True)
+            seen = seen.unionByName(nxt.select("s", ID))
+        else:
+            # range exhausted without the empty-frontier break: probe one
+            # more level before claiming truncation (diameter == max_hops is
+            # still exact)
+            truncated = (
+                _forward_level(levels[-1], fwd, seen).limit(1).count() > 0
+            )
+        if truncated and exact:
+            raise RuntimeError(
+                f"exact betweenness (sources=None) did not exhaust the BFS "
+                f"within max_hops={max_hops}; raise max_hops above the graph "
+                "diameter (truncation is only valid for sampled estimates)"
+            )
 
         # Backward: delta(v) = Σ_{w: succ on BFS DAG} sigma_v/sigma_w·(1+delta_w).
         # In unweighted BFS every DAG successor of a level-(L-1) node sits at

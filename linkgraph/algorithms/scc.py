@@ -340,11 +340,12 @@ def _scc_distributed(
             )
 
     saved_done = False
+    last_saved_round = -1
     while n_active > 0:
         if max_rounds is not None and stats["rounds"] >= max_rounds:
             # budget kill switch: snapshot the cross-round state and hand
             # back the labels peeled so far (partial — resume to complete)
-            if checkpoint is not None:
+            if checkpoint is not None and last_saved_round != stats["rounds"]:
                 _save(done=False)
             LAST_STATS.clear()
             LAST_STATS.update(stats, total=steps)
@@ -450,6 +451,7 @@ def _scc_distributed(
         ):
             _save(done=n_active == 0)
             saved_done = n_active == 0
+            last_saved_round = stats["rounds"]
 
     if checkpoint is not None and not saved_done:
         # covers completion paths that exit mid-round (trim dissolving the

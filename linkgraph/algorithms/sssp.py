@@ -69,9 +69,14 @@ def shortest_paths_weighted(
     for classic SSSP, many for the nearest-facility pattern."""
     spark = graph.edges.sparkSession
     if isinstance(sources, list):
+        if not sources:
+            raise ValueError("sources must be non-empty")
         src_df = spark.createDataFrame([(x,) for x in sources], [ID])
     else:
         src_df = sources.select(F.col(sources.columns[0]).alias(ID))
+    # phantom sources (ids not in the graph) must not seed distance 0 —
+    # same restriction convention as scc/cc/betweenness
+    src_df = src_df.join(graph.nodes.select(ID), ID, "left_semi")
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = graph.weight_col()
     with static_plans(spark):
@@ -104,4 +109,6 @@ def shortest_paths_weighted(
                 f"max_iter={max_iter} supersteps — negative cycle, or raise "
                 "max_iter (rounds are bounded by the weighted-path hop count)"
             )
-    return dist
+    # restrict to the caller's node table (parity with scc/cc/closeness:
+    # outside endpoints shape reachability but emit no output row)
+    return dist.join(graph.nodes.select(ID), ID, "left_semi")

@@ -1854,8 +1854,8 @@ def q_betweenness_path_nation(spark, sf_dir):
 
 def q_betweenness_sampled_nation_path(spark, sf_dir):
     """Brandes–Pich estimator with the 5 smallest-key nations as explicit
-    sources on the DIRECTED nation path — closed form: estimate at position
-    i is (n/k)·|{s in sample : s < i}|·(n-1-i) = 5·min(i,5)·(n-1-i).
+    sources on the DIRECTED 10-node nation path — closed form: estimate at
+    position i is (n/k)·|{s in sample : s < i}|·(n-1-i) = 2·min(i,5)·(9-i).
     Hash-pins the n/k sampling scale factor."""
     from linkgraph.algorithms.betweenness import betweenness_sampled
 

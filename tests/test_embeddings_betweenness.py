@@ -166,3 +166,39 @@ def test_betweenness_sampled_int_k_deterministic(spark):
     a = sorted(map(tuple, betweenness_sampled(g, sources=5).collect()))
     b = sorted(map(tuple, betweenness_sampled(g, sources=5).collect()))
     assert a == b
+
+
+def test_betweenness_sources_canonicalized(spark):
+    """Duplicate and phantom sources must not corrupt sigma or the n/k
+    scale: ['n0','n0','ghost'] behaves exactly like ['n0']."""
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    clean = sorted(map(tuple, betweenness_sampled(
+        g, sources=["n0"], normalized=False).collect()))
+    dirty = sorted(map(tuple, betweenness_sampled(
+        g, sources=["n0", "n0", "ghost"], normalized=False).collect()))
+    assert clean == dirty
+
+
+def test_betweenness_exact_raises_on_truncation(spark):
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(7)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    with pytest.raises(RuntimeError, match="max_hops"):
+        betweenness_sampled(g, max_hops=3)
+    # diameter == max_hops is still exact, no false positive
+    out = betweenness_sampled(g, max_hops=7, normalized=False)
+    assert out.count() == 8
+
+
+def test_betweenness_empty_sources_raise(spark):
+    from linkgraph.algorithms.betweenness import betweenness_sampled
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError):
+        betweenness_sampled(g, sources=[])
+    with pytest.raises(ValueError):
+        betweenness_sampled(g, sources=["ghost"])

@@ -311,3 +311,19 @@ def test_sssp_parallel_edges_keep_cheapest(spark):
     got = {r["id"]: r["dist"] for r in
            shortest_paths_weighted(g, sources=["a"]).collect()}
     assert got == {"a": 0.0, "b": 2.0, "c": 3.0}
+
+
+def test_sssp_restricts_to_node_table_and_drops_phantom_sources(spark):
+    from linkgraph import LinkGraph, shortest_paths_weighted
+
+    nodes = spark.createDataFrame([("a",), ("b",)], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "x", 1.0)], ["src", "dst", "weight"]
+    )
+    g = LinkGraph(edges, nodes=nodes)
+    got = {r["id"]: r["dist"] for r in
+           shortest_paths_weighted(g, sources=["a", "ghost"]).collect()}
+    # x is outside the node table (no output row); ghost seeds nothing
+    assert got == {"a": 0.0, "b": 1.0}
+    with pytest.raises(ValueError):
+        shortest_paths_weighted(g, sources=[])
