@@ -203,6 +203,13 @@ def main():
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri
 
+    def _ktruss_imports():
+        from linkgraph import k_truss
+
+        extra["ktruss3_edges"] = k_truss(g_imp, 3).count()
+
+    timed("ktruss3_imports", _ktruss_imports)
+
     def _pr_cop():
         # default auto strategy: a ~240k-edge graph takes the driver-local
         # plan (the engine's size-based physical choice) — ~100 BSP

@@ -44,6 +44,7 @@ from linkgraph.algorithms.betweenness import (
     betweenness_sampled,
 )
 from linkgraph.algorithms.kcore import core_number, k_core
+from linkgraph.algorithms.ktruss import k_truss
 from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
     link_prediction_top_k,
@@ -78,6 +79,7 @@ __all__ = [
     "local_clustering_coefficient",
     "average_clustering",
     "degree_assortativity",
+    "k_truss",
     "louvain_communities",
     "spread_activation",
     "transition_matrix",

@@ -21,15 +21,19 @@ from pyspark.sql import functions as F
 from linkgraph.graph import DST, ID, SRC, LinkGraph
 
 
-def _oriented_edges(graph: LinkGraph) -> DataFrame:
-    """Distinct undirected edges oriented low→high by (degree, id)."""
-    und = (
+def _canonical_undirected(graph: LinkGraph) -> DataFrame:
+    """Distinct undirected simple edges as (a, b) with a < b, loops dropped."""
+    return (
         graph.edges.select(
             F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def _orient(und: DataFrame) -> DataFrame:
+    """Orient a canonical undirected edge set low→high by (degree, id)."""
     deg = (
         und.select(F.col("a").alias(ID))
         .union(und.select(F.col("b").alias(ID)))
@@ -53,10 +57,8 @@ def _oriented_edges(graph: LinkGraph) -> DataFrame:
     return e
 
 
-def _triangle_triples(graph: LinkGraph) -> DataFrame:
-    """All triangles as (x, y, z) node triples, each exactly once."""
-    e = _oriented_edges(graph).persist()
-    e.count()
+def _triples_of(e: DataFrame) -> DataFrame:
+    """Triangles (x, y, z) with y < z from a persisted oriented edge set."""
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
@@ -71,8 +73,14 @@ def _triangle_triples(graph: LinkGraph) -> DataFrame:
     # same canonical order. Orientation is a bijection on the distinct edge
     # set, so `closing` is distinct by construction.
     closing = e.select(F.least("u", "v").alias("y"), F.greatest("u", "v").alias("z"))
-    tri = wedges.join(closing.hint("shuffle_hash"), ["y", "z"], "leftsemi")
-    return tri, e
+    return wedges.join(closing.hint("shuffle_hash"), ["y", "z"], "leftsemi")
+
+
+def _triangle_triples(graph: LinkGraph):
+    """All triangles as (x, y, z) node triples, each exactly once."""
+    e = _orient(_canonical_undirected(graph)).persist()
+    e.count()
+    return _triples_of(e), e
 
 
 def triangle_count(graph: LinkGraph) -> int:

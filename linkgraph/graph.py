@@ -315,6 +315,13 @@ class LinkGraph:
 
         return degree_assortativity(self)
 
+    def k_truss(self, k: int, **kwargs):
+        """Triangle-support edge peeling (beyond reference);
+        DataFrame[src, dst] canonical surviving edges."""
+        from linkgraph.algorithms.ktruss import k_truss
+
+        return k_truss(self, k, **kwargs)
+
     def pagerank(self, **kwargs) -> DataFrame:
         """graph.py:331-338 parity; DataFrame[id, pagerank]."""
         from linkgraph.algorithms.pagerank import pagerank

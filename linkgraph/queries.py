@@ -2085,3 +2085,36 @@ _ROUND4F_ORACLES = {
 
 QUERIES.update({"sssp_path_nation": q_sssp_path_nation})
 ORACLE_SQL.update(_ROUND4F_ORACLES)
+
+
+def q_ktruss_region_clique(spark, sf_dir):
+    """5-truss of the K5 region clique with nation tails: every clique edge
+    sits in 3 triangles within the clique (= k−2), every nation tail edge in
+    0 — the truss is exactly the 10 region-pair edges. Closed form,
+    exercises the full peel loop (tails drop in round 1, fixpoint in
+    round 2)."""
+    from linkgraph import k_truss
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    star = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    g = LinkGraph(clique.union(star))
+    return k_truss(g, 5)
+
+
+_ROUND4G_ORACLES = {
+    "ktruss_region_clique": """
+        SELECT LEAST('r' || a.r_regionkey, 'r' || b.r_regionkey) AS src,
+               GREATEST('r' || a.r_regionkey, 'r' || b.r_regionkey) AS dst
+        FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+    """,
+}
+
+QUERIES.update({"ktruss_region_clique": q_ktruss_region_clique})
+ORACLE_SQL.update(_ROUND4G_ORACLES)

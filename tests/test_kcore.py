@@ -50,3 +50,57 @@ def test_k_core_validation(spark):
     g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
     with pytest.raises(ValueError):
         k_core(g, -1)
+
+
+# ---------------------------------------------------------------------------
+# k-truss (triangle-support edge peeling, beyond reference)
+
+
+def _truss_edges(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def test_ktruss_matches_networkx(spark):
+    import random
+
+    import networkx as nx
+
+    from linkgraph import k_truss
+
+    rng = random.Random(17)
+    nodes = [f"n{i}" for i in range(24)]
+    edges = sorted({
+        (a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.25
+    })
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": False})
+    nxg = nx.Graph()
+    nxg.add_edges_from(edges)
+    for k in (3, 4, 5):
+        exp = {tuple(sorted(e)) for e in nx.k_truss(nxg, k).edges()}
+        got = _truss_edges(k_truss(g, k))
+        assert got == exp, k
+
+
+def test_ktruss_clique_and_tail(spark):
+    from linkgraph import k_truss
+
+    # K5 + pendant edge: K5 edges have support 3 within the clique, the
+    # pendant has 0 → 5-truss is exactly the K5
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges = clique + [("c0", "tail")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    got = _truss_edges(k_truss(g, 5))
+    assert got == {(a, b) for a, b in clique}
+    # peeling cascade: k=6 kills everything (support needed 4 > 3)
+    assert _truss_edges(k_truss(g, 6)) == set()
+    # k=2: full simple edge set survives
+    assert len(_truss_edges(k_truss(g, 2))) == len(edges)
+
+
+def test_ktruss_bad_k_raises(spark):
+    from linkgraph import k_truss
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError):
+        k_truss(g, 1)
