@@ -33,7 +33,11 @@ from linkgraph.algorithms.transition import transition_matrix, transition_power
 from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
-from linkgraph.algorithms.sssp import shortest_paths_weighted
+from linkgraph.algorithms.sssp import (
+    shortest_path_lengths_weighted,
+    shortest_paths_weighted,
+    weighted_closeness_centrality,
+)
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     harmonic_centrality,
@@ -92,6 +96,8 @@ __all__ = [
     "harmonic_centrality",
     "shortest_path_lengths",
     "shortest_paths_weighted",
+    "shortest_path_lengths_weighted",
+    "weighted_closeness_centrality",
     "betweenness_centrality",
     "betweenness_sampled",
     "Embeddings",

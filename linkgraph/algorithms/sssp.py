@@ -112,3 +112,125 @@ def shortest_paths_weighted(
     # restrict to the caller's node table (parity with scc/cc/closeness:
     # outside endpoints shape reachability but emit no output row)
     return dist.join(graph.nodes.select(ID), ID, "left_semi")
+
+
+def shortest_path_lengths_weighted(
+    graph: LinkGraph,
+    landmarks: DataFrame | list | None = None,
+    max_iter: int = 200,
+    max_all_pairs_nodes: int = 100_000,
+) -> DataFrame:
+    """DataFrame[id, landmark, dist] — minimum edge-weight sum id→landmark
+    along edge direction: the weighted analogue of
+    :func:`linkgraph.algorithms.closeness.shortest_path_lengths` (same
+    orientation, landmark and size-guard semantics; Bellman-Ford relaxation
+    instead of hop BFS). State is keyed (id, landmark), so k landmarks cost
+    O(k·V) state like the hop version — relaxation runs along REVERSED
+    edges (a node improves from its successors), frontier-pruned."""
+    spark = graph.edges.sparkSession
+    if landmarks is None:
+        n = graph.number_of_nodes()
+        if n > max_all_pairs_nodes:
+            raise ValueError(
+                f"all-pairs weighted distances (landmarks=None) is O(V·E); "
+                f"graph has {n} nodes > max_all_pairs_nodes="
+                f"{max_all_pairs_nodes}. Pass a landmark sample."
+            )
+        lm = graph.nodes.select(F.col(ID).alias("landmark"))
+    elif isinstance(landmarks, list):
+        if not landmarks:
+            raise ValueError("landmarks must be non-empty")
+        lm = spark.createDataFrame([(x,) for x in landmarks], ["landmark"])
+    else:
+        lm = landmarks.select(F.col(landmarks.columns[0]).alias("landmark"))
+    lm = lm.distinct().join(
+        graph.nodes.select(F.col(ID).alias("landmark")), "landmark", "left_semi"
+    )
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = graph.weight_col()
+    with static_plans(spark):
+        # reversed orientation: dist(u → landmark) improves via out-edge
+        # (u, v): cand = w(u,v) + dist(v → landmark)
+        rev = (
+            graph.edges.select(
+                F.col(DST).alias("v"), F.col(SRC).alias("u"),
+                w.cast("double").alias("w"),
+            )
+            .groupBy("v", "u")
+            .agg(F.min("w").alias("w"))
+            .repartition(npart, "v")
+            .localCheckpoint(eager=True)
+        )
+        dist = lm.select(
+            F.col("landmark").alias(ID), "landmark", F.lit(0.0).alias("dist")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_iter):
+            cand = (
+                frontier.join(rev, frontier[ID] == rev["v"])
+                .select(
+                    F.col("u").alias(ID), "landmark",
+                    (F.col("dist") + F.col("w")).alias("d"),
+                )
+                .groupBy(ID, "landmark")
+                .agg(F.min("d").alias("d"))
+            )
+            merged = (
+                dist.join(cand, [ID, "landmark"], "full")
+                .select(
+                    ID,
+                    "landmark",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("d", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("d").isNotNull()
+                        & (F.col("d") < F.coalesce("dist", F.lit(float("inf"))))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_imp = merged.filter("_imp").count()
+            if n_imp == 0:
+                dist = merged.select(ID, "landmark", "dist")
+                break
+            frontier = merged.filter("_imp").select(ID, "landmark", "dist")
+            frontier = frontier.localCheckpoint(eager=False)
+            dist = merged.select(ID, "landmark", "dist")
+        else:
+            raise RuntimeError(
+                f"shortest_path_lengths_weighted did not converge within "
+                f"max_iter={max_iter} supersteps — negative cycle, or raise "
+                "max_iter"
+            )
+    return dist.join(graph.nodes.select(ID), ID, "left_semi")
+
+
+def weighted_closeness_centrality(
+    graph: LinkGraph,
+    landmarks: DataFrame | list | None = None,
+    max_iter: int = 200,
+) -> DataFrame:
+    """DataFrame[id, closeness] = (N−1) / Σ_landmark weighted-dist(id →
+    landmark) — the weighted analogue of the reference's closeness
+    (``mercury/graph/core/graph.py:656-671``, which is hop-count only).
+    Unreached landmarks contribute nothing; nodes reaching none get 0.0
+    (same deviation the hop version documents)."""
+    n = graph.number_of_nodes()
+    dists = shortest_path_lengths_weighted(graph, landmarks, max_iter)
+    sums = dists.groupBy(ID).agg(F.sum("dist").alias("_s"))
+    return (
+        graph.nodes.select(ID)
+        .join(sums, ID, "left")
+        .select(
+            ID,
+            F.when(
+                F.coalesce(F.col("_s"), F.lit(0.0)) > 0,
+                F.lit(float(n - 1)) / F.col("_s"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

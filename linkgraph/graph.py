@@ -315,6 +315,13 @@ class LinkGraph:
 
         return degree_assortativity(self)
 
+    def weighted_closeness_centrality(self, landmarks=None, **kwargs):
+        """Weighted-distance closeness (beyond reference; hop version is
+        closeness_centrality); DataFrame[id, closeness]."""
+        from linkgraph.algorithms.sssp import weighted_closeness_centrality
+
+        return weighted_closeness_centrality(self, landmarks=landmarks, **kwargs)
+
     def k_truss(self, k: int, **kwargs):
         """Triangle-support edge peeling (beyond reference);
         DataFrame[src, dst] canonical surviving edges."""

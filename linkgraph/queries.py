@@ -2118,3 +2118,59 @@ _ROUND4G_ORACLES = {
 
 QUERIES.update({"ktruss_region_clique": q_ktruss_region_clique})
 ORACLE_SQL.update(_ROUND4G_ORACLES)
+
+
+def q_weighted_closeness_path_nation(spark, sf_dir):
+    """Weighted closeness on the directed 10-node nation path (edge i→i+1
+    weighted i+1), all nodes as landmarks — closed form via prefix sums
+    T_k = k(k+1)/2: closeness(i) = 9 / Σ_{j≥i}(T_j − T_i); the sink (pos 9)
+    reaches nothing and gets 0. Millionths-cast for exact hashing."""
+    from pyspark.sql import Window
+
+    from linkgraph import weighted_closeness_centrality
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(10)
+    )
+    w = Window.orderBy("k")
+    p = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.lead(F.concat(F.lit("n"), F.col("k").cast("string"))).over(w).alias("nxt"),
+    )
+    edges = p.filter(F.col("nxt").isNotNull()).select(
+        F.col("id").alias("src"), F.col("nxt").alias("dst"),
+        (F.col("pos") + 1).cast("double").alias("weight"),
+    )
+    g = LinkGraph(edges)
+    out = weighted_closeness_centrality(g)
+    return out.select(
+        "id",
+        F.round(F.col("closeness") * 1e6).cast("long").alias("closeness_millionths"),
+    )
+
+
+_ROUND4H_ORACLES = {
+    "weighted_closeness_path_nation": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10),
+             s AS (SELECT a.id, sum(b.pos * (b.pos + 1) / 2
+                                     - a.pos * (a.pos + 1) / 2) AS tot
+                   FROM p a JOIN p b ON b.pos >= a.pos
+                   GROUP BY a.id)
+        SELECT id,
+               CAST(round(CASE WHEN tot > 0 THEN 1000000.0 * 9 / tot
+                               ELSE 0 END) AS BIGINT) AS closeness_millionths
+        FROM s
+    """,
+}
+
+QUERIES.update(
+    {"weighted_closeness_path_nation": q_weighted_closeness_path_nation}
+)
+ORACLE_SQL.update(_ROUND4H_ORACLES)

@@ -327,3 +327,47 @@ def test_sssp_restricts_to_node_table_and_drops_phantom_sources(spark):
     assert got == {"a": 0.0, "b": 1.0}
     with pytest.raises(ValueError):
         shortest_paths_weighted(g, sources=[])
+
+
+def test_weighted_distances_match_dijkstra_per_landmark(spark):
+    import random
+
+    from linkgraph import LinkGraph, shortest_path_lengths_weighted
+
+    rng = random.Random(21)
+    nodes = [f"n{i}" for i in range(20)]
+    wedges = sorted({
+        (a, b) for a in nodes for b in nodes if a != b and rng.random() < 0.15
+    })
+    wedges = [(a, b, float(1 + (hash((a, b)) % 7))) for a, b in wedges]
+    g = LinkGraph(spark.createDataFrame(wedges, ["src", "dst", "weight"]))
+    lms = ["n0", "n3", "n7"]
+    got = {(r["id"], r["landmark"]): r["dist"] for r in
+           shortest_path_lengths_weighted(g, landmarks=lms).collect()}
+    nxg = nx.DiGraph()
+    nxg.add_weighted_edges_from(wedges)
+    for lm in lms:
+        if lm not in nxg:
+            continue
+        # dist id -> landmark follows edge direction = dijkstra on reversed
+        exp = nx.single_source_dijkstra_path_length(nxg.reverse(), lm)
+        for node, v in exp.items():
+            assert got[(node, lm)] == pytest.approx(v, abs=1e-9), (node, lm)
+        # unreached pairs have no row
+        for node in nxg.nodes:
+            if node not in exp:
+                assert (node, lm) not in got
+
+
+def test_weighted_closeness_path_closed_form(spark):
+    from linkgraph import LinkGraph, weighted_closeness_centrality
+
+    wedges = [(f"n{i}", f"n{i+1}", float(i + 1)) for i in range(4)]
+    g = LinkGraph(spark.createDataFrame(wedges, ["src", "dst", "weight"]))
+    got = {r["id"]: r["closeness"] for r in
+           weighted_closeness_centrality(g).collect()}
+    # prefix T_k = k(k+1)/2; dist(i->j) = T_j - T_i for j >= i
+    T = [k * (k + 1) // 2 for k in range(5)]
+    for i in range(5):
+        s = sum(T[j] - T[i] for j in range(i, 5))
+        assert got[f"n{i}"] == pytest.approx(4.0 / s if s else 0.0), i
