@@ -227,6 +227,17 @@ def main():
         )
         return simhash(d).agg(F.bit_xor("simhash")).collect()
 
+    # Arrow/mapInPandas warmup OUTSIDE the timed region: the first
+    # Python-worker+Arrow round-trip after JVM start costs 40-60 s on a
+    # stealing host (documented mode, BENCH/BASELINE.md r4 A/B table — one
+    # 41.5 s leg vs 3 s siblings). Warming on 2 rows makes the timed entry
+    # measure the simhash kernel, not interpreter pool startup.
+    simhash_warm = corpus.select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    ).limit(2)
+    from linkgraph.pipeline.dedup import simhash as _simhash_fn
+
+    _simhash_fn(simhash_warm).collect()
     timed("simhash_corpus", _simhash_corpus)
 
     timed("pagerank_copurchase", _pr_cop)
