@@ -40,9 +40,12 @@ from linkgraph.algorithms.sssp import (
 )
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
+    diameter_lower_bound,
+    eccentricity,
     harmonic_centrality,
     shortest_path_lengths,
 )
+from linkgraph.algorithms.reciprocity import reciprocity
 from linkgraph.algorithms.betweenness import (
     betweenness_centrality,
     betweenness_sampled,
@@ -84,6 +87,9 @@ __all__ = [
     "average_clustering",
     "degree_assortativity",
     "k_truss",
+    "eccentricity",
+    "diameter_lower_bound",
+    "reciprocity",
     "louvain_communities",
     "spread_activation",
     "transition_matrix",

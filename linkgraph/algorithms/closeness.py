@@ -121,3 +121,32 @@ def closeness_centrality(
             .alias("closeness"),
         )
     )
+
+
+def eccentricity(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> DataFrame:
+    """DataFrame[id, ecc] = max hop-distance id → landmark over REACHED
+    landmarks (nodes reaching none get 0). With ``landmarks=None`` (all
+    nodes, size-guarded like closeness) this is exact eccentricity on each
+    node's reachable set; with a landmark sample it is the standard lower
+    bound. Shares the multi-source BFS — one extra max aggregate."""
+    dists = shortest_path_lengths(graph, landmarks, max_hops)
+    mx = dists.groupBy(ID).agg(F.max("dist").alias("_e"))
+    return (
+        graph.nodes.select(ID)
+        .join(mx, ID, "left")
+        .select(ID, F.coalesce(F.col("_e"), F.lit(0)).alias("ecc"))
+    )
+
+
+def diameter_lower_bound(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> int:
+    """max over nodes of ``eccentricity`` — exact diameter of the largest
+    reachable structure when landmarks=None, a lower bound under sampling
+    (the standard landmark heuristic)."""
+    row = eccentricity(graph, landmarks, max_hops).agg(
+        F.max("ecc").alias("d")
+    ).collect()[0]
+    return int(row["d"] or 0)

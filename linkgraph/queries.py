@@ -2174,3 +2174,92 @@ QUERIES.update(
     {"weighted_closeness_path_nation": q_weighted_closeness_path_nation}
 )
 ORACLE_SQL.update(_ROUND4H_ORACLES)
+
+
+def q_eccentricity_nation_path(spark, sf_dir):
+    """Exact eccentricity on the directed 10-node nation path: node at
+    position i reaches exactly positions ≥ i, so ecc(i) = 9 − i (the sink
+    reaches only itself → 0). Closed form."""
+    from linkgraph import eccentricity
+
+    g = LinkGraph(_nation_path_edges(spark, sf_dir))
+    return eccentricity(g)
+
+
+def q_reciprocity_nation_cycle(spark, sf_dir):
+    """Reciprocity of an 8-node nation cycle with the first 4 cycle edges
+    also reversed: 12 distinct directed edges, 8 mutual → 2/3. The oracle
+    recomputes mutual/total from the same construction in SQL (not a
+    constant), millionths-cast."""
+    from pyspark.sql import Window
+
+    from linkgraph import reciprocity
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(8)
+    )
+    w = Window.orderBy("k")
+    p = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+    nxt = F.coalesce(
+        F.lead("id").over(Window.orderBy("pos")),
+        F.first("id").over(
+            Window.orderBy("pos").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    cyc = p.select(F.col("id").alias("src"), nxt.alias("dst"),
+                   F.col("pos").alias("pos"))
+    back = cyc.filter(F.col("pos") < 4).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    g = LinkGraph(cyc.select("src", "dst").union(back))
+    r = reciprocity(g)
+    return spark.createDataFrame(
+        [(int(round(r * 1e6)),)], "reciprocity_millionths long"
+    )
+
+
+_ROUND4I_ORACLES = {
+    "eccentricity_nation_path": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10)
+        SELECT id, CAST(9 - pos AS INT) AS ecc FROM p
+    """,
+    "reciprocity_nation_cycle": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 8),
+             cyc AS (SELECT a.id AS src, coalesce(b.id, f.id) AS dst, a.pos
+                     FROM p a
+                     LEFT JOIN p b ON b.pos = a.pos + 1
+                     CROSS JOIN (SELECT id FROM p WHERE pos = 0) f),
+             e AS (SELECT DISTINCT src, dst FROM (
+                     SELECT src, dst FROM cyc
+                     UNION ALL
+                     SELECT dst, src FROM cyc WHERE pos < 4)),
+             m AS (SELECT count(*) AS mutual FROM e
+                   JOIN e r ON e.src = r.dst AND e.dst = r.src),
+             t AS (SELECT count(*) AS total FROM e)
+        SELECT CAST(round(1000000.0 * mutual / total) AS BIGINT)
+               AS reciprocity_millionths
+        FROM m, t
+    """,
+}
+
+QUERIES.update(
+    {
+        "eccentricity_nation_path": q_eccentricity_nation_path,
+        "reciprocity_nation_cycle": q_reciprocity_nation_cycle,
+    }
+)
+ORACLE_SQL.update(_ROUND4I_ORACLES)

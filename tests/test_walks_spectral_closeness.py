@@ -371,3 +371,49 @@ def test_weighted_closeness_path_closed_form(spark):
     for i in range(5):
         s = sum(T[j] - T[i] for j in range(i, 5))
         assert got[f"n{i}"] == pytest.approx(4.0 / s if s else 0.0), i
+
+
+def test_eccentricity_and_diameter_path(spark):
+    from linkgraph import LinkGraph, diameter_lower_bound, eccentricity
+
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {r["id"]: r["ecc"] for r in eccentricity(g).collect()}
+    # directed path: node i reaches j >= i, farthest is n6 at distance 6-i
+    assert got == {f"n{i}": 6 - i for i in range(7)}
+    assert diameter_lower_bound(g) == 6
+
+
+def test_eccentricity_matches_networkx_undirected(spark):
+    import random
+
+    from linkgraph import LinkGraph, eccentricity
+
+    rng = random.Random(31)
+    nodes = [f"n{i}" for i in range(16)]
+    edges = sorted({(a, b) for a in nodes for b in nodes
+                    if a < b and rng.random() < 0.3})
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]),
+                  keys={"directed": False})
+    nxg = nx.Graph()
+    nxg.add_edges_from(edges)
+    if nx.is_connected(nxg):
+        exp = nx.eccentricity(nxg)
+        got = {r["id"]: r["ecc"] for r in eccentricity(g).collect()}
+        assert got == exp
+
+
+def test_reciprocity(spark):
+    import networkx as nx
+
+    from linkgraph import LinkGraph, reciprocity
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+             ("a", "c")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    nxg = nx.DiGraph()
+    nxg.add_edges_from(edges)
+    assert reciprocity(g) == pytest.approx(nx.overall_reciprocity(nxg))
+    import math
+    assert math.isnan(reciprocity(
+        LinkGraph(spark.createDataFrame([("x", "x")], ["src", "dst"]))))
