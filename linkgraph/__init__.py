@@ -50,6 +50,12 @@ from linkgraph.algorithms.betweenness import (
     betweenness_centrality,
     betweenness_sampled,
 )
+from linkgraph.algorithms.katz import hits, katz_centrality
+from linkgraph.algorithms.mst import (
+    minimum_spanning_forest,
+    minimum_spanning_weight,
+)
+from linkgraph.algorithms.toposort import topological_layers
 from linkgraph.algorithms.kcore import core_number, k_core
 from linkgraph.algorithms.ktruss import k_truss
 from linkgraph.algorithms.linkpred import (
@@ -100,6 +106,11 @@ __all__ = [
     "spectral_clustering",
     "closeness_centrality",
     "harmonic_centrality",
+    "katz_centrality",
+    "hits",
+    "topological_layers",
+    "minimum_spanning_forest",
+    "minimum_spanning_weight",
     "shortest_path_lengths",
     "shortest_paths_weighted",
     "shortest_path_lengths_weighted",

@@ -1,0 +1,87 @@
+"""Topological layering — longest-path DAG levels, with cycle detection.
+
+NOT present in the reference (no DAG utilities at all in
+``mercury/graph``); added because dependency scheduling over code/link
+graphs (build order, import depth, data-lineage staging) is a core
+link-graph workload and needs layer assignment, not just reachability.
+
+layer(v) = 0 for every node with no in-edges; otherwise
+layer(v) = 1 + max(layer(u)) over in-edges u→v — the longest path from
+any source, i.e. the earliest wave in which v can run once all
+dependencies ran.
+
+Distributed plan: Bellman-Ford-max supersteps, the same frontier-pruned
+rank-side-only-shuffle shape as ``sssp.py`` — edges distinct-aggregated
+once, hash-partitioned by src, persisted; every node starts at layer 0
+and only nodes whose layer IMPROVED feed the next relaxation. The round
+count is bounded by the longest path length; a graph with a cycle keeps
+improving past N rounds, which is the cycle detector (raises, same
+contract as networkx ``topological_sort``'s NetworkXUnfeasible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def topological_layers(graph: LinkGraph, max_depth: int | None = None) -> DataFrame:
+    """DataFrame[id, layer] — longest-path level per node (0 = sources).
+
+    Raises ``ValueError`` on a cyclic graph (detected when relaxation is
+    still improving after N supersteps, N = node count — a DAG's longest
+    path has at most N−1 edges). ``max_depth`` caps the superstep budget
+    below N for graphs known shallow (cheaper cycle detection: anything
+    deeper than the cap raises early).
+    """
+    if graph.is_directed is False:
+        raise ValueError(
+            "topological_layers requires a directed graph (an undirected "
+            "edge is a 2-cycle)"
+        )
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = graph.number_of_nodes()
+    budget = max_depth if max_depth is not None else n
+    with static_plans(spark):
+        edges = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .distinct()
+            .repartition(npart, "u")
+            .localCheckpoint(eager=True)
+        )
+        layer = graph.nodes.select(ID, F.lit(0).alias("layer")).localCheckpoint(
+            eager=True
+        )
+        frontier = layer
+        for _ in range(budget + 1):
+            cand = (
+                frontier.join(edges, frontier[ID] == edges["u"])
+                .select(F.col("v").alias(ID), (F.col("layer") + 1).alias("l"))
+                .groupBy(ID)
+                .agg(F.max("l").alias("l"))
+            )
+            merged = layer.join(cand, ID, "left").select(
+                ID,
+                F.greatest("layer", F.coalesce("l", F.lit(0))).alias("layer"),
+                (
+                    F.col("l").isNotNull() & (F.col("l") > F.col("layer"))
+                ).alias("_imp"),
+            ).localCheckpoint(eager=False)
+            n_imp = merged.filter("_imp").count()  # materializes the round
+            layer = merged.select(ID, "layer")
+            if n_imp == 0:
+                return layer
+            frontier = merged.filter("_imp").select(ID, "layer").localCheckpoint(
+                eager=False
+            )
+    raise ValueError(
+        f"graph is not a DAG (layers still improving after {budget + 1} "
+        "supersteps)"
+        if max_depth is None
+        else f"longest path exceeds max_depth={max_depth} (or graph has a "
+        "cycle)"
+    )

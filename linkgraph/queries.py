@@ -2263,3 +2263,208 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_ROUND4I_ORACLES)
+
+
+def q_katz_nation_region_4(spark, sf_dir):
+    """Katz centrality at exactly 4 supersteps (tol=0 fixed-step form) on
+    the undirected nation-region forest, L2-normalized — fixed step count
+    makes the attenuated-path recurrence ANSI-SQL-unrollable, same pattern
+    as pagerank_nation_region_5. α=0.2 < 1/√5 = 1/λ_max of the largest
+    region star, so the converged run exists too (tested in
+    tests/test_katz_hits.py); the driver row pins the recurrence itself."""
+    from linkgraph import katz_centrality
+
+    out = katz_centrality(
+        nation_region_graph(spark, sf_dir), alpha=0.2, beta=1.0,
+        max_iter=4, tol=0,
+    )
+    return out.select(
+        "id", F.round(F.col("katz") * 1e6).cast("long").alias("katz_millionths")
+    )
+
+
+def _katz_unrolled_sql(n_iters: int = 4, alpha: float = 0.2) -> str:
+    """Unrolled fixed-iteration Katz on the nation-region graph: x0=0 means
+    x1=β=1 everywhere, so the chain starts at the uniform vector."""
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS u, 'r' || n_regionkey AS v FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT u AS id FROM e)",
+        "x1 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes)",
+    ]
+    for i in range(2, n_iters + 1):
+        ctes.append(
+            f"x{i} AS (SELECT nodes.id, {alpha} * coalesce(c.s, CAST(0 AS DOUBLE)) "
+            f"+ CAST(1.0 AS DOUBLE) AS x FROM nodes LEFT JOIN ("
+            f"SELECT e.v AS id, sum(x{i-1}.x) AS s FROM e "
+            f"JOIN x{i-1} ON e.u = x{i-1}.id GROUP BY e.v) c ON nodes.id = c.id)"
+        )
+    ctes.append(f"nrm AS (SELECT sqrt(sum(x * x)) AS s FROM x{n_iters})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(1000000 * x / nrm.s) AS BIGINT) "
+        f"AS katz_millionths FROM x{n_iters}, nrm"
+    )
+
+
+def q_hits_events_3(spark, sf_dir):
+    """HITS at exactly 3 supersteps (tol=0) on the directed user→event_type
+    bipartite graph: users get hubs, event types authorities (the other
+    side is exactly 0 — bipartite orientation check rides along).
+    Millionths-cast hub + authority per node."""
+    from linkgraph import hits
+
+    out = hits(events_graph(spark, sf_dir), max_iter=3, tol=0)
+    return out.select(
+        "id",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_millionths"),
+        F.round(F.col("authority") * 1e6).cast("long").alias("auth_millionths"),
+    )
+
+
+def _hits_unrolled_sql(n_iters: int = 3) -> str:
+    """Unrolled HITS on the events graph, replicating the engine's
+    scale-invariant loop: a_i = Aᵀ h_{i-1}, h_i = (A a_i) / max(A a_i);
+    outputs L1-normalize h_n and a_n (zero-filled outside their support)."""
+    ctes = [
+        "b AS (SELECT DISTINCT user_id, event_type FROM events)",
+        "e AS (SELECT 'u' || user_id AS u, 'e' || event_type AS v FROM b)",
+        "nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS h FROM nodes, nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.v AS id, sum(h{i-1}.h) AS a FROM e "
+            f"JOIN h{i-1} ON e.u = h{i-1}.id GROUP BY e.v)"
+        )
+        ctes.append(
+            f"hu{i} AS (SELECT e.u AS id, sum(a{i}.a) AS h FROM e "
+            f"JOIN a{i} ON e.v = a{i}.id GROUP BY e.u)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT id, h / (SELECT max(h) FROM hu{i}) AS h FROM hu{i})"
+        )
+    n = n_iters
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sh AS (SELECT sum(h) AS s FROM h{n}),
+sa AS (SELECT sum(a) AS s FROM a{n})
+SELECT nodes.id,
+       CAST(round(1000000 * coalesce(h{n}.h, 0) / sh.s) AS BIGINT)
+       AS hub_millionths,
+       CAST(round(1000000 * coalesce(a{n}.a, 0) / sa.s) AS BIGINT)
+       AS auth_millionths
+FROM nodes LEFT JOIN h{n} ON nodes.id = h{n}.id
+LEFT JOIN a{n} ON nodes.id = a{n}.id, sh, sa"""
+    )
+
+
+_ROUND4J_ORACLES = {
+    "katz_nation_region_4": _katz_unrolled_sql(4, 0.2),
+    "hits_events_3": _hits_unrolled_sql(3),
+}
+
+QUERIES.update(
+    {
+        "katz_nation_region_4": q_katz_nation_region_4,
+        "hits_events_3": q_hits_events_3,
+    }
+)
+ORACLE_SQL.update(_ROUND4J_ORACLES)
+
+
+def q_topo_layers_nation_path(spark, sf_dir):
+    """Topological layers on the 10-node nation path WITH pos→pos+2 skip
+    edges: longest-path layer(pos) = pos, while a BFS/shortest-level
+    implementation would emit ceil(pos/2) — the skips make the oracle
+    discriminate longest-path semantics, not just reachability depth."""
+    from pyspark.sql import Window
+
+    from linkgraph import topological_layers
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(10)
+    )
+    w = Window.orderBy("k")
+    tagged = F.concat(F.lit("n"), F.col("k").cast("string"))
+    p = n.select(
+        tagged.alias("id"),
+        F.lead(tagged, 1).over(w).alias("n1"),
+        F.lead(tagged, 2).over(w).alias("n2"),
+    )
+    unit = p.filter(F.col("n1").isNotNull()).select(
+        F.col("id").alias("src"), F.col("n1").alias("dst")
+    )
+    skip = p.filter(F.col("n2").isNotNull()).select(
+        F.col("id").alias("src"), F.col("n2").alias("dst")
+    )
+    return topological_layers(LinkGraph(unit.union(skip)))
+
+
+_ROUND4K_ORACLES = {
+    "topo_layers_nation_path": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10)
+        SELECT id, CAST(pos AS INT) AS layer FROM p
+    """,
+}
+
+QUERIES.update({"topo_layers_nation_path": q_topo_layers_nation_path})
+ORACLE_SQL.update(_ROUND4K_ORACLES)
+
+
+def q_mst_nation_chords(spark, sf_dir):
+    """Minimum spanning forest over the 25-nation path (edge i—i+1, weight
+    10+i) with chords i—i+2: cheap (w=5) at i % 5 == 0, expensive
+    (w=200+i) otherwise. Every cheap chord displaces the HEAVIER path edge
+    of its triangle (i+1), so the MST is 19 path edges + 5 chords — an
+    algorithm that merely keeps the path (or greedily keeps all cheap
+    edges plus the path) hash-mismatches. Kruskal-unique despite the five
+    equal-weight chords: they are vertex-disjoint and all accepted."""
+    from linkgraph import minimum_spanning_forest
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    tag = lambda c: F.format_string("n%02d", c)  # noqa: E731
+    path = n.filter("k < 24").select(
+        tag(F.col("k")).alias("src"),
+        tag(F.col("k") + 1).alias("dst"),
+        (F.col("k") + 10).cast("double").alias("weight"),
+    )
+    chords = n.filter("k <= 22").select(
+        tag(F.col("k")).alias("src"),
+        tag(F.col("k") + 2).alias("dst"),
+        F.when(F.col("k") % 5 == 0, F.lit(5.0))
+        .otherwise((F.col("k") + 200).cast("double"))
+        .alias("weight"),
+    )
+    g = LinkGraph(path.union(chords), keys={"directed": False})
+    return minimum_spanning_forest(g)
+
+
+_ROUND4L_ORACLES = {
+    # closed form by the cycle property: expensive chords are the max of
+    # their triangle (out); path edge k is out iff the chord (k-1, k+1) is
+    # cheap, i.e. k % 5 == 1; cheap chords are forced by the cut property
+    "mst_nation_chords": """
+        WITH n AS (SELECT n_nationkey AS k FROM nation)
+        SELECT printf('n%02d', k) AS src, printf('n%02d', k + 1) AS dst,
+               CAST(k + 10 AS DOUBLE) AS weight
+        FROM n WHERE k < 24 AND k % 5 <> 1
+        UNION ALL
+        SELECT printf('n%02d', k) AS src, printf('n%02d', k + 2) AS dst,
+               5.0 AS weight
+        FROM n WHERE k <= 20 AND k % 5 = 0
+    """,
+}
+
+QUERIES.update({"mst_nation_chords": q_mst_nation_chords})
+ORACLE_SQL.update(_ROUND4L_ORACLES)
