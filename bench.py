@@ -199,6 +199,32 @@ def main():
 
     timed("linkpred_corpus", _linkpred_corpus)
 
+    def _mst_corpus():
+        # distributed Boruvka over the weighted corpus graph (undirected
+        # view): O(log V) pick/contract rounds, each one algebraic
+        # min(struct) groupBy; contraction reuses the auto-gated CC solver
+        from linkgraph import minimum_spanning_forest
+
+        gu = LinkGraph(
+            g.edges.select("src", "dst", "weight"), keys={"directed": False}
+        )
+        forest = minimum_spanning_forest(gu)
+        extra["mst_edges"] = forest.count()
+
+    timed("mst_corpus", _mst_corpus)
+
+    def _anf_corpus():
+        # HyperANF hop plot, 6 supersteps: per-node HLL state (lg_k=10 →
+        # ~1KB dense, ~3% rel err), one join + hll_union_agg per hop
+        from linkgraph import neighborhood_function
+
+        nf = neighborhood_function(g, max_hops=6, method="hll", lg_k=10)
+        extra["anf_pairs_by_hop"] = {
+            int(r["hop"]): int(r["pairs"]) for r in nf.collect()
+        }
+
+    timed("anf_corpus", _anf_corpus)
+
     g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri

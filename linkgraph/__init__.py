@@ -50,6 +50,7 @@ from linkgraph.algorithms.betweenness import (
     betweenness_centrality,
     betweenness_sampled,
 )
+from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
 from linkgraph.algorithms.katz import hits, katz_centrality
 from linkgraph.algorithms.mst import (
     minimum_spanning_forest,
@@ -111,6 +112,8 @@ __all__ = [
     "topological_layers",
     "minimum_spanning_forest",
     "minimum_spanning_weight",
+    "neighborhood_function",
+    "effective_diameter",
     "shortest_path_lengths",
     "shortest_paths_weighted",
     "shortest_path_lengths_weighted",

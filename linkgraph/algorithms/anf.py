@@ -1,0 +1,127 @@
+"""Neighborhood function + effective diameter — HyperANF on HLL sketches.
+
+NOT present in the reference (its only distance summaries are
+networkx-delegated closeness/diameter on collected graphs,
+``mercury/graph/core/graph.py:627-690``); added because the neighborhood
+function N(r) = Σ_v |ball(v, r)| is THE scalable way to read a graph's
+distance distribution (hop plot, effective diameter, median distance) —
+exact all-pairs BFS is O(V²) state and dead at scale.
+
+Method ``"hll"`` is HyperANF (Boldi-Rosa-Vigna, WWW 2011) expressed
+entirely in JVM aggregates: per-node reached-set state is a DataSketches
+HLL sketch (``hll_sketch_agg``), and the superstep
+
+    ball'(v) = ball(v) ∪ ⋃_{v→u} ball(u)
+
+is one join + one ``hll_union_agg`` groupBy — algebraic, map-side
+combinable, no Python in the loop. State per node is O(2^lg_k) bytes
+REGARDLESS of ball size, so the plan survives 100-TB graphs where the
+exact pair-state explodes. Estimates are exact while sketches are in
+sparse mode (small balls), ~1.04/√2^lg_k relative error beyond.
+
+Method ``"exact"`` materializes (v, reached) pairs with a distinct per
+superstep — the verification path (and the oracle path), honest about its
+O(Σ ball sizes) state.
+
+Both stop as soon as N(r) stops growing (every ball closed), else at
+``max_hops``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+def neighborhood_function(
+    graph: LinkGraph,
+    max_hops: int = 32,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """DataFrame[hop, pairs] — pairs(r) = Σ_v |{u : dist(v,u) ≤ r}| for
+    hop = 0..R, where R is ``max_hops`` or the first hop with no growth
+    (whichever is smaller; the stable duplicate row is not emitted).
+    Distances follow edge direction (undirected graphs already materialize
+    both directions). hop 0 is always the node count.
+
+    ``method="hll"``: HyperANF, approximate beyond sparse-mode
+    cardinalities, bounded state — the scale path. ``method="exact"``:
+    exact pair materialization — the verification path.
+    """
+    if method not in ("hll", "exact"):
+        raise ValueError(f"unknown method {method!r} (hll|exact)")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_plans(spark):
+        edges = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .distinct()
+            .repartition(npart, "v")  # superstep joins state on the DST side
+            .localCheckpoint(eager=True)
+        )
+        if method == "hll":
+            state = (
+                graph.nodes.groupBy(ID)
+                .agg(F.hll_sketch_agg(ID, F.lit(lg_k)).alias("sk"))
+                .localCheckpoint(eager=True)
+            )
+            est = F.sum(F.hll_sketch_estimate("sk"))
+        else:
+            state = graph.nodes.select(
+                F.col(ID), F.col(ID).alias("_u")
+            ).localCheckpoint(eager=True)
+            est = F.count(F.lit(1))
+        history = [int(state.agg(est.alias("n")).first()["n"])]
+        for _ in range(max_hops):
+            if method == "hll":
+                contrib = state.join(edges, state[ID] == edges["v"]).select(
+                    edges["u"].alias(ID), "sk"
+                )
+                state_n = (
+                    state.select(ID, "sk")
+                    .unionByName(contrib)
+                    .groupBy(ID)
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                )
+            else:
+                contrib = state.join(edges, state[ID] == edges["v"]).select(
+                    edges["u"].alias(ID), "_u"
+                )
+                state_n = state.unionByName(contrib).distinct()
+            state_n = state_n.repartition(npart, ID).localCheckpoint(eager=True)
+            n = int(state_n.agg(est.alias("n")).first()["n"])
+            state = state_n
+            if n == history[-1]:
+                break  # every ball closed (or estimates stable): converged
+            history.append(n)
+    return spark.createDataFrame(
+        [(h, n) for h, n in enumerate(history)], "hop int, pairs long"
+    ).repartition(1)
+
+
+def effective_diameter(
+    graph: LinkGraph,
+    fraction: float = 0.9,
+    max_hops: int = 64,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> int:
+    """Smallest integer r with N(r) ≥ fraction · N(R), R the last computed
+    hop (the standard integer effective diameter; fraction=1.0 gives the
+    reachability diameter of the ball expansion). N is tiny (one row per
+    hop), so the selection is driver-side arithmetic."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    nf = neighborhood_function(graph, max_hops=max_hops, method=method, lg_k=lg_k)
+    rows = sorted((r["hop"], r["pairs"]) for r in nf.collect())
+    total = rows[-1][1]
+    for hop, pairs in rows:
+        if pairs >= fraction * total:
+            return hop
+    return rows[-1][0]

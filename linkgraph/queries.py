@@ -2468,3 +2468,57 @@ _ROUND4L_ORACLES = {
 
 QUERIES.update({"mst_nation_chords": q_mst_nation_chords})
 ORACLE_SQL.update(_ROUND4L_ORACLES)
+
+
+def _anf_nation_graph(spark, sf_dir):
+    """Directed 10-node path n0→…→n9 with skip edges pos→pos+2: node p's
+    r-hop ball is exactly {p .. min(9, p+2r)}, so the neighborhood function
+    has the closed form N(r) = Σ_p (min(9−p, 2r) + 1) — strictly growing
+    through hop 5, then closed (exercises the early-stop too)."""
+    n = _t(spark, sf_dir, "nation").filter("n_nationkey < 10").select(
+        F.col("n_nationkey").alias("k")
+    )
+    tag = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    unit = n.filter("k < 9").select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 1).alias("dst")
+    )
+    skip = n.filter("k < 8").select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 2).alias("dst")
+    )
+    return LinkGraph(unit.union(skip))
+
+
+def q_anf_exact_nation(spark, sf_dir):
+    from linkgraph import neighborhood_function
+
+    return neighborhood_function(
+        _anf_nation_graph(spark, sf_dir), max_hops=8, method="exact"
+    )
+
+
+def q_anf_hll_nation(spark, sf_dir):
+    """Same graph through the HyperANF HLL path: sparse-mode sketches are
+    exact at ball sizes ≤ 10, so the approximate engine hash-matches the
+    closed form here (its at-scale error bound is property-tested in
+    tests/test_anf.py instead)."""
+    from linkgraph import neighborhood_function
+
+    return neighborhood_function(
+        _anf_nation_graph(spark, sf_dir), max_hops=8, method="hll"
+    )
+
+
+_ANF_NATION_SQL = """
+        WITH p AS (SELECT n_nationkey AS pos FROM nation WHERE n_nationkey < 10),
+             h AS (SELECT n_nationkey AS hop FROM nation WHERE n_nationkey < 6)
+        SELECT CAST(hop AS INT) AS hop,
+               CAST(SUM(LEAST(9 - pos, 2 * hop) + 1) AS BIGINT) AS pairs
+        FROM h CROSS JOIN p GROUP BY hop
+    """
+
+QUERIES.update(
+    {"anf_exact_nation": q_anf_exact_nation, "anf_hll_nation": q_anf_hll_nation}
+)
+ORACLE_SQL.update(
+    {"anf_exact_nation": _ANF_NATION_SQL, "anf_hll_nation": _ANF_NATION_SQL}
+)
