@@ -51,6 +51,8 @@ from linkgraph.algorithms.betweenness import (
     betweenness_sampled,
 )
 from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
+from linkgraph.algorithms.projection import bipartite_projection
+from linkgraph.algorithms.sampling import sample_neighborhood, sample_neighbors
 from linkgraph.algorithms.katz import hits, katz_centrality
 from linkgraph.algorithms.mst import (
     minimum_spanning_forest,
@@ -114,6 +116,9 @@ __all__ = [
     "minimum_spanning_weight",
     "neighborhood_function",
     "effective_diameter",
+    "bipartite_projection",
+    "sample_neighbors",
+    "sample_neighborhood",
     "shortest_path_lengths",
     "shortest_paths_weighted",
     "shortest_path_lengths_weighted",

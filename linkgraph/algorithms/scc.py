@@ -72,6 +72,7 @@ def strongly_connected_components(
     checkpoint_interval: int = 1,
     max_rounds: int | None = None,
     resume: bool = False,
+    checkpoint_every_steps: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame[id, scc(, scc_size)] where ``scc`` is the minimum
     node id in the strongly connected component.
@@ -90,7 +91,17 @@ def strongly_connected_components(
     labels (peeling is deterministic: min-id coloring, no RNG anywhere).
     ``max_rounds`` is a round-granular budget kill switch: on exhaustion the
     run snapshots ``done=False`` and returns the PARTIAL labels assigned so
-    far (unassigned nodes absent) for the resumed run to complete."""
+    far (unassigned nodes absent) for the resumed run to complete.
+
+    ``checkpoint_every_steps`` adds MID-PHASE snapshots: every N supersteps
+    inside the trim/color/reach fixpoints the full state — including the
+    in-flight color table or reach frontier, tagged with a phase marker —
+    is saved, so a run killed deep inside one long fixpoint (a
+    high-diameter color propagation can be hundreds of supersteps) resumes
+    from the last superstep, not the last completed round. Resume re-enters
+    the interrupted phase directly with bit-exact continuation (the
+    ``intra`` edge view is a pure derivation of saved state and is rebuilt,
+    not stored)."""
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r} (auto|local|distributed)")
     needs_cluster = checkpoint is not None or resume
@@ -124,6 +135,7 @@ def strongly_connected_components(
                     checkpoint_interval=checkpoint_interval,
                     max_rounds=max_rounds,
                     resume=resume,
+                    checkpoint_every_steps=checkpoint_every_steps,
                 )
             we_persisted = []
     finally:
@@ -244,6 +256,7 @@ def _scc_distributed(
     checkpoint_interval: int = 1,
     max_rounds: int | None = None,
     resume: bool = False,
+    checkpoint_every_steps: int | None = None,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
     # Edges are kept hash-partitioned by u across supersteps (localCheckpoint
@@ -266,14 +279,23 @@ def _scc_distributed(
     parts: list[DataFrame] = []
     stats = {"rounds": 0, "trim": 0, "color": 0, "reach": 0, "other": 0}
     steps = 0
+    # phase state machine: "trim" → "color" → "reach" → (peel) → "trim".
+    # Mid-phase snapshots (checkpoint_every_steps) carry the phase marker
+    # plus the phase-local tables; `intra` is never stored — it is a pure
+    # derivation of (edges, color), rebuilt on resume.
+    phase = "trim"
+    color: DataFrame | None = None
+    fp: tuple | None = None
+    reached: DataFrame | None = None
+    n_reached = 0
 
     if resume and checkpoint is not None and checkpoint.latest_step() is not None:
-        rnd0 = checkpoint.latest_step()
-        met = checkpoint.manifest(rnd0)["metrics"]
+        step0 = checkpoint.latest_step()
+        met = checkpoint.manifest(step0)["metrics"]
         stats = dict(met["stats"])
         steps = met["steps"]
         if met["n_assigned"]:
-            parts = [checkpoint.load(rnd0, "assigned").localCheckpoint(eager=False)]
+            parts = [checkpoint.load(step0, "assigned").localCheckpoint(eager=False)]
         for df in release_after_build:
             df.unpersist()
         if met.get("done"):
@@ -283,9 +305,16 @@ def _scc_distributed(
                 t = graph.nodes.schema[ID].dataType.simpleString()
                 return spark.createDataFrame([], f"{ID} {t}, scc {t}")
             return _restrict(parts[0])
-        edges = _by_u(checkpoint.load(rnd0, "edges"))
-        active = checkpoint.load(rnd0, "active").localCheckpoint(eager=False)
+        edges = _by_u(checkpoint.load(step0, "edges"))
+        active = checkpoint.load(step0, "active").localCheckpoint(eager=False)
         n_active = met["n_active"]
+        phase = met.get("phase", "trim")
+        if phase in ("color", "reach"):
+            color = checkpoint.load(step0, "color").localCheckpoint(eager=False)
+            fp = tuple(met["fp"])
+        if phase == "reach":
+            reached = checkpoint.load(step0, "reached").localCheckpoint(eager=False)
+            n_reached = met["n_reached"]
     else:
         edges = _by_u(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
@@ -311,13 +340,19 @@ def _scc_distributed(
             out = out.union(p)
         return out
 
-    def _save(done: bool):
+    def _save(done: bool, cur_phase: str = "trim"):
+        # step index = global superstep count: strictly increasing across
+        # both round-granular and mid-phase saves
         assigned = _assigned()
         tables = {} if done else {"edges": edges, "active": active}
+        if not done and cur_phase in ("color", "reach"):
+            tables["color"] = color
+        if not done and cur_phase == "reach":
+            tables["reached"] = reached
         if assigned is not None:
             tables["assigned"] = assigned
         checkpoint.save(
-            stats["rounds"],
+            steps,
             tables,
             {
                 "done": done,
@@ -325,8 +360,21 @@ def _scc_distributed(
                 "n_assigned": len(parts),
                 "steps": steps,
                 "stats": stats,
+                "phase": cur_phase,
+                "fp": list(fp) if fp is not None else None,
+                "n_reached": n_reached,
             },
         )
+
+    def _maybe_save_mid(cur_phase: str):
+        nonlocal last_saved_steps
+        if (
+            checkpoint is not None
+            and checkpoint_every_steps
+            and steps - last_saved_steps >= checkpoint_every_steps
+        ):
+            _save(done=False, cur_phase=cur_phase)
+            last_saved_steps = steps
 
     def _spend(kind: str = "other"):
         nonlocal steps
@@ -340,118 +388,142 @@ def _scc_distributed(
             )
 
     saved_done = False
-    last_saved_round = -1
+    last_saved_steps = steps
     while n_active > 0:
-        if max_rounds is not None and stats["rounds"] >= max_rounds:
-            # budget kill switch: snapshot the cross-round state and hand
-            # back the labels peeled so far (partial — resume to complete)
-            if checkpoint is not None and last_saved_round != stats["rounds"]:
-                _save(done=False)
-            LAST_STATS.clear()
-            LAST_STATS.update(stats, total=steps)
-            a = _assigned()
-            if a is None:
-                t = graph.nodes.schema[ID].dataType.simpleString()
-                return spark.createDataFrame([], f"{ID} {t}, scc {t}")
-            return _restrict(a)
-        # ---- 1. trim to fixpoint: no in-edge or no out-edge => singleton
-        while True:
-            core = (
-                _semi_on(
-                    _semi_on(active, edges.select(F.col("u").alias("id")), "id"),
-                    edges.select(F.col("v").alias("id")),
-                    "id",
+        if phase == "trim":
+            if max_rounds is not None and stats["rounds"] >= max_rounds:
+                # budget kill switch (round-granular, checked at round
+                # boundaries): snapshot the cross-round state and hand back
+                # the labels peeled so far (partial — resume to complete)
+                if checkpoint is not None and last_saved_steps != steps:
+                    _save(done=False)
+                LAST_STATS.clear()
+                LAST_STATS.update(stats, total=steps)
+                a = _assigned()
+                if a is None:
+                    t = graph.nodes.schema[ID].dataType.simpleString()
+                    return spark.createDataFrame([], f"{ID} {t}, scc {t}")
+                return _restrict(a)
+            # ---- 1. trim to fixpoint: no in-edge or no out-edge => singleton
+            while True:
+                core = (
+                    _semi_on(
+                        _semi_on(active, edges.select(F.col("u").alias("id")), "id"),
+                        edges.select(F.col("v").alias("id")),
+                        "id",
+                    )
+                    .localCheckpoint(eager=False)
                 )
-                .localCheckpoint(eager=False)
-            )
-            n_core = core.count()
-            _spend("trim")
-            if n_core == n_active:
-                break
-            parts.append(
-                active.join(core, "id", "left_anti")
-                .select("id", F.col("id").alias("scc"))
-                .localCheckpoint(eager=False)
-            )
-            active, n_active = core, n_core
-            edges = _by_u(_semi_on(_semi_on(edges, core, "u"), core, "v"))
+                n_core = core.count()
+                _spend("trim")
+                if n_core == n_active:
+                    break
+                parts.append(
+                    active.join(core, "id", "left_anti")
+                    .select("id", F.col("id").alias("scc"))
+                    .localCheckpoint(eager=False)
+                )
+                active, n_active = core, n_core
+                edges = _by_u(_semi_on(_semi_on(edges, core, "u"), core, "v"))
+                _maybe_save_mid("trim")
+                if n_active == 0:
+                    break
             if n_active == 0:
                 break
-        if n_active == 0:
-            break
 
-        # ---- 2. forward coloring to fixpoint
-        color = active.select("id", F.col("id").alias("c")).localCheckpoint(
-            eager=False
-        )
-        fp = _label_fp(color)
-        _spend("color")
-        while True:
-            inc = (
+            # ---- 2. forward coloring: init
+            color = active.select("id", F.col("id").alias("c")).localCheckpoint(
+                eager=False
+            )
+            fp = _label_fp(color)
+            _spend("color")
+            phase = "color"
+            _maybe_save_mid("color")
+
+        if phase == "color":
+            # forward min-coloring to fixpoint (resumes from loaded color/fp)
+            while True:
+                inc = (
+                    edges.join(
+                        color.select(F.col("id").alias("u"), F.col("c").alias("cu")),
+                        "u",
+                    )
+                    .groupBy("v")
+                    .agg(F.min("cu").alias("cin"))
+                )
+                color_new = (
+                    color.join(inc, color["id"] == inc["v"], "left")
+                    .select(
+                        "id",
+                        F.least(F.col("c"), F.coalesce("cin", "c")).alias("c"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                fp_new = _label_fp(color_new)
+                _spend("color")
+                color = color_new
+                if fp_new == fp:
+                    break
+                fp = fp_new
+                _maybe_save_mid("color")
+
+            reached = color.filter(F.col("id") == F.col("c")).select("id")
+            reached = reached.localCheckpoint(eager=False)
+            n_reached = reached.count()
+            _spend("reach")
+            phase = "reach"
+            _maybe_save_mid("reach")
+
+        if phase == "reach":
+            # ---- 3. backward reach from pivots within each color class.
+            # `intra` is a pure derivation of (edges, color): rebuilt here on
+            # mid-phase resume rather than checkpointed.
+            intra = (
                 edges.join(
                     color.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
                 )
-                .groupBy("v")
-                .agg(F.min("cu").alias("cin"))
-            )
-            color_new = (
-                color.join(inc, color["id"] == inc["v"], "left")
-                .select(
-                    "id",
-                    F.least(F.col("c"), F.coalesce("cin", "c")).alias("c"),
+                .join(
+                    color.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v"
                 )
+                .filter(F.col("cu") == F.col("cv"))
+                .select("u", "v")
                 .localCheckpoint(eager=False)
             )
-            fp_new = _label_fp(color_new)
-            _spend("color")
-            color = color_new
-            if fp_new == fp:
-                break
-            fp = fp_new
-
-        # ---- 3. backward reach from pivots within each color class
-        intra = (
-            edges.join(
-                color.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
-            )
-            .join(color.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
-            .filter(F.col("cu") == F.col("cv"))
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
-        reached = color.filter(F.col("id") == F.col("c")).select("id")
-        reached = reached.localCheckpoint(eager=False)
-        n_reached = reached.count()
-        _spend("reach")
-        while True:
-            grown = (
-                reached.union(
-                    _semi_on(intra, reached, "v").select(F.col("u").alias("id"))
+            while True:
+                grown = (
+                    reached.union(
+                        _semi_on(intra, reached, "v").select(F.col("u").alias("id"))
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=False)
                 )
-                .distinct()
+                n_grown = grown.count()
+                _spend("reach")
+                if n_grown == n_reached:
+                    break
+                reached, n_reached = grown, n_grown
+                _maybe_save_mid("reach")
+
+            parts.append(
+                reached.join(color, "id").select("id", F.col("c").alias("scc"))
                 .localCheckpoint(eager=False)
             )
-            n_grown = grown.count()
-            _spend("reach")
-            if n_grown == n_reached:
-                break
-            reached, n_reached = grown, n_grown
-
-        parts.append(
-            reached.join(color, "id").select("id", F.col("c").alias("scc"))
-            .localCheckpoint(eager=False)
-        )
-        active = active.join(reached, "id", "left_anti").localCheckpoint(eager=False)
-        edges = _by_u(_semi_on(_semi_on(edges, active, "u"), active, "v"))
-        n_active = active.count()
-        _spend("other")
-        stats["rounds"] += 1
-        if checkpoint is not None and (
-            stats["rounds"] % checkpoint_interval == 0 or n_active == 0
-        ):
-            _save(done=n_active == 0)
-            saved_done = n_active == 0
-            last_saved_round = stats["rounds"]
+            active = active.join(reached, "id", "left_anti").localCheckpoint(
+                eager=False
+            )
+            edges = _by_u(_semi_on(_semi_on(edges, active, "u"), active, "v"))
+            n_active = active.count()
+            _spend("other")
+            stats["rounds"] += 1
+            color = fp = reached = None
+            n_reached = 0
+            phase = "trim"
+            if checkpoint is not None and (
+                stats["rounds"] % checkpoint_interval == 0 or n_active == 0
+            ):
+                _save(done=n_active == 0)
+                saved_done = n_active == 0
+                last_saved_steps = steps
 
     if checkpoint is not None and not saved_done:
         # covers completion paths that exit mid-round (trim dissolving the

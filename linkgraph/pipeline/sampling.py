@@ -1,0 +1,83 @@
+"""Deterministic dataset sampling — hash-threshold rows, no RNG state.
+
+Beyond the reference (no sampling utilities in ``mercury/graph``); a
+training-data pipeline needs samples that are REPRODUCIBLE (same rows on
+every run, every engine, every partitioning — ``df.sample()`` is none of
+those: it is seeded per-partition, so a repartition draws a different
+sample) and COORDINATED (the same document must land in the same split in
+the text table and the embedding table).
+
+The primitive: a row is kept iff the first 8 hex chars of
+``md5(key <0x1f> … <0x1f> seed)`` fall below ``rate``'s threshold — a
+pure column expression, engine-portable (DuckDB oracles replay it
+verbatim), granular to 16⁻⁸ ≈ 4e-10. Key-based thresholding also gives
+consistent train/val/test splits: disjoint rate intervals of the SAME
+hash partition the keyspace, so no key ever leaks across splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+_SPACE = 16**8
+
+
+def _bucket(key_cols: list[str], seed: int) -> F.Column:
+    """Uniform hex bucket in [0, 16^8) as an 8-char lowercase hex string."""
+    return F.substring(
+        F.md5(F.concat_ws(_SEP, *[F.col(c) for c in key_cols], F.lit(str(seed)))),
+        1,
+        8,
+    )
+
+
+def _threshold(fraction: float) -> str:
+    """``fraction`` as an 8-hex-char comparison threshold. A fraction of
+    1.0 maps to 16^8, whose hex form is 9 chars and compares WRONG against
+    8-char buckets lexicographically ("1b…" < "100000000" is false) — so
+    saturation returns "g", which is > every hex string."""
+    v = int(fraction * _SPACE)
+    return "g" if v >= _SPACE else format(v, "08x")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_cols: list[str], seed: int = 0
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by key hash. Rows with
+    equal keys are kept or dropped together (sample at the entity level by
+    keying on the entity id, at the row level by keying on all columns)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    return df.filter(_bucket(key_cols, seed) < F.lit(_threshold(rate)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: list[float],
+    key_cols: list[str],
+    seed: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Append a split index column (0..len(weights)−1) assigning each key to
+    one split with the given proportions — disjoint and exhaustive by
+    construction (consecutive intervals of one hash), stable across runs
+    and across tables sharing the key."""
+    if not weights or any(w < 0 for w in weights):
+        raise ValueError("weights must be non-empty and non-negative")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    bucket = _bucket(key_cols, seed)
+    expr = F.lit(len(weights) - 1)
+    acc = 0.0
+    cums = []
+    for w in weights[:-1]:
+        acc += w / total
+        cums.append(_threshold(acc))
+    for i in range(len(cums) - 1, -1, -1):
+        expr = F.when(bucket < F.lit(cums[i]), F.lit(i)).otherwise(expr)
+    return df.withColumn(out, expr)

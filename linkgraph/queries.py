@@ -1939,7 +1939,9 @@ def q_scc_resume_two_cycles(spark, sf_dir):
     mgr = CheckpointManager(tempfile.mkdtemp(prefix="lg_ckpt_scc_"), spark)
     strongly_connected_components(g, checkpoint=mgr, checkpoint_interval=1,
                                   max_rounds=1)
-    if mgr.latest_step() != 1 or mgr.manifest(1)["metrics"]["done"]:
+    # step index = global superstep count; round progress is in metrics
+    met = mgr.manifest(mgr.latest_step())["metrics"]
+    if met["done"] or met["stats"]["rounds"] != 1:
         raise RuntimeError("interrupted scc failed to checkpoint mid-peel")
     return strongly_connected_components(g, checkpoint=mgr, resume=True)
 
@@ -2522,3 +2524,109 @@ QUERIES.update(
 ORACLE_SQL.update(
     {"anf_exact_nation": _ANF_NATION_SQL, "anf_hll_nation": _ANF_NATION_SQL}
 )
+
+
+def q_sample_neighbors_lineitem(spark, sf_dir):
+    """Deterministic fanout-3 neighbor sample of the supplier→part graph:
+    the md5 priority is a pure column expression, so DuckDB replays the
+    EXACT sample (row_number over the same hash) — reproducible GNN
+    mini-batch sampling, proven engine-portable."""
+    from linkgraph import sample_neighbors
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return sample_neighbors(LinkGraph(e), fanout=3, seed=7)
+
+
+def q_bipartite_projection_lineitem(spark, sf_dir):
+    """Co-supplier projection of the part↔supplier bipartite graph, hub
+    parts (> 25 suppliers) dropped before the self-join and weak pairs
+    (< 3 shared parts) pruned — the operator that BUILDS co-occurrence
+    link graphs from interaction tables."""
+    from linkgraph import bipartite_projection
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return bipartite_projection(
+        LinkGraph(e), onto="src", min_shared=3, max_item_degree=25
+    )
+
+
+def q_hash_sample_documents(spark, sf_dir):
+    """Deterministic 20% document sample keyed on doc_id (hash-threshold,
+    not df.sample — partitioning-independent, engine-portable)."""
+    from linkgraph.pipeline.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return hash_sample(docs, 0.2, ["doc_id"], seed=11)
+
+
+def q_hash_split_documents(spark, sf_dir):
+    """80/10/10 train/val/test split counts: disjoint + exhaustive by
+    construction (consecutive intervals of one md5), stable across tables
+    sharing the key."""
+    from linkgraph.pipeline.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    return (
+        hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"], seed=5)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_ROUND4M_ORACLES = {
+    # thresholds: format(int(rate * 16**8), '08x') — 0.2 → 33333333;
+    # cumulative 0.8 → cccccccc, 0.9 → e6666666
+    "sample_neighbors_lineitem": """
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                                   'p' || l_partkey AS dst FROM lineitem),
+        r AS (SELECT src, dst, row_number() OVER (
+                  PARTITION BY src
+                  ORDER BY md5(src || chr(31) || dst || chr(31) || '7')) AS rk
+              FROM e)
+        SELECT src, dst FROM r WHERE rk <= 3
+    """,
+    "bipartite_projection_lineitem": """
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS n,
+                                   'p' || l_partkey AS i FROM lineitem),
+        keep AS (SELECT i FROM e GROUP BY i HAVING count(*) <= 25),
+        ek AS (SELECT e.n, e.i FROM e JOIN keep USING (i))
+        SELECT x.n AS a, y.n AS b, count(*) AS shared
+        FROM ek x JOIN ek y ON x.i = y.i AND x.n < y.n
+        GROUP BY x.n, y.n HAVING count(*) >= 3
+    """,
+    "hash_sample_documents": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '11'), 1, 8)
+              < '33333333'
+    """,
+    "hash_split_documents": """
+        WITH b AS (SELECT substring(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                                        || '5'), 1, 8) AS h FROM documents)
+        SELECT CASE WHEN h < 'cccccccc' THEN 0
+                    WHEN h < 'e6666666' THEN 1 ELSE 2 END AS split,
+               count(*) AS n_docs
+        FROM b GROUP BY 1
+    """,
+}
+
+QUERIES.update(
+    {
+        "sample_neighbors_lineitem": q_sample_neighbors_lineitem,
+        "bipartite_projection_lineitem": q_bipartite_projection_lineitem,
+        "hash_sample_documents": q_hash_sample_documents,
+        "hash_split_documents": q_hash_split_documents,
+    }
+)
+ORACLE_SQL.update(_ROUND4M_ORACLES)

@@ -102,8 +102,11 @@ def test_checkpoint_resume_bit_exact(spark, tmp_path):
     partial = strongly_connected_components(
         g, checkpoint=mgr, checkpoint_interval=1, max_rounds=1
     )
-    assert mgr.latest_step() == 1
-    assert mgr.manifest(1)["metrics"]["done"] is False
+    # step index is the global superstep count (monotonic across both
+    # round-granular and mid-phase saves); round progress lives in metrics
+    step = mgr.latest_step()
+    met = mgr.manifest(step)["metrics"]
+    assert met["done"] is False and met["stats"]["rounds"] == 1
     # partial = only the round-1 peel (cycle A); B still unassigned
     assert _labels(partial) == {1: 1, 2: 1, 3: 1, 4: 1}
 
