@@ -113,23 +113,39 @@ def main():
     print("host calibration:", calib)
 
     # Build the shared input once (deterministic, partitioning-independent).
+    # In a SUBPROCESS: pyspark's gateway JVM only dies when its owning
+    # python process exits (it monitors the launcher's pipe), so generating
+    # in-process would leave a JVM burning a full core for the entire leg
+    # sequence after spark.stop() — measured 100% CPU, exactly the orphan
+    # contamination the leg protocol exists to avoid.
     import tempfile
 
-    sys.path.insert(0, repo)
-    from linkgraph.corpus import derive_edges, synthesize_corpus
-    from linkgraph.session import get_session
-
     tmp = tempfile.mkdtemp(prefix="lg_scaling_")
-    spark = get_session("lg-scaling-gen", cores=32, shuffle_partitions=64)
-    corpus = synthesize_corpus(
-        spark, n_files=n_files, n_repos=max(50, n_files // 1000),
-        commits_per_file=2, seed=42, num_partitions=64,
-    ).persist()  # 3 relation branches in derive_edges scan the corpus
     edges_path = f"{tmp}/edges"
-    derive_edges(corpus, cochange_cap=16).write.mode("overwrite").parquet(edges_path)
-    corpus.unpersist()
-    n_edges = spark.read.parquet(edges_path).count()
-    spark.stop()
+    gen_script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from linkgraph.corpus import derive_edges, synthesize_corpus
+from linkgraph.session import get_session
+spark = get_session("lg-scaling-gen", cores=32, shuffle_partitions=64)
+corpus = synthesize_corpus(
+    spark, n_files={n_files}, n_repos=max(50, {n_files} // 1000),
+    commits_per_file=2, seed=42, num_partitions=64,
+).persist()  # 3 relation branches in derive_edges scan the corpus
+derive_edges(corpus, cochange_cap=16).write.mode("overwrite").parquet({edges_path!r})
+corpus.unpersist()
+print("N_EDGES=" + str(spark.read.parquet({edges_path!r}).count()))
+"""
+    gen = subprocess.run(
+        [sys.executable, "-c", gen_script], capture_output=True, text=True,
+        timeout=3600,
+    )
+    marks = [l for l in gen.stdout.splitlines() if l.startswith("N_EDGES=")]
+    if not marks:
+        print("input generation failed; stderr tail:")
+        print("\n".join(gen.stderr.strip().splitlines()[-30:]))
+        sys.exit(1)
+    n_edges = int(marks[-1].split("=")[1])
     print(f"input: {n_edges} edges from {n_files} files → {edges_path}")
 
     # Shared-tenancy host steal swings single legs by 2-4x (one measured
