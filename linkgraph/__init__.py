@@ -54,6 +54,8 @@ from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
 from linkgraph.algorithms.projection import bipartite_projection
 from linkgraph.algorithms.sampling import sample_neighborhood, sample_neighbors
 from linkgraph.algorithms.katz import hits, katz_centrality
+from linkgraph.algorithms.matching import maximal_matching
+from linkgraph.algorithms.mis import greedy_coloring, maximal_independent_set
 from linkgraph.algorithms.mst import (
     minimum_spanning_forest,
     minimum_spanning_weight,
@@ -119,6 +121,9 @@ __all__ = [
     "bipartite_projection",
     "sample_neighbors",
     "sample_neighborhood",
+    "maximal_independent_set",
+    "maximal_matching",
+    "greedy_coloring",
     "shortest_path_lengths",
     "shortest_paths_weighted",
     "shortest_path_lengths_weighted",

@@ -129,8 +129,10 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
                 "round; this indicates an engine bug"
             )
     if forest is None:
-        # edge-free (or all-self-loop) graph: empty forest, typed
-        return spark.createDataFrame([], "src string, dst string, weight double")
+        # edge-free (or all-self-loop) graph: empty forest, typed to the
+        # graph's node id type
+        t = graph.nodes.schema[ID].dataType.simpleString()
+        return spark.createDataFrame([], f"{SRC} {t}, {DST} {t}, weight double")
     return forest.select(
         F.col("a").alias(SRC), F.col("b").alias(DST), F.col("w").alias("weight")
     )

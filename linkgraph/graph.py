@@ -329,6 +329,60 @@ class LinkGraph:
 
         return k_truss(self, k, **kwargs)
 
+    def katz_centrality(self, **kwargs) -> DataFrame:
+        """Attenuated-path-count centrality (beyond reference);
+        DataFrame[id, katz]."""
+        from linkgraph.algorithms.katz import katz_centrality
+
+        return katz_centrality(self, **kwargs)
+
+    def hits(self, **kwargs) -> DataFrame:
+        """Kleinberg hubs/authorities (beyond reference);
+        DataFrame[id, hub, authority]."""
+        from linkgraph.algorithms.katz import hits
+
+        return hits(self, **kwargs)
+
+    def topological_layers(self, **kwargs) -> DataFrame:
+        """Longest-path DAG levels (beyond reference); DataFrame[id, layer]."""
+        from linkgraph.algorithms.toposort import topological_layers
+
+        return topological_layers(self, **kwargs)
+
+    def minimum_spanning_forest(self, **kwargs) -> DataFrame:
+        """Distributed Boruvka MST (beyond reference);
+        DataFrame[src, dst, weight]."""
+        from linkgraph.algorithms.mst import minimum_spanning_forest
+
+        return minimum_spanning_forest(self, **kwargs)
+
+    def neighborhood_function(self, **kwargs) -> DataFrame:
+        """HyperANF hop plot (beyond reference); DataFrame[hop, pairs]."""
+        from linkgraph.algorithms.anf import neighborhood_function
+
+        return neighborhood_function(self, **kwargs)
+
+    def effective_diameter(self, **kwargs) -> int:
+        """Smallest hop reaching the given mass fraction (beyond
+        reference)."""
+        from linkgraph.algorithms.anf import effective_diameter
+
+        return effective_diameter(self, **kwargs)
+
+    def sample_neighbors(self, fanout: int, **kwargs) -> DataFrame:
+        """Deterministic md5-priority fanout sample (beyond reference);
+        DataFrame[src, dst]."""
+        from linkgraph.algorithms.sampling import sample_neighbors
+
+        return sample_neighbors(self, fanout, **kwargs)
+
+    def bipartite_projection(self, **kwargs) -> DataFrame:
+        """Co-neighbor projection onto one side (beyond reference);
+        DataFrame[a, b, shared]."""
+        from linkgraph.algorithms.projection import bipartite_projection
+
+        return bipartite_projection(self, **kwargs)
+
     def pagerank(self, **kwargs) -> DataFrame:
         """graph.py:331-338 parity; DataFrame[id, pagerank]."""
         from linkgraph.algorithms.pagerank import pagerank

@@ -134,3 +134,32 @@ def doc_fingerprint(
     engine-portable (DuckDB md5 matches), used as the exact-dup key."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 10_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """DataFrame[token, count] — the ``size`` most frequent whitespace
+    tokens, ties broken by token ascending (fully deterministic, so two
+    pipeline runs — or two engines — build the SAME vocabulary; the DuckDB
+    oracle replays it). The global top-k is ``orderBy().limit()``, which
+    Spark executes as TakeOrderedAndProject: each map task forwards at most
+    ``size`` rows, no single-task sort of the full token table.
+
+    Beyond the reference; the vocabulary step of any tokenizer-training /
+    feature-hashing pipeline."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    toks = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    return toks.orderBy(F.desc("count"), F.asc("token")).limit(size)

@@ -2630,3 +2630,160 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_ROUND4M_ORACLES)
+
+
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (offset binning): per-language doc streams ordered
+    by doc_id, 8192-char budget — the deterministic which-docs-share-a-
+    training-sequence assignment, replayed exactly by the SQL window."""
+    from linkgraph.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return pack_sequences(docs, 8192, "n_chars", "doc_id", ["lang"]).select(
+        "doc_id", "lang", "pack"
+    )
+
+
+def q_vocab_documents(spark, sf_dir):
+    """Top-100 whitespace-token vocabulary over the documents table —
+    deterministic boundary (count desc, token asc), so the top-k SET is
+    engine-portable; Spark executes the global top-k as
+    TakeOrderedAndProject (every map task forwards ≤ k rows)."""
+    from linkgraph.pipeline.text import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), size=100)
+
+
+QUERIES.update({"vocab_documents": q_vocab_documents})
+ORACLE_SQL.update(
+    {
+        "vocab_documents": """
+        WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+                       AS token FROM documents),
+        c AS (SELECT token, count(*) AS count FROM t
+              WHERE token <> '' GROUP BY token)
+        SELECT token, count FROM c ORDER BY count DESC, token ASC LIMIT 100
+    """,
+    }
+)
+
+
+def q_mis_nation_star(spark, sf_dir):
+    """Deterministic Luby MIS on the 25-nation star (center n0): round-0
+    md5 priorities decide everything in closed form — if the center holds
+    the GLOBAL minimum priority the MIS is {center}, otherwise the
+    cheaper-than-center leaves win round 0, the center dies as their
+    neighbor, and the surviving leaves join as isolated nodes in round 1,
+    so the MIS is ALL leaves. The SQL replays the priority comparison, so
+    a wrong tie-break direction or a non-strict minimum hash-mismatches."""
+    from linkgraph import maximal_independent_set
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_nationkey").alias("k"),
+    )
+    edges = (
+        n.filter("k = 0").select(F.col("id").alias("src"))
+        .crossJoin(n.filter("k > 0").select(F.col("id").alias("dst")))
+    )
+    g = LinkGraph(edges, keys={"directed": False})
+    return maximal_independent_set(g, seed=3)
+
+
+def q_matching_nation_star(spark, sf_dir):
+    """Deterministic maximal matching on the nation star: every edge shares
+    the center, so the matching is exactly the single minimum-md5-priority
+    edge — the SQL recomputes the same priority and takes the argmin."""
+    from linkgraph import maximal_matching
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_nationkey").alias("k"),
+    )
+    edges = (
+        n.filter("k = 0").select(F.col("id").alias("src"))
+        .crossJoin(n.filter("k > 0").select(F.col("id").alias("dst")))
+    )
+    return maximal_matching(LinkGraph(edges, keys={"directed": False}))
+
+
+QUERIES.update({"matching_nation_star": q_matching_nation_star})
+ORACLE_SQL.update(
+    {
+        "matching_nation_star": """
+        WITH e AS (SELECT 'n0' AS a, 'n' || n_nationkey AS b
+                   FROM nation WHERE n_nationkey > 0),
+        p AS (SELECT a, b, md5(a || chr(31) || b || chr(31) || '0'
+                               || chr(31) || '0') AS pr FROM e)
+        SELECT a AS src, b AS dst FROM p ORDER BY pr LIMIT 1
+    """,
+    }
+)
+
+
+def q_coloring_nation_star(spark, sf_dir):
+    """Greedy coloring (repeated MIS) on the nation star: exactly two
+    colors, branch-determined by whether the center's round-0 priority is
+    the global minimum (then center=0, leaves=1; else leaves=0, center=1).
+    The SQL replays the branch, so the color-order convention is pinned."""
+    from linkgraph import greedy_coloring
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_nationkey").alias("k"),
+    )
+    edges = (
+        n.filter("k = 0").select(F.col("id").alias("src"))
+        .crossJoin(n.filter("k > 0").select(F.col("id").alias("dst")))
+    )
+    return greedy_coloring(LinkGraph(edges, keys={"directed": False}), seed=3)
+
+
+QUERIES.update(
+    {
+        "mis_nation_star": q_mis_nation_star,
+        "coloring_nation_star": q_coloring_nation_star,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "mis_nation_star": """
+        WITH pri AS (SELECT 'n' || n_nationkey AS id, n_nationkey AS k,
+                            md5('n' || n_nationkey || chr(31) || '3'
+                                || chr(31) || '0') AS p
+                     FROM nation)
+        SELECT id FROM pri
+        WHERE CASE WHEN (SELECT p FROM pri WHERE k = 0)
+                        = (SELECT min(p) FROM pri)
+                   THEN k = 0 ELSE k > 0 END
+    """,
+        "coloring_nation_star": """
+        WITH pri AS (SELECT 'n' || n_nationkey AS id, n_nationkey AS k,
+                            md5('n' || n_nationkey || chr(31) || '3'
+                                || chr(31) || '0') AS p
+                     FROM nation)
+        SELECT id,
+               CASE WHEN (SELECT p FROM pri WHERE k = 0)
+                         = (SELECT min(p) FROM pri)
+                    THEN CASE WHEN k = 0 THEN 0 ELSE 1 END
+                    ELSE CASE WHEN k > 0 THEN 0 ELSE 1 END END AS color
+        FROM pri
+    """,
+    }
+)
+
+
+QUERIES.update({"pack_documents": q_pack_documents})
+ORACLE_SQL.update(
+    {
+        "pack_documents": """
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING)
+                          - n_chars AS strt
+                   FROM documents)
+        SELECT doc_id, lang, CAST(floor(strt / 8192.0) AS BIGINT) AS pack
+        FROM t
+    """,
+    }
+)

@@ -293,3 +293,103 @@ def test_assortativity_single_pass_no_window(spark):
     assert degree_assortativity(g) == degree_assortativity(g)  # deterministic
     plan = _plan(deg_out)
     assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_sample_neighbors_window_group_limit(spark):
+    """Fanout sampling's per-node top-k must be the WindowGroupLimit form —
+    a Partial limit BEFORE the exchange bounds every map task to k rows per
+    node (the hub-safety property) — and stay Python-free."""
+    from linkgraph import sample_neighbors
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"v{j}") for i in range(4) for j in range(20)],
+        ["src", "dst"],
+    )
+    plan = _plan(sample_neighbors(LinkGraph(edges), fanout=3, seed=1))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bipartite_projection_no_window(spark):
+    """Projection is degree-cap semi-join + one equi-self-join + one
+    algebraic groupBy — no windows, no Python eval."""
+    from linkgraph import bipartite_projection
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"i{j}") for i in range(6) for j in range(4)],
+        ["src", "dst"],
+    )
+    plan = _plan(
+        bipartite_projection(LinkGraph(edges), max_item_degree=5, min_shared=2)
+    )
+    assert "Window" not in plan and "EvalPython" not in plan
+
+
+def test_mst_pick_round_is_algebraic(spark):
+    """One Boruvka pick round = two label joins + a min(struct) groupBy:
+    audit the pick dataflow shape directly (no window, no Python)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0)],
+        ["src", "dst", "weight"],
+    )
+    g = LinkGraph(edges, keys={"directed": False})
+    e = g.edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"),
+        F.col("weight").alias("w"),
+    ).groupBy("a", "b").agg(F.min("w").alias("w"))
+    labels = g.nodes.select(F.col("id"), F.col("id").alias("comp"))
+    la = labels.select(F.col("id").alias("a"), F.col("comp").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("comp").alias("cb"))
+    cross = e.join(la, "a").join(lb, "b").filter("ca != cb")
+    s = F.struct("w", "a", "b").alias("e")
+    picks = (
+        cross.select(F.col("ca").alias("comp"), s)
+        .unionByName(cross.select(F.col("cb").alias("comp"), s))
+        .groupBy("comp").agg(F.min("e").alias("e"))
+    )
+    plan = _plan(picks)
+    assert "Window" not in plan and "EvalPython" not in plan
+    # the pick aggregate must have a map-side partial (min is algebraic)
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_anf_superstep_jvm_sketches(spark):
+    """HyperANF's superstep is join + hll_union_agg: JVM aggregate all the
+    way — no Python eval, no window; union agg shows a partial stage."""
+    from pyspark.sql import functions as F
+
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(8)], ["id"])
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)], ["u", "v"]
+    )
+    state = nodes.groupBy("id").agg(F.hll_sketch_agg("id", F.lit(12)).alias("sk"))
+    contrib = state.join(edges, state["id"] == edges["v"]).select(
+        edges["u"].alias("id"), "sk"
+    )
+    step = (
+        state.select("id", "sk").unionByName(contrib)
+        .groupBy("id").agg(F.hll_union_agg("sk").alias("sk"))
+    )
+    plan = _plan(step)
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "hll_union_agg" in plan or "HllUnionAgg".lower() in plan.lower()
+
+
+def test_pack_sequences_single_window_per_group(spark):
+    """Packing is ONE running-sum window per partition-key group (the
+    documented irreducible sequential scan) — exactly one Window node, no
+    Python eval."""
+    from linkgraph.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"g{i % 3}", 5) for i in range(30)], ["doc", "grp", "toks"]
+    )
+    plan = _plan(pack_sequences(df, 10, "toks", "doc", ["grp"]))
+    assert "EvalPython" not in plan
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) == 1  # exactly one running-sum window
+    # the window is partitioned by the group key, not the degenerate
+    # all-rows-in-one-task form
+    assert "grp" in win_lines[0]

@@ -124,3 +124,28 @@ def test_hash_split_disjoint_exhaustive_consistent(spark):
         assert a[k] == b[k]
     with pytest.raises(ValueError, match="weights"):
         hash_split(df, [], ["k"])
+
+
+def test_linkgraph_convenience_methods_delegate(spark):
+    # thin-delegation smoke for the r4 method surface: each returns the
+    # same shape as its functional form on a tiny fixture
+    und = LinkGraph(
+        spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0)],
+            ["src", "dst", "weight"],
+        ),
+        keys={"directed": False},
+    )
+    assert und.minimum_spanning_forest().count() == 3
+    assert und.effective_diameter(fraction=1.0, method="exact") == 3
+    assert und.neighborhood_function(method="exact").count() == 4  # hops 0-3
+    dg = LinkGraph(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]))
+    assert {r["id"]: r["layer"] for r in dg.topological_layers().collect()} \
+        == {"a": 0, "b": 1, "c": 2}
+    assert dg.katz_centrality(alpha=0.1, max_iter=50).count() == 3
+    h = dg.hits(max_iter=50)
+    assert set(h.columns) == {"id", "hub", "authority"}
+    assert dg.sample_neighbors(1).count() == 2  # a and b each keep 1 edge
+    proj = dg.bipartite_projection(onto="src")  # a,b share neighbor c
+    assert {(r.a, r.b, r.shared) for r in proj.collect()} == {("a", "b", 1)}
