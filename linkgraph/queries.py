@@ -2644,6 +2644,68 @@ def q_pack_documents(spark, sf_dir):
     )
 
 
+def q_asof_clicks_purchases(spark, sf_dir):
+    """Backward as-of join: each click gets the user's latest purchase
+    value at-or-before the click (null if none yet). DuckDB verifies with
+    its NATIVE ``ASOF LEFT JOIN`` — the repo's union-tag + carry-forward
+    window must reproduce the database primitive exactly."""
+    from linkgraph.pipeline.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    buys = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(clicks, buys, on="ts", by=["user_id"])
+
+
+def q_sessionize_events(spark, sf_dir):
+    """60-minute-gap sessionization of the event stream per user, event_id
+    as the equal-timestamp tiebreaker; the SQL replays the lag/cumsum
+    window, so gap strictness and ordering are pinned."""
+    from linkgraph.pipeline.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, "60 minutes", ["user_id"], order_cols=["event_id"]
+    ).select("event_id", "user_id", "session")
+
+
+QUERIES.update(
+    {
+        "asof_clicks_purchases": q_asof_clicks_purchases,
+        "sessionize_events": q_sessionize_events,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "asof_clicks_purchases": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value AS last_purchase_value FROM events
+              WHERE event_type = 'purchase')
+        SELECT l.event_id, l.user_id, l.ts, r.last_purchase_value
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+        "sessionize_events": """
+        WITH e AS (SELECT event_id, user_id, ts,
+                          CASE WHEN ts - lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                               > INTERVAL '60 minutes'
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session
+        FROM e
+    """,
+    }
+)
+
+
 def q_vocab_documents(spark, sf_dir):
     """Top-100 whitespace-token vocabulary over the documents table —
     deterministic boundary (count desc, token asc), so the top-k SET is
