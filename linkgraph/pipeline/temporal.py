@@ -126,3 +126,71 @@ def sessionize(
     return events.withColumn(
         out, F.sum(F.coalesce(brk, F.lit(0))).over(wsum).cast("long")
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_size: float,
+    by: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right interval with
+    ``lo <= value <= hi`` (optionally within the same ``by`` key) — the
+    ip-to-block / value-to-tier / point-in-window primitive.
+
+    Scale shape: a naive inequality join is a nested-loop cross product.
+    Here both sides are EQUI-joined on a coarse bucket — left rows at
+    ``floor(value / bucket_size)``, each interval EXPLODED to the buckets
+    it covers — then the exact predicate filters within buckets. Pick
+    ``bucket_size`` near the median interval width: an interval spanning B
+    buckets emits B rows (that is the whole cost model — one row per
+    covered bucket, no cross product), and left rows never replicate.
+
+    ``how="left"`` keeps unmatched left rows with null right columns.
+    Right columns must not collide with left's (rename upstream; checked).
+    """
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    by = by or []
+    rcols = [c for c in right.columns if c not in by]
+    collisions = set(rcols) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right columns collide with left: {sorted(collisions)}; "
+            "rename before joining"
+        )
+    bs = float(bucket_size)
+    lb = left.withColumn("_bkt", F.floor(F.col(value_col) / F.lit(bs)))
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bs)),
+                F.floor(F.col(hi_col) / F.lit(bs)),
+            )
+        ),
+    )
+    cond = [lb["_bkt"] == rb["_bkt"]] + [lb[k] == rb[k] for k in by]
+    matched = (
+        lb.join(rb, cond, "inner")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) <= F.col(hi_col))
+        )
+        .select(*[lb[c] for c in left.columns], *[rb[c] for c in rcols])
+    )
+    if how == "inner":
+        return matched
+    missing = left.join(
+        matched.select(*[F.col(c) for c in left.columns]), left.columns,
+        "left_anti",
+    ).select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols]
+    )
+    return matched.unionByName(missing)

@@ -2671,10 +2671,41 @@ def q_sessionize_events(spark, sf_dir):
     ).select("event_id", "user_id", "session")
 
 
+def q_range_join_value_tiers(spark, sf_dir):
+    """Interval-bucketed range join: event values against 25 nation-derived
+    tiers [20k, 20k+14.99] (gapped, so some events legitimately miss);
+    DuckDB verifies with a native inequality join — the bucketing is a
+    physical rewrite that must not change semantics."""
+    from linkgraph.pipeline.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    tiers = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("tier"),
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + 14.99).alias("hi"),
+    )
+    return range_join(ev, tiers, "value", "lo", "hi", bucket_size=10.0).select(
+        "event_id", "value", "tier"
+    )
+
+
 QUERIES.update(
     {
         "asof_clicks_purchases": q_asof_clicks_purchases,
         "sessionize_events": q_sessionize_events,
+        "range_join_value_tiers": q_range_join_value_tiers,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "range_join_value_tiers": """
+        WITH tiers AS (SELECT n_nationkey AS tier,
+                              n_nationkey * 20.0 AS lo,
+                              n_nationkey * 20.0 + 14.99 AS hi FROM nation)
+        SELECT e.event_id, e.value, t.tier
+        FROM events e JOIN tiers t
+          ON e.value >= t.lo AND e.value <= t.hi
+    """,
     }
 )
 ORACLE_SQL.update(

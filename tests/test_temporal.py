@@ -98,3 +98,54 @@ def test_sessionize_deterministic_under_repartition(spark):
          sessionize(df.repartition(9), "2 minutes", ["user"],
                     order_cols=["eid"]).collect()}
     assert a == b
+
+
+def test_range_join_inner_and_left(spark):
+    from linkgraph.pipeline.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [("p1", 5.0), ("p2", 15.0), ("p3", 25.0), ("p4", 99.0)],
+        ["pid", "v"],
+    )
+    ivs = spark.createDataFrame(
+        [("t0", 0.0, 10.0), ("t1", 10.0, 20.0), ("t2", 3.0, 30.0)],
+        ["tier", "lo", "hi"],
+    )
+    got = {(r.pid, r.tier) for r in
+           range_join(pts, ivs, "v", "lo", "hi", bucket_size=7.0).collect()}
+    # overlapping intervals: every containing interval matches; boundaries
+    # inclusive on both ends
+    assert got == {("p1", "t0"), ("p1", "t2"), ("p2", "t1"), ("p2", "t2"),
+                   ("p3", "t2")}
+    left = range_join(pts, ivs, "v", "lo", "hi", 7.0, how="left")
+    rows = {(r.pid, r.tier) for r in left.collect()}
+    assert ("p4", None) in rows and len(rows) == 6
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket_size"):
+        range_join(pts, ivs, "v", "lo", "hi", 0)
+
+
+def test_range_join_bucket_size_invariance(spark):
+    import random
+
+    from linkgraph.pipeline.temporal import range_join
+
+    rng = random.Random(3)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(0, 100)) for i in range(200)], ["pid", "v"]
+    )
+    ivs = []
+    for i in range(40):
+        lo = rng.uniform(0, 95)
+        ivs.append((i, lo, lo + rng.uniform(0, 12)))
+    ivdf = spark.createDataFrame(ivs, ["tier", "lo", "hi"])
+    a = {(r.pid, r.tier) for r in
+         range_join(pts, ivdf, "v", "lo", "hi", 1.0).collect()}
+    b = {(r.pid, r.tier) for r in
+         range_join(pts, ivdf, "v", "lo", "hi", 33.0).collect()}
+    assert a == b  # bucket size is a physical knob, never a semantic one
+    # brute-force reference
+    ref = {(p, t) for p, v in
+           [(i, x) for i, x in [(r[0], r[1]) for r in pts.collect()]]
+           for t, lo, hi in ivs if lo <= v <= hi}
+    assert a == ref
