@@ -2671,6 +2671,39 @@ def q_sessionize_events(spark, sf_dir):
     ).select("event_id", "user_id", "session")
 
 
+def q_session_stats_events(spark, sf_dir):
+    """Per-user session rollups via Spark's native session_window (60-min
+    gap): the SQL replays the merge rule (extend while ts < prev + gap,
+    session_end = last ts + gap), pinning the boundary semantics."""
+    from linkgraph.streaming import session_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return session_stats(ev, gap="60 minutes", key_cols=["user_id"])
+
+
+QUERIES.update({"session_stats_events": q_session_stats_events})
+ORACLE_SQL.update(
+    {
+        "session_stats_events": """
+        WITH e AS (SELECT user_id, ts,
+                          CASE WHEN ts >= lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id)
+                               + INTERVAL '60 minutes'
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '60 minutes' AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    }
+)
+
+
 def q_range_join_value_tiers(spark, sf_dir):
     """Interval-bucketed range join: event values against 25 nation-derived
     tiers [20k, 20k+14.99] (gapped, so some events legitimately miss);

@@ -166,3 +166,38 @@ def dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session aggregates via Spark's native ``session_window`` —
+    JVM-side session state, identical code for BATCH and STREAMING input
+    (on a stream, add the watermark and emit in append mode once sessions
+    close). Output: (key…, session_start, session_end, n_events).
+
+    Boundary semantics are session_window's: an event EXTENDS the session
+    while ``ts < previous ts + gap`` (an event exactly at the gap starts a
+    NEW session) — the complement of :func:`linkgraph.pipeline.temporal.
+    sessionize`'s strict-greater break, pinned by the oracle's ``>=``
+    replay. Use this form when you want per-session rollups and
+    streaming-compatibility; use ``sessionize`` when every event row needs
+    its session id."""
+    key_cols = key_cols or ["user_id"]
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("sw"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -148,3 +148,34 @@ def test_dedup_stream_matches_batch_across_batches(spark, tmp_path):
     assert (3, 1) in final.values()
     # numeric keeper: {11, 9} -> 9, where a string min would have said "11"
     assert (2, 9) in final.values()
+
+
+def test_session_stats_batch_and_stream_agree(spark, edge_stream_dir):
+    from linkgraph.streaming import session_stats
+
+    batch = spark.read.parquet(edge_stream_dir)
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in session_stats(batch, gap="30 minutes").collect()
+    }
+    # user 1: 10:05+10:15 one session (gap 10m), 11:05 a new one; users 2,3
+    # single-event sessions; session_end = last ts + gap
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    assert want == {
+        (1, t(10, 5), t(10, 45)): 2,
+        (1, t(11, 5), t(11, 35)): 1,
+        (2, t(10, 20), t(10, 50)): 1,
+        (3, t(11, 30), t(12, 0)): 1,
+    }
+    stream = session_stats(
+        _read_stream(spark, edge_stream_dir), gap="30 minutes",
+        watermark="1 minute",
+    )
+    _run_stream(stream, "sess_stats", "complete")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM sess_stats").collect()
+    }
+    assert got == want
