@@ -2671,6 +2671,88 @@ def q_sessionize_events(spark, sf_dir):
     ).select("event_id", "user_id", "session")
 
 
+def _event_snapshot(spark, sf_dir, lo=None, hi=None):
+    # value > 100 keeps the user→type pairs sparse enough that the two
+    # windows genuinely differ (the unfiltered graph saturates all pairs
+    # in both windows and the diff is trivially empty)
+    ev = _t(spark, sf_dir, "events").filter("value > 100")
+    if lo:
+        ev = ev.filter(F.col("ts") >= lo)
+    if hi:
+        ev = ev.filter(F.col("ts") < hi)
+    return LinkGraph(
+        ev.select(
+            F.col("user_id").cast("string").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+    )
+
+
+def q_edge_diff_events(spark, sf_dir):
+    """Snapshot diff of the user→event_type graph between overlapping
+    windows (days 1-20 vs days 10-31): added and removed edges via two
+    anti-joins, replayed by DuckDB ANTI JOINs."""
+    from linkgraph.diff import edge_diff
+
+    old = _event_snapshot(spark, sf_dir, hi="2024-01-20")
+    new = _event_snapshot(spark, sf_dir, lo="2024-01-10")
+    return edge_diff(old, new)
+
+
+def q_degree_delta_events(spark, sf_dir):
+    """Per-node total-degree change across the same two snapshots,
+    zero-filled, unchanged nodes included."""
+    from linkgraph.diff import degree_delta
+
+    old = _event_snapshot(spark, sf_dir, hi="2024-01-20")
+    new = _event_snapshot(spark, sf_dir, lo="2024-01-10")
+    return degree_delta(old, new)
+
+
+QUERIES.update(
+    {
+        "edge_diff_events": q_edge_diff_events,
+        "degree_delta_events": q_degree_delta_events,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "edge_diff_events": """
+        WITH o AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+                                   event_type AS dst FROM events
+                   WHERE value > 100 AND ts < TIMESTAMP '2024-01-20'),
+        n AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+                              event_type AS dst FROM events
+              WHERE value > 100 AND ts >= TIMESTAMP '2024-01-10')
+        SELECT src, dst, 'added' AS change FROM n
+        ANTI JOIN o USING (src, dst)
+        UNION ALL
+        SELECT src, dst, 'removed' AS change FROM o
+        ANTI JOIN n USING (src, dst)
+    """,
+        "degree_delta_events": """
+        WITH o AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+                                   event_type AS dst FROM events
+                   WHERE value > 100 AND ts < TIMESTAMP '2024-01-20'),
+        n AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+                              event_type AS dst FROM events
+              WHERE value > 100 AND ts >= TIMESTAMP '2024-01-10'),
+        od AS (SELECT id, count(*) AS d FROM
+               (SELECT src AS id FROM o UNION ALL SELECT dst FROM o)
+               GROUP BY id),
+        nd AS (SELECT id, count(*) AS d FROM
+               (SELECT src AS id FROM n UNION ALL SELECT dst FROM n)
+               GROUP BY id)
+        SELECT COALESCE(od.id, nd.id) AS id,
+               COALESCE(od.d, 0) AS old_degree,
+               COALESCE(nd.d, 0) AS new_degree,
+               COALESCE(nd.d, 0) - COALESCE(od.d, 0) AS delta
+        FROM od FULL OUTER JOIN nd ON od.id = nd.id
+    """,
+    }
+)
+
+
 def q_session_stats_events(spark, sf_dir):
     """Per-user session rollups via Spark's native session_window (60-min
     gap): the SQL replays the merge rule (extend while ts < prev + gap,
