@@ -163,3 +163,165 @@ def build_vocab(
         .filter(F.col("count") >= min_count)
     )
     return toks.orderBy(F.desc("count"), F.asc("token")).limit(size)
+
+
+# ------------------------------------------------------------- repetition
+
+
+def _words_col(text_col: str) -> F.Column:
+    """Whitespace word array; empty text → empty array (split('') is [''])."""
+    t = F.col(text_col)
+    return F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(t), r"\s+")
+    )
+
+
+def _grams_expr(words_col: str, n: int) -> str:
+    """SQL expr: word n-gram array from a words-array column. Guarded so
+    short docs yield [] (Spark's sequence(1, 0) would DESCEND, not empty)."""
+    if n == 1:
+        return words_col
+    return (
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_sizes: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: for each n in
+    ``ngram_sizes``, the fraction of n-gram occurrences that repeat an
+    earlier occurrence — ``(total - distinct) / total`` (0.0 for docs too
+    short to form a gram). High values mark boilerplate / degenerate text;
+    the standard cheap repetition filter for pretraining corpora.
+
+    Entirely higher-order functions over the words array: column-pruned
+    scan, zero shuffle, zero UDF — at 100 TB this is scan-bound.
+    Beyond the reference (cf. quality filters in Rae et al., Gopher App. A).
+    """
+    out = df.select(F.col(id_col), _words_col(text_col).alias("_w"))
+    cols = [F.col(id_col), F.size("_w").cast("long").alias("n_words")]
+    for n in ngram_sizes:
+        g = _grams_expr("_w", n)
+        total = f"size({g})"
+        dup = (
+            f"CASE WHEN {total} > 0 THEN "
+            f"CAST({total} - size(array_distinct({g})) AS DOUBLE) / {total} "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        cols.append(F.expr(dup).alias(f"dup_{n}gram_frac"))
+    return out.select(*cols)
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (ties: gram asc) —
+    the boilerplate-discovery scan. explode → one algebraic groupBy →
+    TakeOrderedAndProject (each map task forwards ≤ k rows; no global sort)."""
+    grams = (
+        df.select(_words_col(text_col).alias("_w"))
+        .select(F.explode(F.expr(_grams_expr("_w", n))).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return grams.orderBy(F.desc("count"), F.asc("gram")).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: score = tf · ln(N / df_term) with
+    deterministic ties (score desc, term asc). Returns
+    DataFrame[id, rank, term, score].
+
+    Two algebraic aggregates (tf per (doc, term); document frequency per
+    term) + a broadcast-sized join on term for corpora with bounded
+    vocabulary; the per-doc top-k is one ``max``-style aggregate over a
+    doc-vocabulary-sized collect_list (bounded by document length — NOT a
+    corpus-sized window). N is the count of non-empty documents, computed
+    distributively (no driver action).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(_words_col(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = tf.select("_id").distinct().select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    scored = tf.join(F.broadcast(docfreq), "term").crossJoin(F.broadcast(n_docs)).select(
+        "_id",
+        "term",
+        (F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df_t"))).alias(
+            "score"
+        ),
+    )
+    topk = (
+        scored.groupBy("_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.negate(F.col("score")).alias("ns"), "term", "score"))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("t.term").alias("term"),
+            F.col("t.score").alias("score"),
+        )
+    )
+    return topk
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one word n-gram with any eval document. Returns
+    DataFrame[id, n_shared_grams] for contaminated docs only.
+
+    Shape at 100 TB: the eval side is small (benchmarks are KBs-MBs) — its
+    distinct gram set broadcasts; the train side is one scan + map-side
+    semi-ish join, no shuffle of the corpus. ``hashed=True`` joins on
+    xxhash64(gram) (8-byte keys) instead of gram strings — the production
+    path; the string path is byte-portable for the DuckDB oracle.
+    """
+    def gramset(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col).alias("_id"), _words_col(text_col).alias("_w"))
+            .select("_id", F.explode(F.expr(f"array_distinct({_grams_expr('_w', n)})")).alias("gram"))
+            .filter(F.col("gram") != "")
+        )
+
+    tg, eg = gramset(train), gramset(eval_df).select("gram").distinct()
+    if hashed:
+        tg = tg.select("_id", F.xxhash64("gram").alias("gram"))
+        eg = eg.select(F.xxhash64("gram").alias("gram"))
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .select(F.col("_id").alias(id_col), "n_shared_grams")
+    )

@@ -2995,3 +2995,135 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_repetition_stats_documents(spark, sf_dir):
+    """Gopher-style intra-doc repetition: fraction of word 1/2/3-gram
+    occurrences that repeat an earlier one. Pure higher-order-function
+    column math (zero shuffle); the SQL replays it with DuckDB list
+    comprehensions, pinning the gram construction and the short-doc guard."""
+    from linkgraph.pipeline.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_top_ngrams_documents(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (count desc, gram asc) — the
+    boilerplate-discovery scan; executes as TakeOrderedAndProject."""
+    from linkgraph.pipeline.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def q_tfidf_top_terms_documents(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms, score = tf·ln(N/df), ties (score desc,
+    term asc). The Spark side ranks with a doc-bounded array_sort aggregate
+    (no corpus-sized window); the oracle uses a row_number window — both
+    must agree exactly, including the float scores at 9 significant digits."""
+    from linkgraph.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: docs (doc_id % 50 != 0) sharing ≥1 word
+    4-gram with the held-out eval slice (doc_id % 50 = 0), with the count
+    of distinct shared grams. Eval gram set broadcasts; train side is one
+    scan + map-side join — the 100 TB shape."""
+    from linkgraph.pipeline.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0"), n=4
+    )
+
+
+_WORDS_CTE = """
+        w AS (SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END
+                     AS words
+              FROM documents)
+"""
+
+QUERIES.update(
+    {
+        "repetition_stats_documents": q_repetition_stats_documents,
+        "top_ngrams_documents": q_top_ngrams_documents,
+        "tfidf_top_terms_documents": q_tfidf_top_terms_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "repetition_stats_documents": f"""
+        WITH {_WORDS_CTE},
+        g AS (SELECT doc_id, words,
+                     CASE WHEN len(words) >= 2 THEN
+                       [array_to_string(words[i:i+1], ' ')
+                        FOR i IN range(1, len(words))]
+                     ELSE [] END AS g2,
+                     CASE WHEN len(words) >= 3 THEN
+                       [array_to_string(words[i:i+2], ' ')
+                        FOR i IN range(1, len(words) - 1)]
+                     ELSE [] END AS g3
+              FROM w)
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CASE WHEN len(words) > 0 THEN
+                 CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+                 / len(words) ELSE 0.0 END AS dup_1gram_frac,
+               CASE WHEN len(g2) > 0 THEN
+                 CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                 / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+               CASE WHEN len(g3) > 0 THEN
+                 CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                 / len(g3) ELSE 0.0 END AS dup_3gram_frac
+        FROM g
+    """,
+        "top_ngrams_documents": f"""
+        WITH {_WORDS_CTE},
+        g AS (SELECT unnest(CASE WHEN len(words) >= 2 THEN
+                       [array_to_string(words[i:i+1], ' ')
+                        FOR i IN range(1, len(words))]
+                     ELSE [] END) AS gram
+              FROM w)
+        SELECT gram, count(*) AS count FROM g WHERE gram <> ''
+        GROUP BY gram ORDER BY count DESC, gram ASC LIMIT 20
+    """,
+        "tfidf_top_terms_documents": f"""
+        WITH {_WORDS_CTE},
+        toks AS (SELECT doc_id, unnest(words) AS term FROM w),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+        scored AS (SELECT doc_id, tf.term AS term,
+                          CAST(tf AS DOUBLE) * ln(n_docs / df_t) AS score
+                   FROM tf JOIN dft USING (term) CROSS JOIN n),
+        ranked AS (SELECT doc_id, term, score,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, term ASC)
+                          AS rnk
+                   FROM scored)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, score
+        FROM ranked WHERE rnk <= 3
+    """,
+        "decontaminate_documents": f"""
+        WITH {_WORDS_CTE},
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(words) >= 4 THEN
+                         [array_to_string(words[i:i+3], ' ')
+                          FOR i IN range(1, len(words) - 2)]
+                       ELSE [] END)) AS gram
+              FROM w),
+        eg AS (SELECT DISTINCT gram FROM g
+               WHERE doc_id % 50 = 0 AND gram <> ''),
+        tg AS (SELECT doc_id, gram FROM g
+               WHERE doc_id % 50 <> 0 AND gram <> '')
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM tg JOIN eg USING (gram) GROUP BY doc_id
+    """,
+    }
+)

@@ -1,0 +1,109 @@
+"""Round-4 text operators: repetition stats, top n-grams, TF-IDF, and
+benchmark decontamination — closed-form fixtures where the right answer is
+computable by hand."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.text import (
+    decontaminate,
+    repetition_stats,
+    tfidf_top_terms,
+    top_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b c"),          # 5 words, 4 distinct; bigrams: ab ba ab bc
+            (2, "x x x"),              # total repetition
+            (3, ""),                   # empty
+            (4, "unique words only"),  # no repetition
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_repetition_stats_closed_form(spark, docs):
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 5 words, 3 distinct -> 2/5; bigrams [a b, b a, a b, b c]:
+    # 4 total, 3 distinct -> 1/4; trigrams all distinct -> 0
+    assert rows[1]["n_words"] == 5
+    assert rows[1]["dup_1gram_frac"] == pytest.approx(2 / 5)
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(1 / 4)
+    assert rows[1]["dup_3gram_frac"] == pytest.approx(0.0)
+    # doc 2: x x x -> 2/3 words dup, bigrams [x x, x x] -> 1/2, 1 trigram -> 0
+    assert rows[2]["dup_1gram_frac"] == pytest.approx(2 / 3)
+    assert rows[2]["dup_2gram_frac"] == pytest.approx(1 / 2)
+    assert rows[2]["dup_3gram_frac"] == pytest.approx(0.0)
+    # empty doc: all zeros, not null/NaN
+    assert rows[3]["n_words"] == 0
+    assert rows[3]["dup_1gram_frac"] == 0.0
+    assert rows[4]["dup_1gram_frac"] == 0.0
+
+
+def test_top_ngrams(spark, docs):
+    out = top_ngrams(docs, n=2, k=3).collect()
+    # 'a b' (doc 1) and 'x x' (doc 2) each occur twice; count desc then
+    # gram asc pins the full order
+    assert [(r["gram"], r["count"]) for r in out[:2]] == [("a b", 2), ("x x", 2)]
+    assert out[2]["count"] == 1
+
+
+def test_tfidf_scores_and_ties(spark):
+    d = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(d, k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2 ln 3 ; banana tf=1 df=2 -> ln 1.5
+    assert rows[(1, 1)]["term"] == "apple"
+    assert rows[(1, 1)]["score"] == pytest.approx(2 * math.log(3))
+    assert rows[(1, 2)]["term"] == "banana"
+    assert rows[(1, 2)]["score"] == pytest.approx(math.log(1.5))
+    # doc 2: banana and cherry both tf=1 df=2 -> equal scores, term asc
+    assert rows[(2, 1)]["term"] == "banana"
+    assert rows[(2, 2)]["term"] == "cherry"
+
+
+def test_tfidf_no_corpus_window(spark, docs):
+    # per-doc ranking must be the doc-bounded aggregate, not a Window
+    plan = tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_decontaminate_string_and_hashed_agree(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated content here today"),
+            (12, "quick brown fox jumps high"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(99, "we saw the quick brown fox jumps yesterday")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["n_shared_grams"] for r in decontaminate(train, ev, n=4).collect()}
+    # shared 4-grams with eval: doc 10 has 'the quick brown fox',
+    # 'quick brown fox jumps'; doc 12 has 'quick brown fox jumps'; doc 11 none
+    assert out == {10: 2, 12: 1}
+    hashed = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontaminate(train, ev, n=4, hashed=True).collect()
+    }
+    assert hashed == out
+
+
+def test_decontaminate_broadcasts_eval(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "b c d e f")], ["doc_id", "text"])
+    plan = (
+        decontaminate(train, ev, n=4)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
