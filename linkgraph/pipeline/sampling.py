@@ -81,3 +81,70 @@ def hash_split(
     for i in range(len(cums) - 1, -1, -1):
         expr = F.when(bucket < F.lit(cums[i]), F.lit(i)).otherwise(expr)
     return df.withColumn(out, expr)
+
+
+def _uniform(key_cols: list[str], seed: int) -> F.Column:
+    """Uniform double in (0, 1] from the md5 bucket: (n+1)/16^8 with
+    n ∈ [0, 16^8) — exact in double (n < 2^32), engine-portable
+    (DuckDB: CAST('0x'||h AS UBIGINT))."""
+    n = F.conv(_bucket(key_cols, seed), 16, 10).cast("double")
+    return (n + F.lit(1.0)) / F.lit(float(_SPACE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_cols: list[str],
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic k rows per stratum: the k smallest md5 priorities
+    within each strata group (priority then key ascending — a total order,
+    so the sample is unique). The ``row_number <= k`` filter executes as
+    WindowGroupLimit: each map task forwards at most k rows per group
+    before the shuffle, so hot strata never materialize their full row set
+    in one task. Strata with fewer than k rows are kept whole."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not strata_cols or not key_cols:
+        raise ValueError("strata_cols and key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _bucket(key_cols, seed).asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    priority = ln(u)/w with u = hash-uniform(key, seed), take the global
+    top-k by priority (ln(u)/w is a monotone transform of the textbook
+    u^(1/w) — same selection, one less libm call). Deterministic across
+    runs/partitionings; inclusion probability ∝ weight. Executes as
+    TakeOrderedAndProject — each map task forwards ≤ k rows, no global
+    sort. Rows with non-positive weight are excluded (they would win with
+    certainty or divide by zero)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    w = F.col(weight_col).cast("double")
+    pri = F.log(_uniform(key_cols, seed)) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+        .drop("_pri")
+    )

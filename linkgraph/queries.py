@@ -3127,3 +3127,55 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Deterministic 5-per-language document sample (md5 priority, doc_id
+    tiebreak) — executes as WindowGroupLimit (each task forwards ≤ k rows
+    per stratum); the SQL replays the identical priority order."""
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, 5, ["lang"], ["doc_id"], seed=13)
+
+
+def q_weighted_sample_documents(spark, sf_dir):
+    """Efraimidis–Spirakis weighted top-50 sample, weight = n_chars:
+    priority ln(u)/w over a hash-uniform — inclusion chance ∝ length,
+    deterministic; runs as TakeOrderedAndProject, replayed by the SQL."""
+    from linkgraph.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, 50, "n_chars", ["doc_id"], seed=7)
+
+
+QUERIES.update(
+    {
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "stratified_sample_documents": """
+        WITH p AS (SELECT doc_id, lang,
+                          substring(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                                        || '13'), 1, 8) AS h
+                   FROM documents),
+        r AS (SELECT doc_id, lang, row_number() OVER (
+                  PARTITION BY lang ORDER BY h, doc_id) AS rk FROM p)
+        SELECT doc_id, lang FROM r WHERE rk <= 5
+    """,
+        "weighted_sample_documents": """
+        WITH p AS (SELECT doc_id, n_chars,
+                          CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                   || chr(31) || '7'), 1, 8) AS UBIGINT) AS n
+                   FROM documents WHERE n_chars > 0),
+        s AS (SELECT doc_id, n_chars,
+                     ln((n + 1) / 4294967296.0) / CAST(n_chars AS DOUBLE)
+                     AS pri
+              FROM p)
+        SELECT doc_id, n_chars FROM s ORDER BY pri DESC, doc_id ASC LIMIT 50
+    """,
+    }
+)

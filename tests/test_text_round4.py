@@ -19,7 +19,7 @@ from linkgraph.pipeline.text import (
 def docs(spark):
     return spark.createDataFrame(
         [
-            (1, "a b a b c"),          # 5 words, 4 distinct; bigrams: ab ba ab bc
+            (1, "a b a b c"),          # 5 words, 3 distinct; bigrams: ab ba ab bc
             (2, "x x x"),              # total repetition
             (3, ""),                   # empty
             (4, "unique words only"),  # no repetition
@@ -107,3 +107,64 @@ def test_decontaminate_broadcasts_eval(spark):
         decontaminate(train, ev, n=4)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def _md5_bucket(*parts):
+    import hashlib
+
+    return hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:8]
+
+
+def test_stratified_sample_replay_and_invariance(spark):
+    from linkgraph.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, 4, ["lang"], ["doc_id"], seed=13)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # python replay of the exact priority order
+    expect = set()
+    for lang in ("en", "fr"):
+        members = [(i, l) for i, l in rows if l == lang]
+        members.sort(key=lambda t: (_md5_bucket(str(t[0]), "13"), t[0]))
+        expect |= set(members[:4])
+    assert got == expect
+    # partitioning-independent
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in stratified_sample(
+            df.repartition(7), 4, ["lang"], ["doc_id"], seed=13
+        ).collect()
+    }
+    assert got2 == got
+    # small strata kept whole
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "lang"])
+    assert stratified_sample(tiny, 5, ["lang"], ["doc_id"]).count() == 2
+
+
+def test_weighted_sample_replay_and_bias(spark):
+    import math
+
+    from linkgraph.pipeline.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 10) * 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_sample(df, 20, "w", ["doc_id"], seed=7)
+    got = [r["doc_id"] for r in out.collect()]
+    # python replay: pri = ln((n+1)/2^32)/w, top-20 desc
+    def pri(i, w):
+        n = int(_md5_bucket(str(i), "7"), 16)
+        return math.log((n + 1) / 4294967296.0) / w
+
+    expect = sorted(rows, key=lambda t: (-pri(*t), t[0]))[:20]
+    assert set(got) == {i for i, _ in expect}
+    # bias: heavy rows (w >= 501) are 50% of mass-bearing rows but should
+    # dominate the sample
+    heavy = sum(1 for i in got if (i % 10) >= 5)
+    assert heavy > 13
+    # zero/negative weights excluded
+    z = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["doc_id", "w"])
+    assert [r["doc_id"] for r in weighted_sample(z, 3, "w", ["doc_id"]).collect()] == [3]
