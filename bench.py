@@ -266,6 +266,28 @@ def main():
     _simhash_fn(simhash_warm).collect()
     timed("simhash_corpus", _simhash_corpus)
 
+    def _repetition_corpus():
+        # Gopher-style repetition fractions: pure HOF column math, the
+        # scan-bound text-quality pass (zero shuffle, zero Python)
+        from linkgraph.pipeline.text import repetition_stats
+
+        d = corpus.select(F.col("path").alias("doc_id"), F.col("content").alias("text"))
+        return repetition_stats(d).agg(
+            F.sum("dup_2gram_frac"), F.sum("n_words")
+        ).collect()
+
+    timed("repetition_corpus", _repetition_corpus)
+
+    def _tfidf_corpus():
+        # two algebraic shuffles over the exploded token table (~15M rows
+        # at 300k files) + broadcast df join — the aggregate-heavy text wall
+        from linkgraph.pipeline.text import tfidf_top_terms
+
+        d = corpus.select(F.col("path").alias("doc_id"), F.col("content").alias("text"))
+        extra["tfidf_rows"] = tfidf_top_terms(d, k=3).count()
+
+    timed("tfidf_corpus", _tfidf_corpus)
+
     timed("pagerank_copurchase", _pr_cop)
     timed("weighted_degree", lambda: q_weighted_degree_lineitem(spark, sf_dir).count())
     timed("ann_cosine_top10", lambda: q_ann_cosine_top10(spark, sf_dir).collect())

@@ -67,6 +67,7 @@ from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
     link_prediction_top_k,
 )
+from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
 from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.estimators import (
@@ -102,6 +103,8 @@ __all__ = [
     "diameter_lower_bound",
     "reciprocity",
     "louvain_communities",
+    "modularity",
+    "cut_metrics",
     "spread_activation",
     "transition_matrix",
     "transition_power",

@@ -1,0 +1,124 @@
+"""Partition quality metrics — modularity, volume/cut, conductance.
+
+Public scoring surface for ANY node partition (Louvain/LPA/spectral output,
+or an external assignment), decoupled from the clustering loops: the
+reference only reports modularity as a Louvain byproduct
+(mercury/graph/ml/louvain.py:207-214); here it is a first-class metric.
+
+Accepts either storage convention: a directed LinkGraph is read as
+single-stored undirected edges (the ``louvain_communities`` input
+contract), an undirected LinkGraph (both directions materialized) is
+single-stored internally. All metrics are
+one or two algebraic joins + aggregates — no windows, no UDFs, no
+iteration; at 100 TB this is a constant number of edge-table scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, SRC, LinkGraph
+
+
+def _partition(labels: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    return labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("c"))
+
+
+def _single_stored(graph: LinkGraph) -> DataFrame:
+    """Edges as ONE row per undirected edge. A directed LinkGraph is taken
+    as already single-stored (the ``louvain_communities`` input contract);
+    an undirected one has materialized both directions (graph.py:67-68),
+    so ``src <= dst`` recovers exactly one copy of every symmetric pair
+    (self-loops kept once; parallel edges with distinct weights survive on
+    the kept side)."""
+    edges = graph.edges
+    if not graph.is_directed:
+        edges = edges.filter(F.col(SRC) <= F.col(DST))
+    if "weight" not in edges.columns:
+        edges = edges.withColumn("weight", F.lit(1.0))
+    return edges
+
+
+def modularity(
+    graph: LinkGraph,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    resolution: float = 1.0,
+) -> float:
+    """Newman modularity of a partition on a weighted undirected graph:
+    Q = Σ_c [ w_in(c)/m − γ·(vol(c)/2m)² ] with w_in the intra-community
+    edge weight and vol the community's weighted-degree sum. Nodes absent
+    from ``labels`` are excluded (inner-join semantics), matching the
+    Louvain internals this reuses."""
+    from linkgraph.algorithms.louvain import _modularity
+
+    edges = _single_stored(graph)
+    m = edges.agg(F.sum("weight")).collect()[0][0]
+    if not m:
+        raise ValueError("graph has no edges (or zero total weight)")
+    part = _partition(labels, id_col, label_col)
+    return _modularity(edges, part, float(m), resolution)
+
+
+def cut_metrics(
+    graph: LinkGraph,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community volume, cut weight, and conductance:
+    DataFrame[label, volume, cut_weight, conductance] with
+    conductance = cut / min(vol, 2m − vol), null for a community whose
+    min side has zero volume (the whole graph, or an isolated-node set —
+    conductance is undefined there, not 0).
+
+    Shape: one endpoint-union degree aggregate + one edge→labels join
+    (twice, on src and dst) + two algebraic groupBys. Cross-community
+    edge weight is attributed to BOTH endpoints' communities, the standard
+    definition."""
+    edges = _single_stored(graph)
+    part = _partition(labels, id_col, label_col)
+
+    deg = (
+        edges.selectExpr(f"{SRC} as id", "weight")
+        .unionByName(edges.selectExpr(f"{DST} as id", "weight"))
+        .groupBy("id")
+        .agg(F.sum("weight").alias("wdeg"))
+    )
+    vol = (
+        part.join(deg, "id", "inner")
+        .groupBy("c")
+        .agg(F.sum("wdeg").alias("volume"))
+    )
+    two_m = edges.agg((F.sum("weight") * 2).alias("t")).select("t")
+
+    le = (
+        edges.select(SRC, DST, "weight")
+        .join(part.selectExpr(f"id as {SRC}", "c as cSrc"), SRC, "inner")
+        .join(part.selectExpr(f"id as {DST}", "c as cDst"), DST, "inner")
+        .filter("cSrc != cDst")
+    )
+    cut = (
+        le.selectExpr("cSrc as c", "weight")
+        .unionByName(le.selectExpr("cDst as c", "weight"))
+        .groupBy("c")
+        .agg(F.sum("weight").alias("cut_weight"))
+    )
+    out = (
+        vol.join(cut, "c", "left")
+        .na.fill({"cut_weight": 0.0})
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            F.col("c").alias(label_col),
+            "volume",
+            "cut_weight",
+            F.when(
+                F.least(F.col("volume"), F.col("t") - F.col("volume")) > 0,
+                F.col("cut_weight")
+                / F.least(F.col("volume"), F.col("t") - F.col("volume")),
+            ).alias("conductance"),
+        )
+    )
+    return out

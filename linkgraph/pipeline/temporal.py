@@ -187,10 +187,12 @@ def range_join(
     )
     if how == "inner":
         return matched
-    missing = left.join(
-        matched.select(*[F.col(c) for c in left.columns]), left.columns,
-        "left_anti",
-    ).select(
+    # null-safe anti-join: plain column equality treats NULL != NULL, so a
+    # matched left row carrying a null column would ALSO come back as
+    # "missing" and the row would be emitted twice
+    mkeys = matched.select(*[F.col(c).alias(f"_m_{c}") for c in left.columns])
+    anti = [left[c].eqNullSafe(mkeys[f"_m_{c}"]) for c in left.columns]
+    missing = left.join(mkeys, anti, "left_anti").select(
         "*", *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols]
     )
     return matched.unionByName(missing)

@@ -3179,3 +3179,99 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def _parity_labels(spark, sf_dir):
+    """Cross-cutting 2-community partition of the nation-region graph:
+    every node labeled by key parity — guarantees nonzero cuts (the
+    natural region-star partition has cut 0 everywhere, which would test
+    nothing)."""
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"),
+        (F.col("n_nationkey") % 2).cast("long").alias("label"),
+    )
+    r = _t(spark, sf_dir, "region").select(
+        _tag("r_regionkey", "r").alias("id"),
+        (F.col("r_regionkey") % 2).cast("long").alias("label"),
+    )
+    return n.unionByName(r)
+
+
+def q_conductance_nation_parity(spark, sf_dir):
+    """Per-community volume / cut / conductance of the parity partition on
+    the nation-region stars; the SQL recomputes all three from the base
+    tables (region volume via correlated nation counts), so the
+    degree-union, both-sides cut attribution, and the min-side guard are
+    all pinned."""
+    from linkgraph import cut_metrics
+
+    return cut_metrics(
+        nation_region_single(spark, sf_dir), _parity_labels(spark, sf_dir)
+    )
+
+
+def q_modularity_nation_parity(spark, sf_dir):
+    """Public modularity() on an externally supplied partition (not a
+    Louvain byproduct): Q = w_in/m − (1/2m)²·Σ vol_c² replayed by the SQL
+    with the identical operation order, so the float hash must match."""
+    from linkgraph import modularity
+
+    q = modularity(
+        nation_region_single(spark, sf_dir), _parity_labels(spark, sf_dir)
+    )
+    return spark.createDataFrame([(q,)], "modularity double")
+
+
+QUERIES.update(
+    {
+        "conductance_nation_parity": q_conductance_nation_parity,
+        "modularity_nation_parity": q_modularity_nation_parity,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "conductance_nation_parity": """
+        WITH e AS (SELECT n_nationkey % 2 AS pn, n_regionkey % 2 AS pr
+                   FROM nation),
+        mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nation),
+        vol AS (SELECT c, CAST(sum(w) AS DOUBLE) AS volume FROM (
+                    SELECT n_nationkey % 2 AS c, 1.0 AS w FROM nation
+                    UNION ALL
+                    SELECT r_regionkey % 2 AS c,
+                           (SELECT count(*) FROM nation n2
+                            WHERE n2.n_regionkey = r.r_regionkey) * 1.0 AS w
+                    FROM region r
+                ) GROUP BY c),
+        cut AS (SELECT c, CAST(sum(w) AS DOUBLE) AS cut_weight FROM (
+                    SELECT pn AS c, 1.0 AS w FROM e WHERE pn <> pr
+                    UNION ALL
+                    SELECT pr AS c, 1.0 AS w FROM e WHERE pn <> pr
+                ) GROUP BY c)
+        SELECT CAST(vol.c AS BIGINT) AS label, volume,
+               coalesce(cut_weight, 0.0) AS cut_weight,
+               CASE WHEN least(volume, 2 * mm.m - volume) > 0 THEN
+                    coalesce(cut_weight, 0.0)
+                    / least(volume, 2 * mm.m - volume) END AS conductance
+        FROM vol LEFT JOIN cut USING (c) CROSS JOIN mm
+    """,
+        "modularity_nation_parity": """
+        WITH e AS (SELECT n_nationkey % 2 AS pn, n_regionkey % 2 AS pr
+                   FROM nation),
+        mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nation),
+        vol AS (SELECT c, sum(w) AS volume FROM (
+                    SELECT n_nationkey % 2 AS c, 1.0 AS w FROM nation
+                    UNION ALL
+                    SELECT r_regionkey % 2 AS c,
+                           (SELECT count(*) FROM nation n2
+                            WHERE n2.n_regionkey = r.r_regionkey) * 1.0 AS w
+                    FROM region r
+                ) GROUP BY c),
+        agg AS (SELECT sum(volume * volume) AS s FROM vol),
+        win AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM e WHERE pn = pr)
+        SELECT win.w / mm.m
+               - (1.0 / (2.0 * mm.m)) * (1.0 / (2.0 * mm.m)) * agg.s
+               AS modularity
+        FROM win CROSS JOIN mm CROSS JOIN agg
+    """,
+    }
+)

@@ -149,3 +149,22 @@ def test_range_join_bucket_size_invariance(spark):
            [(i, x) for i, x in [(r[0], r[1]) for r in pts.collect()]]
            for t, lo, hi in ivs if lo <= v <= hi}
     assert a == ref
+
+
+def test_range_join_left_with_null_left_columns(spark):
+    from linkgraph.pipeline.temporal import range_join
+
+    # a matched left row carrying a NULL attribute must appear exactly once
+    # (null-safe anti-join — plain equality would re-emit it as unmatched)
+    pts = spark.createDataFrame(
+        [(1, 5.0, None), (2, 50.0, "x")],
+        "pid long, v double, tag string",
+    )
+    ivs = spark.createDataFrame(
+        [(0.0, 10.0, "low")], "lo double, hi double, tier string"
+    )
+    out = range_join(pts, ivs, "v", "lo", "hi", bucket_size=7.0, how="left")
+    rows = sorted(out.collect(), key=lambda r: r["pid"])
+    assert len(rows) == 2
+    assert rows[0]["pid"] == 1 and rows[0]["tier"] == "low"
+    assert rows[1]["pid"] == 2 and rows[1]["tier"] is None
