@@ -68,6 +68,7 @@ from linkgraph.algorithms.linkpred import (
     link_prediction_top_k,
 )
 from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
+from linkgraph.algorithms.temporal_reach import temporal_reachability
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
 from linkgraph.embeddings import Embeddings, GraphEmbedding
 from linkgraph.estimators import (
@@ -105,6 +106,7 @@ __all__ = [
     "louvain_communities",
     "modularity",
     "cut_metrics",
+    "temporal_reachability",
     "spread_activation",
     "transition_matrix",
     "transition_power",

@@ -3275,3 +3275,52 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_temporal_reach_events(spark, sf_dir):
+    """Earliest-arrival temporal reachability (time-respecting contagion)
+    over the bipartite user↔event_type stream: each event opens both
+    directions at its timestamp; the seed is the minimum user id at start
+    0. DuckDB replays the full closure with a recursive CTE (UNION dedup)
+    and takes min(arrival) — so the >= hop rule and the min-merge are both
+    pinned, including microsecond ties."""
+    from linkgraph import LinkGraph, temporal_reachability
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.col("event_type").alias("t"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        .cast("double")
+        .alias("_ts"),
+    )
+    edges = ev.selectExpr("u as src", "t as dst", "_ts as ts").unionByName(
+        ev.selectExpr("t as src", "u as dst", "_ts as ts")
+    )
+    seed = ev.agg(F.min("u").alias("id"))
+    g = LinkGraph(edges)
+    out = temporal_reachability(g, seed, ts_col="ts", start=0.0)
+    return out.select("id", F.col("arrival").alias("arrival_us"))
+
+
+QUERIES.update({"temporal_reach_events": q_temporal_reach_events})
+ORACLE_SQL.update(
+    {
+        "temporal_reach_events": """
+        WITH RECURSIVE e AS (
+            SELECT 'u' || user_id AS src, event_type AS dst,
+                   CAST(epoch_us(ts) AS DOUBLE) AS ts FROM events
+            UNION ALL
+            SELECT event_type, 'u' || user_id,
+                   CAST(epoch_us(ts) AS DOUBLE) FROM events
+        ),
+        reach(id, arrival) AS (
+            SELECT (SELECT min('u' || user_id) FROM events),
+                   CAST(0.0 AS DOUBLE)
+            UNION
+            SELECT e.dst, e.ts
+            FROM reach r JOIN e ON e.src = r.id AND e.ts >= r.arrival
+        )
+        SELECT id, min(arrival) AS arrival_us FROM reach GROUP BY id
+    """,
+    }
+)
