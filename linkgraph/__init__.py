@@ -67,6 +67,7 @@ from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
     link_prediction_top_k,
 )
+from linkgraph.algorithms.aggregate_messages import aggregate_messages
 from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
 from linkgraph.algorithms.temporal_reach import temporal_reachability
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
@@ -107,6 +108,7 @@ __all__ = [
     "modularity",
     "cut_metrics",
     "temporal_reachability",
+    "aggregate_messages",
     "spread_activation",
     "transition_matrix",
     "transition_power",

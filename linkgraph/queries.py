@@ -3324,3 +3324,48 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_aggmsg_flow_lineitem(spark, sf_dir):
+    """aggregate_messages primitive (the engine's public Pregel building
+    block): each supplier→part edge sends src_total_quantity × edge_weight
+    to the part; parts sum what they receive. The SQL replays the triplet
+    join + aggregate; quantities are integer-valued so the double sums are
+    exact and hash-stable."""
+    from linkgraph import LinkGraph, aggregate_messages
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    attrs = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").alias("tot")
+    )
+    g = LinkGraph(edges)
+    return aggregate_messages(
+        g,
+        agg=F.sum("msg").alias("flow"),
+        to_dst=F.col("src_tot") * F.col("weight"),
+        node_attrs=attrs,
+    ).select("id", "flow")
+
+
+QUERIES.update({"aggmsg_flow_lineitem": q_aggmsg_flow_lineitem})
+ORACLE_SQL.update(
+    {
+        "aggmsg_flow_lineitem": """
+        WITH e AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                          CAST(sum(l_quantity) AS DOUBLE) AS w
+                   FROM lineitem GROUP BY 1, 2),
+        t AS (SELECT src, sum(w) AS tot FROM e GROUP BY src)
+        SELECT e.dst AS id, sum(t.tot * e.w) AS flow
+        FROM e JOIN t USING (src) GROUP BY e.dst
+    """,
+    }
+)
