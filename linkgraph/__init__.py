@@ -68,6 +68,7 @@ from linkgraph.algorithms.linkpred import (
     link_prediction_top_k,
 )
 from linkgraph.algorithms.aggregate_messages import aggregate_messages
+from linkgraph.algorithms.feature_prop import feature_propagation
 from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
 from linkgraph.algorithms.temporal_reach import temporal_reachability
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
@@ -109,6 +110,7 @@ __all__ = [
     "cut_metrics",
     "temporal_reachability",
     "aggregate_messages",
+    "feature_propagation",
     "spread_activation",
     "transition_matrix",
     "transition_power",

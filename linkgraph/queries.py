@@ -3369,3 +3369,76 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_feature_prop_nation_region(spark, sf_dir):
+    """Two rounds of SGC-style feature smoothing on the nation→region
+    stars, α=0.5, integer-valued input features ([key, regionkey] for
+    nations, [10·key, key] for regions) so every mean and blend is exact
+    in doubles. Output is the long (id, dim, value) layout; the SQL
+    unrolls both rounds (neighbor avg + α-blend per round)."""
+    from linkgraph import LinkGraph, feature_propagation
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = n.select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    feats = n.select(
+        _tag("n_nationkey", "n").alias("id"),
+        F.array(
+            F.col("n_nationkey").cast("double"),
+            F.col("n_regionkey").cast("double"),
+        ).alias("features"),
+    ).unionByName(
+        r.select(
+            _tag("r_regionkey", "r").alias("id"),
+            F.array(
+                (F.col("r_regionkey") * 10).cast("double"),
+                F.col("r_regionkey").cast("double"),
+            ).alias("features"),
+        )
+    )
+    out = feature_propagation(
+        LinkGraph(edges), feats, iterations=2, alpha=0.5, assemble=False
+    )
+    return out.select("id", "dim", "value")
+
+
+QUERIES.update({"feature_prop_nation_region": q_feature_prop_nation_region})
+ORACLE_SQL.update(
+    {
+        "feature_prop_nation_region": """
+        WITH x0 AS (
+            SELECT 'n' || n_nationkey AS id, 0 AS dim,
+                   CAST(n_nationkey AS DOUBLE) AS value FROM nation
+            UNION ALL
+            SELECT 'n' || n_nationkey, 1, CAST(n_regionkey AS DOUBLE)
+            FROM nation
+            UNION ALL
+            SELECT 'r' || r_regionkey, 0, CAST(r_regionkey * 10 AS DOUBLE)
+            FROM region
+            UNION ALL
+            SELECT 'r' || r_regionkey, 1, CAST(r_regionkey AS DOUBLE)
+            FROM region
+        ),
+        e AS (SELECT 'n' || n_nationkey AS u, 'r' || n_regionkey AS v
+              FROM nation),
+        n1 AS (SELECT e.v AS id, x0.dim, avg(x0.value) AS nmean
+               FROM x0 JOIN e ON x0.id = e.u GROUP BY e.v, x0.dim),
+        x1 AS (SELECT x0.id, x0.dim,
+                      CASE WHEN n1.nmean IS NOT NULL
+                           THEN 0.5 * x0.value + 0.5 * n1.nmean
+                           ELSE x0.value END AS value
+               FROM x0 LEFT JOIN n1 USING (id, dim)),
+        n2 AS (SELECT e.v AS id, x1.dim, avg(x1.value) AS nmean
+               FROM x1 JOIN e ON x1.id = e.u GROUP BY e.v, x1.dim),
+        x2 AS (SELECT x1.id, x1.dim,
+                      CASE WHEN n2.nmean IS NOT NULL
+                           THEN 0.5 * x1.value + 0.5 * n2.nmean
+                           ELSE x1.value END AS value
+               FROM x1 LEFT JOIN n2 USING (id, dim))
+        SELECT id, dim, value FROM x2
+    """,
+    }
+)
