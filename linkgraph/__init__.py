@@ -19,7 +19,10 @@ from linkgraph.checkpoint import CheckpointManager
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
-from linkgraph.algorithms.label_propagation import label_propagation
+from linkgraph.algorithms.label_propagation import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from linkgraph.algorithms.assortativity import degree_assortativity
 from linkgraph.algorithms.triangles import (
     average_clustering,
@@ -90,6 +93,7 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "label_propagation",
+    "seeded_label_propagation",
     "k_core",
     "core_number",
     "link_prediction_scores",

@@ -146,3 +146,68 @@ def _lpa_loop(
             break
     und.unpersist()
     return labels
+
+
+def seeded_label_propagation(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    max_iter: int = 30,
+    weighted: bool = False,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label spreading with hard-clamped seeds: labeled
+    seed nodes keep their labels forever; every other node adopts the
+    most-frequent (weighted) label among its CURRENTLY labeled neighbors,
+    ties to the minimum label; nodes with no labeled neighbor stay
+    unlabeled (absent from the result). Synchronous rounds until no label
+    changes or ``max_iter`` (returned labels are then the last state —
+    sync LPA can oscillate on bipartite structures; seeds damp but do not
+    forbid it, same caveat as the classic algorithm).
+
+    The superstep reuses :func:`_best_labels` — the same hub-safe
+    min(struct) top-1 as unsupervised LPA, no windows. Returns
+    DataFrame[id, label] for every node that acquired a label.
+
+    Beyond the reference; the standard "extend known communities /
+    classify the unlabeled 99%" primitive (Zhu & Ghahramani 2002,
+    hard-label variant)."""
+    w = graph.weight_col() if weighted else F.lit(1.0)
+    mine = seeds.select(
+        F.col(id_col).alias(ID), F.col(label_col).alias("label")
+    ).join(graph.nodes.select(ID), ID, "left_semi")
+    with static_plans(graph.edges.sparkSession):
+        und = (
+            graph.edges.select(
+                F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
+            )
+            .union(
+                graph.edges.select(
+                    F.col(DST).alias("u"), F.col(SRC).alias("v"), w.alias("w")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
+        clamped = mine.localCheckpoint(eager=True)
+        labels = clamped
+        for _ in range(max_iter):
+            best = _best_labels(und, labels)
+            free = best.join(clamped, best["v"] == clamped[ID], "left_anti")
+            staged = (
+                clamped.select(ID, "label")
+                .unionByName(free.select(F.col("v").alias(ID), F.col("_new").alias("label")))
+                .localCheckpoint(eager=False)
+            )
+            # convergence: same (id, label) set as last round
+            delta = (
+                staged.join(labels, [ID, "label"], "left_anti").count()
+                + labels.join(staged, [ID, "label"], "left_anti").count()
+            )
+            labels = staged
+            if delta == 0:
+                break
+        und.unpersist()
+    return labels

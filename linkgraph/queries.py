@@ -3442,3 +3442,31 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_seeded_lpa_nation_region(spark, sf_dir):
+    """Semi-supervised label spreading: regions seeded with 'c'||key, every
+    nation (single neighbor = its region star center) adopts the seed in
+    one round; the SQL recomputes the closed form, pinning clamping and
+    adoption through the undirected star."""
+    from linkgraph import seeded_label_propagation
+
+    g = nation_region_graph(spark, sf_dir)
+    seeds = _t(spark, sf_dir, "region").select(
+        _tag("r_regionkey", "r").alias("id"),
+        F.concat(F.lit("c"), F.col("r_regionkey").cast("string")).alias("label"),
+    )
+    return seeded_label_propagation(g, seeds, max_iter=5)
+
+
+QUERIES.update({"seeded_lpa_nation_region": q_seeded_lpa_nation_region})
+ORACLE_SQL.update(
+    {
+        "seeded_lpa_nation_region": """
+        SELECT 'r' || r_regionkey AS id, 'c' || r_regionkey AS label
+        FROM region
+        UNION ALL
+        SELECT 'n' || n_nationkey, 'c' || n_regionkey FROM nation
+    """,
+    }
+)
