@@ -72,6 +72,7 @@ from linkgraph.algorithms.linkpred import (
 )
 from linkgraph.algorithms.aggregate_messages import aggregate_messages
 from linkgraph.algorithms.feature_prop import feature_propagation
+from linkgraph.algorithms.wl import wl_colors, wl_fingerprint
 from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
 from linkgraph.algorithms.temporal_reach import temporal_reachability
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
@@ -115,6 +116,8 @@ __all__ = [
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",
+    "wl_colors",
+    "wl_fingerprint",
     "spread_activation",
     "transition_matrix",
     "transition_power",

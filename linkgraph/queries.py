@@ -3470,3 +3470,49 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_wl_colors_nation_region(spark, sf_dir):
+    """Two 1-WL refinement rounds over the undirected nation-region stars;
+    the SQL replays the exact hash chain — degree seed, 32-bit md5 color
+    buckets, commutative sum mod 2^61−1, md5 recolor — so every digit of
+    the multiset-hash arithmetic is pinned."""
+    from linkgraph.algorithms.wl import wl_colors
+
+    return wl_colors(nation_region_graph(spark, sf_dir), rounds=2)
+
+
+QUERIES.update({"wl_colors_nation_region": q_wl_colors_nation_region})
+ORACLE_SQL.update(
+    {
+        "wl_colors_nation_region": """
+        WITH e AS (SELECT 'n' || n_nationkey AS u, 'r' || n_regionkey AS v
+                   FROM nation
+                   UNION ALL
+                   SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation),
+        deg AS (SELECT id, count(*) AS d FROM (
+                    SELECT u AS id FROM e UNION ALL SELECT v FROM e
+                ) GROUP BY id),
+        c0 AS (SELECT id, CAST(d AS VARCHAR) AS c FROM deg),
+        m1 AS (SELECT e.v AS id,
+                      CAST(sum(CAST('0x' || substring(md5(c0.c), 1, 8)
+                                    AS BIGINT)) % 2305843009213693951
+                           AS VARCHAR) AS ms
+               FROM e JOIN c0 ON c0.id = e.u GROUP BY e.v),
+        c1 AS (SELECT c0.id,
+                      substring(md5(c0.c || ':' || coalesce(m1.ms, '-')),
+                                1, 16) AS c
+               FROM c0 LEFT JOIN m1 USING (id)),
+        m2 AS (SELECT e.v AS id,
+                      CAST(sum(CAST('0x' || substring(md5(c1.c), 1, 8)
+                                    AS BIGINT)) % 2305843009213693951
+                           AS VARCHAR) AS ms
+               FROM e JOIN c1 ON c1.id = e.u GROUP BY e.v),
+        c2 AS (SELECT c1.id,
+                      substring(md5(c1.c || ':' || coalesce(m2.ms, '-')),
+                                1, 16) AS c
+               FROM c1 LEFT JOIN m2 USING (id))
+        SELECT id, c AS wl_color FROM c2
+    """,
+    }
+)
