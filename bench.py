@@ -358,7 +358,7 @@ def main():
         m = re.search(r"(\d+\.\d+)\*\* \(target", report)
         if m:
             extra["scaling_efficiency_n_to_4n"] = float(m.group(1))
-        m = re.search(r"=\n(\d+\.\d+)\*\* — the engine extracts", report)
+        m = re.search(r"=\n(\d+\.\d+)\*\* — the engine extract", report)
         if m:
             extra["scaling_efficiency_capacity_normalized"] = float(m.group(1))
     except OSError:
