@@ -57,6 +57,24 @@ def label_propagation(
         )
 
 
+def _und_edges(graph: LinkGraph, weighted: bool):
+    """Symmetrized (u, v, w) edge table shared by both LPA loops: union of
+    both directions, self-loops dropped, parallel edges weight-summed.
+    Caller persists/unpersists."""
+    w = graph.weight_col() if weighted else F.lit(1.0)
+    return (
+        graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w"))
+        .union(
+            graph.edges.select(
+                F.col(DST).alias("u"), F.col(SRC).alias("v"), w.alias("w")
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
 def _best_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
     """One superstep's label choice: most-frequent (weighted) neighbor label,
     ties to the minimum label. Both aggregates are algebraic — no window —
@@ -86,19 +104,7 @@ def _lpa_loop(
     checkpoint_interval: int = 5,
     resume: bool = False,
 ) -> DataFrame:
-    w = graph.weight_col() if weighted else F.lit(1.0)
-    und = (
-        graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w"))
-        .union(
-            graph.edges.select(
-                F.col(DST).alias("u"), F.col(SRC).alias("v"), w.alias("w")
-            )
-        )
-        .filter(F.col("u") != F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.sum("w").alias("w"))
-        .persist()
-    )
+    und = _und_edges(graph, weighted).persist()
     start_step = 0
     history: list[dict] = []
     if resume and checkpoint is not None and checkpoint.latest_step() is not None:
@@ -172,25 +178,11 @@ def seeded_label_propagation(
     Beyond the reference; the standard "extend known communities /
     classify the unlabeled 99%" primitive (Zhu & Ghahramani 2002,
     hard-label variant)."""
-    w = graph.weight_col() if weighted else F.lit(1.0)
     mine = seeds.select(
         F.col(id_col).alias(ID), F.col(label_col).alias("label")
     ).join(graph.nodes.select(ID), ID, "left_semi")
     with static_plans(graph.edges.sparkSession):
-        und = (
-            graph.edges.select(
-                F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
-            )
-            .union(
-                graph.edges.select(
-                    F.col(DST).alias("u"), F.col(SRC).alias("v"), w.alias("w")
-                )
-            )
-            .filter(F.col("u") != F.col("v"))
-            .groupBy("u", "v")
-            .agg(F.sum("w").alias("w"))
-            .persist()
-        )
+        und = _und_edges(graph, weighted).persist()
         clamped = mine.localCheckpoint(eager=True)
         labels = clamped
         for _ in range(max_iter):
@@ -201,10 +193,15 @@ def seeded_label_propagation(
                 .unionByName(free.select(F.col("v").alias(ID), F.col("_new").alias("label")))
                 .localCheckpoint(eager=False)
             )
-            # convergence: same (id, label) set as last round
+            # convergence: same (id, label) set as last round — ONE full-join
+            # scan (null-safe label compare catches adds, drops, and flips)
             delta = (
-                staged.join(labels, [ID, "label"], "left_anti").count()
-                + labels.join(staged, [ID, "label"], "left_anti").count()
+                staged.select(ID, F.col("label").alias("_a"))
+                .join(
+                    labels.select(ID, F.col("label").alias("_b")), ID, "full"
+                )
+                .filter(~F.col("_a").eqNullSafe(F.col("_b")))
+                .count()
             )
             labels = staged
             if delta == 0:

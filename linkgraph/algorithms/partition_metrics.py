@@ -87,10 +87,12 @@ def cut_metrics(
         .groupBy("id")
         .agg(F.sum("weight").alias("wdeg"))
     )
+    # left join: a community of edge-less nodes still emits a row
+    # (volume 0, cut 0, conductance null) as the docstring promises
     vol = (
-        part.join(deg, "id", "inner")
+        part.join(deg, "id", "left")
         .groupBy("c")
-        .agg(F.sum("wdeg").alias("volume"))
+        .agg(F.sum(F.coalesce("wdeg", F.lit(0.0))).alias("volume"))
     )
     two_m = edges.agg((F.sum("weight") * 2).alias("t")).select("t")
 

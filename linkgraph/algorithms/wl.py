@@ -10,11 +10,12 @@ rebuilds beyond edge counts, and bucket nodes into automorphism-ish roles.
 
 Textbook WL hashes the SORTED multiset of neighbor colors — a hub-sized
 sort. This implementation replaces it with a COMMUTATIVE multiset hash:
-each neighbor color maps to a 32-bit integer (md5 bucket) and the multiset
-is its sum modulo 2^61−1 — an algebraic aggregate (map-side combinable,
+each neighbor color maps to a 30-bit integer (md5 bucket mod 2^30 — the
+per-node ANSI sum then stays under 2^63 even at 10^9-degree hubs) and the
+multiset is its sum modulo 2^61−1 — an algebraic aggregate (map-side combinable,
 hub-safe, no sort, no collect_list), engine-portable (the DuckDB oracle
 replays it digit for digit). Sum-mod multiset hashing distinguishes
-multisets up to collisions (~2^-32 per pair per round), the same trade
+multisets up to collisions (~2^-30 per pair per round), the same trade
 every hashed-WL implementation makes.
 
 Color at round 0 is the node's total degree; round k+1 is
@@ -68,9 +69,15 @@ def wl_colors(
         for _ in range(rounds):
             # message = neighbor's color bucket, summed mod 2^61-1 per node;
             # in-neighbors refine dst (undirected graphs store both ways)
+            # 30-bit buckets: the per-node sum must stay under 2^63 in ANSI
+            # mode even for a 10^9-degree hub (2^30 x 2^33 < 2^63); the
+            # collision trade is 2^-30 per color pair, still negligible
             msg = (
                 edges.join(colors, edges["u"] == colors[ID])
-                .select(F.col("v").alias(ID), _bucket32(F.col("c")).alias("b"))
+                .select(
+                    F.col("v").alias(ID),
+                    F.pmod(_bucket32(F.col("c")), F.lit(1 << 30)).alias("b"),
+                )
                 .groupBy(ID)
                 .agg(F.pmod(F.sum("b"), F.lit(_MOD)).alias("ms"))
             )

@@ -22,12 +22,12 @@ LANG_MARKERS = {
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
-    """Whitespace token count (0 for blank text)."""
+    """Whitespace token count (0 for blank text). Split on whitespace runs
+    and drop '' — F.trim strips only spaces, so newline/tab-terminated text
+    would otherwise count a phantom trailing token."""
     return df.withColumn(
         out,
-        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-        .cast("long"),
+        F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), "")).cast("long"),
     )
 
 
@@ -169,11 +169,12 @@ def build_vocab(
 
 
 def _words_col(text_col: str) -> F.Column:
-    """Whitespace word array; empty text → empty array (split('') is [''])."""
-    t = F.col(text_col)
-    return F.when(F.trim(t) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(t), r"\s+")
-    )
+    """Whitespace word array with NO empty tokens: split on runs of any
+    whitespace, then drop '' — F.trim only strips SPACES, so a trailing
+    newline/tab would otherwise leave a phantom '' token (and split('')
+    is ['']); array_remove covers leading, trailing, and empty-text cases
+    in one expression."""
+    return F.array_remove(F.split(F.col(text_col), r"\s+"), "")
 
 
 def _grams_expr(words_col: str, n: int) -> str:
@@ -246,8 +247,9 @@ def tfidf_top_terms(
     DataFrame[id, rank, term, score].
 
     Two algebraic aggregates (tf per (doc, term); document frequency per
-    term) + a broadcast-sized join on term for corpora with bounded
-    vocabulary; the per-doc top-k is one ``max``-style aggregate over a
+    term) + one equi-join on term (planner-chosen strategy — the df table
+    is vocabulary-sized, broadcastable only for bounded vocabularies);
+    the per-doc top-k is one ``max``-style aggregate over a
     doc-vocabulary-sized collect_list (bounded by document length — NOT a
     corpus-sized window). N is the count of non-empty documents, computed
     distributively (no driver action).
@@ -261,7 +263,10 @@ def tfidf_top_terms(
     n_docs = tf.select("_id").distinct().select(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
-    scored = tf.join(F.broadcast(docfreq), "term").crossJoin(F.broadcast(n_docs)).select(
+    # no broadcast hint on docfreq: it is corpus-VOCABULARY-sized, which a
+    # web-scale corpus pushes to hundreds of millions of distinct tokens —
+    # let the planner pick (AQE broadcasts it when it is actually small)
+    scored = tf.join(docfreq, "term").crossJoin(F.broadcast(n_docs)).select(
         "_id",
         "term",
         (F.col("tf").cast("double") * F.log(F.col("n_docs") / F.col("df_t"))).alias(

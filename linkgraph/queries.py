@@ -156,8 +156,7 @@ def q_token_count_documents(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.when(F.trim("text") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        F.size(F.array_remove(F.split(F.col("text"), r"\s+"), ""))
         .cast("long")
         .alias("n_tokens"),
     )
@@ -1322,9 +1321,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "token_count_documents": """
         SELECT doc_id,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
-               AS n_tokens
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
     """,
     "alpha_ratio_documents": """
@@ -3040,9 +3038,8 @@ def q_decontaminate_documents(spark, sf_dir):
 
 _WORDS_CTE = """
         w AS (SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []
-                          ELSE regexp_split_to_array(trim(text), '\\s+') END
-                     AS words
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS words
               FROM documents)
 """
 
@@ -3289,7 +3286,11 @@ def q_temporal_reach_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
         F.col("event_type").alias("t"),
-        F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        # TZ-free NTZ→micros (an LTZ cast would shift with the session
+        # timezone while DuckDB's epoch_us(ts) never does)
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
         .cast("double")
         .alias("_ts"),
     )
@@ -3496,8 +3497,8 @@ ORACLE_SQL.update(
         c0 AS (SELECT id, CAST(d AS VARCHAR) AS c FROM deg),
         m1 AS (SELECT e.v AS id,
                       CAST(sum(CAST('0x' || substring(md5(c0.c), 1, 8)
-                                    AS BIGINT)) % 2305843009213693951
-                           AS VARCHAR) AS ms
+                                    AS BIGINT) % 1073741824)
+                           % 2305843009213693951 AS VARCHAR) AS ms
                FROM e JOIN c0 ON c0.id = e.u GROUP BY e.v),
         c1 AS (SELECT c0.id,
                       substring(md5(c0.c || ':' || coalesce(m1.ms, '-')),
@@ -3505,8 +3506,8 @@ ORACLE_SQL.update(
                FROM c0 LEFT JOIN m1 USING (id)),
         m2 AS (SELECT e.v AS id,
                       CAST(sum(CAST('0x' || substring(md5(c1.c), 1, 8)
-                                    AS BIGINT)) % 2305843009213693951
-                           AS VARCHAR) AS ms
+                                    AS BIGINT) % 1073741824)
+                           % 2305843009213693951 AS VARCHAR) AS ms
                FROM e JOIN c1 ON c1.id = e.u GROUP BY e.v),
         c2 AS (SELECT c1.id,
                       substring(md5(c1.c || ':' || coalesce(m2.ms, '-')),

@@ -81,3 +81,20 @@ def test_modularity_no_edges_raises(spark):
     )
     with pytest.raises(ValueError):
         modularity(g, _labels(spark, {"a": 0}))
+
+
+def test_cut_metrics_isolated_community_row(spark):
+    # review regression: a community whose nodes have no edges must still
+    # emit a row (volume 0, cut 0, conductance null), not vanish
+    from linkgraph import LinkGraph
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    nodes = spark.createDataFrame([("a",), ("b",), ("z",)], ["id"])
+    g = LinkGraph(edges, nodes=nodes, keys={"directed": False})
+    part = _labels(spark, {"a": 0, "b": 0, "z": 9})
+    rows = {r["label"]: r for r in cut_metrics(g, part).collect()}
+    assert 9 in rows
+    assert rows[9]["volume"] == 0.0
+    assert rows[9]["cut_weight"] == 0.0
+    assert rows[9]["conductance"] is None

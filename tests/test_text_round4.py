@@ -168,3 +168,24 @@ def test_weighted_sample_replay_and_bias(spark):
     # zero/negative weights excluded
     z = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], ["doc_id", "w"])
     assert [r["doc_id"] for r in weighted_sample(z, 3, "w", ["doc_id"]).collect()] == [3]
+
+
+def test_trailing_whitespace_no_phantom_tokens(spark):
+    # review regression: F.trim strips only spaces, so a newline-terminated
+    # doc used to grow a phantom '' token (n_words=3, bogus ' '-grams)
+    d = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\n"), (3, "\ta b\t"), (4, " x  y ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert rows[1]["n_words"] == 2 and rows[1]["dup_1gram_frac"] == 0.0
+    assert rows[2]["n_words"] == 0 and rows[2]["dup_1gram_frac"] == 0.0
+    assert rows[3]["n_words"] == 2 and rows[4]["n_words"] == 2
+    grams = [r["gram"] for r in top_ngrams(d, n=2, k=10).collect()]
+    assert all(" " != g.strip()[-1:] and "" not in g.split(" ") for g in grams)
+    from linkgraph.pipeline.text import token_count
+
+    counts = {
+        r["doc_id"]: r["n_tokens"] for r in token_count(d).collect()
+    }
+    assert counts == {1: 2, 2: 0, 3: 2, 4: 2}
