@@ -330,3 +330,58 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .select(F.col("_id").alias(id_col), "n_shared_grams")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "mean_logprob",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under an additively
+    smoothed unigram model of ``reference`` (default: ``df`` itself) —
+    the cheap language-model quality proxy: gibberish and vocabulary-
+    mismatched documents score sharply lower. Returns
+    DataFrame[id, n_tokens, <out>]; docs with no tokens emit no row.
+
+    score(d) = mean over tokens t of ln((count_ref(t) + a) / (N + a·V)),
+    with V = reference vocabulary size and N = reference token count;
+    out-of-vocabulary tokens get count 0 (smoothed, never -inf).
+
+    Shape at 100 TB: one algebraic count aggregate over the reference, one
+    join on term (planner-chosen; the vocabulary side is bucketable), one
+    mean per doc — the same two-shuffle profile as TF-IDF."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    ref = reference if reference is not None else df
+
+    def toks(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("_id"), F.explode(_words_col(text_col)).alias("term")
+        )
+
+    counts = toks(ref).groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    denom = counts.agg(
+        (
+            F.sum("c").cast("double")
+            + F.lit(float(smoothing)) * F.count(F.lit(1)).cast("double")
+        ).alias("z")
+    )
+    return (
+        toks(df)
+        .join(counts, "term", "left")
+        .crossJoin(F.broadcast(denom))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(smoothing)))
+                    / F.col("z")
+                )
+            ).alias(out),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", out)
+    )

@@ -3517,3 +3517,31 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_unigram_logprob_documents(spark, sf_dir):
+    """Per-doc mean unigram log-probability under the corpus's own smoothed
+    unigram model (the cheap LM-quality proxy); the SQL replays counts,
+    smoothed denominator, ln, and mean with the identical operation order,
+    so the float hash pins the whole scoring chain."""
+    from linkgraph.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+QUERIES.update({"unigram_logprob_documents": q_unigram_logprob_documents})
+ORACLE_SQL.update(
+    {
+        "unigram_logprob_documents": f"""
+        WITH {_WORDS_CTE},
+        toks AS (SELECT doc_id, unnest(words) AS term FROM w),
+        counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        z AS (SELECT CAST(sum(c) AS DOUBLE)
+                     + 1.0 * CAST(count(*) AS DOUBLE) AS z FROM counts)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               avg(ln((coalesce(c, 0) + 1.0) / z)) AS mean_logprob
+        FROM toks LEFT JOIN counts USING (term) CROSS JOIN z
+        GROUP BY doc_id
+    """,
+    }
+)

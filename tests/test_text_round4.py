@@ -189,3 +189,27 @@ def test_trailing_whitespace_no_phantom_tokens(spark):
         r["doc_id"]: r["n_tokens"] for r in token_count(d).collect()
     }
     assert counts == {1: 2, 2: 0, 3: 2, 4: 2}
+
+
+def test_unigram_logprob_closed_form(spark):
+    import math
+
+    from linkgraph.pipeline.text import unigram_logprob
+
+    # corpus: 'a a b' + 'b c' -> counts a:2 b:2 c:1, N=5, V=3, a=1 -> z=8
+    d = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in unigram_logprob(d).collect()}
+    la, lb, lc = (math.log(x / 8) for x in (3.0, 3.0, 2.0))
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["mean_logprob"] == pytest.approx((la + la + lb) / 3)
+    assert rows[2]["mean_logprob"] == pytest.approx((lb + lc) / 2)
+    # scoring against a separate reference: OOV gets the smoothed floor
+    q = spark.createDataFrame([(9, "a zzz")], ["doc_id", "text"])
+    [r] = unigram_logprob(q, reference=d).collect()
+    assert r["mean_logprob"] == pytest.approx((la + math.log(1 / 8)) / 2)
+    # gibberish scores lower than in-vocabulary text
+    gib = spark.createDataFrame([(1, "a b"), (2, "zz qq")], ["doc_id", "text"])
+    s = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(gib, reference=d).collect()}
+    assert s[2] < s[1]
+    with pytest.raises(ValueError):
+        unigram_logprob(d, smoothing=0.0)
