@@ -278,6 +278,18 @@ def main():
 
     timed("repetition_corpus", _repetition_corpus)
 
+    def _wl_corpus():
+        # 2 WL refinement rounds: per round one edge join + one algebraic
+        # multiset-hash groupBy (30-bit buckets, hub-safe); the role count
+        # is the structural-diversity signal
+        from linkgraph import wl_colors
+
+        extra["wl_roles"] = (
+            wl_colors(g, rounds=2).select("wl_color").distinct().count()
+        )
+
+    timed("wl_corpus", _wl_corpus)
+
     def _tfidf_corpus():
         # two algebraic shuffles over the exploded token table (~15M rows
         # at 300k files) + broadcast df join — the aggregate-heavy text wall
