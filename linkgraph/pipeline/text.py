@@ -385,3 +385,50 @@ def unigram_logprob(
         )
         .select(F.col("_id").alias(id_col), "n_tokens", out)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size word windows with ``overlap``
+    words of context carried between consecutive chunks — the standard
+    long-document preparation for embedding models and context-window-
+    bounded training. Returns DataFrame[id, chunk, n_chunk_tokens, text]
+    with ``chunk`` 0-based; stride = chunk_tokens − overlap; the final
+    chunk may be short; empty docs emit no row.
+
+    Pure higher-order functions over the words array (slice per window
+    start) + one posexplode — zero shuffle, scan-bound at 100 TB, and the
+    chunk assignment is partitioning-independent by construction (it
+    depends only on the row)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    words = _words_col(text_col)
+    # window starts: 1, 1+stride, ... while start <= size - 1 (and at least
+    # one window for any non-empty doc); ceil via (size - overlap) / stride
+    starts = (
+        f"sequence(1, greatest(size(_w) - {overlap}, 1), {stride})"
+    )
+    chunks = (
+        f"transform({starts}, i -> concat_ws(' ', slice(_w, i, {chunk_tokens})))"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select(F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk", "text"))
+        .select(
+            id_col,
+            F.col("chunk").cast("long").alias("chunk"),
+            F.size(F.split("text", " ")).cast("long").alias("n_chunk_tokens"),
+            "text",
+        )
+    )

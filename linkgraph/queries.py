@@ -3545,3 +3545,36 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-window chunking (64 words, 8-word overlap) of every document;
+    the SQL replays the window starts, slicing, and joining exactly, so
+    stride math, short-final-chunk, and empty-doc behavior are all pinned."""
+    from linkgraph.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
+QUERIES.update({"chunk_documents": q_chunk_documents})
+ORACLE_SQL.update(
+    {
+        "chunk_documents": f"""
+        WITH {_WORDS_CTE},
+        c AS (SELECT doc_id,
+                     [array_to_string(words[i:i+63], ' ')
+                      FOR i IN range(1, greatest(len(words) - 8, 1) + 1, 56)]
+                     AS chunks
+              FROM w WHERE len(words) > 0)
+        SELECT doc_id,
+               CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk,
+               CAST(len(list_filter(string_split(unnest(chunks), ' '),
+                                    x -> x <> '')) AS BIGINT)
+               AS n_chunk_tokens,
+               unnest(chunks) AS text
+        FROM c
+    """,
+    }
+)

@@ -213,3 +213,44 @@ def test_unigram_logprob_closed_form(spark):
     assert s[2] < s[1]
     with pytest.raises(ValueError):
         unigram_logprob(d, smoothing=0.0)
+
+
+def test_chunk_documents_windows(spark):
+    from linkgraph.pipeline.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        chunk_documents(d, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r["doc_id"], r["chunk"]),
+    )
+    got = [(r["doc_id"], r["chunk"], r["text"]) for r in rows]
+    # stride 3: starts 1,4,7 -> [w1-4],[w4-7],[w7-10]; doc2 one short chunk;
+    # empty doc emits nothing
+    assert got == [
+        (1, 0, "w1 w2 w3 w4"),
+        (1, 1, "w4 w5 w6 w7"),
+        (1, 2, "w7 w8 w9 w10"),
+        (2, 0, "a b"),
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 2]
+    # no-overlap exact tiling
+    tiles = chunk_documents(d.filter("doc_id = 1"), 5, 0).collect()
+    assert sorted(r["text"] for r in tiles) == [
+        "w1 w2 w3 w4 w5",
+        "w6 w7 w8 w9 w10",
+    ]
+    # every word of the doc appears in some chunk (coverage law)
+    covered = set()
+    for r in rows:
+        if r["doc_id"] == 1:
+            covered.update(r["text"].split(" "))
+    assert covered == {f"w{i}" for i in range(1, 11)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(d, 0)
+    with _pt.raises(ValueError):
+        chunk_documents(d, 4, overlap=4)
