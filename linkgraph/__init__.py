@@ -27,6 +27,8 @@ from linkgraph.algorithms.assortativity import degree_assortativity
 from linkgraph.algorithms.triangles import (
     average_clustering,
     local_clustering_coefficient,
+    square_count,
+    transitivity,
     triangle_count,
     triangle_counts_per_vertex,
 )
@@ -105,6 +107,8 @@ __all__ = [
     "triangle_counts_per_vertex",
     "local_clustering_coefficient",
     "average_clustering",
+    "transitivity",
+    "square_count",
     "degree_assortativity",
     "k_truss",
     "eccentricity",

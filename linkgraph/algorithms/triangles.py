@@ -160,3 +160,66 @@ def average_clustering(graph: LinkGraph) -> float:
     lcc = local_clustering_coefficient(graph)
     row = lcc.agg(F.avg("lcc").alias("a")).collect()[0]
     return float(row["a"] or 0.0)
+
+
+def transitivity(graph: LinkGraph) -> float:
+    """Global clustering coefficient: 3·triangles / wedges, with wedges =
+    Σ_v deg(v)·(deg(v)−1)/2 over the canonical simple undirected graph
+    (0.0 for wedge-free graphs). Shares the degree-oriented triangle
+    pipeline; the wedge term is one extra algebraic degree aggregate —
+    no new joins. Matches ``nx.transitivity``."""
+    und = _canonical_undirected(graph).persist()
+    try:
+        tri = _triples_of(_orient(und)).count()
+        deg = (
+            und.select(F.col("a").alias(ID))
+            .union(und.select(F.col("b").alias(ID)))
+            .groupBy(ID)
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        wedges = (
+            deg.agg(
+                F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w")
+            ).collect()[0][0]
+            or 0
+        ) // 2
+    finally:
+        und.unpersist()
+    return (3.0 * tri / float(wedges)) if wedges else 0.0
+
+
+def square_count(graph: LinkGraph, max_neighbor_degree: int | None = None) -> int:
+    """Number of 4-cycles: every C4 has two opposite (non-edge-constrained)
+    pairs, each seeing the cycle's other two nodes as common neighbors, so
+
+        squares = (1/2) · Σ over unordered pairs C(cn(u,v), 2)
+
+    computed from one wedge self-join + one algebraic groupBy (the
+    link-prediction enumeration shape); ``max_neighbor_degree`` prunes
+    hub wedges exactly as in :func:`linkgraph.algorithms.linkpred.
+    link_prediction_scores` (then the count is a lower bound — documented
+    hub-cap trade, exact when unset)."""
+    und = _canonical_undirected(graph)
+    # adj: (neighbor n, center c) — wedge join on the shared center
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("c")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("c"))
+    )
+    if max_neighbor_degree is not None:
+        cdeg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
+        adj = adj.join(
+            cdeg.filter(F.col("_cd") <= max_neighbor_degree).select("c"), "c"
+        )
+    left = adj.select(F.col("n").alias("u"), "c")
+    right = adj.select(F.col("n").alias("v"), "c")
+    cn = (
+        left.join(right, "c")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    # integer-exact: sum cn*(cn-1) = 2*sum C(cn,2); squares = that / 4
+    total = cn.agg(
+        F.sum(F.col("cn") * (F.col("cn") - 1)).alias("s")
+    ).collect()[0][0]
+    return int(total or 0) // 4

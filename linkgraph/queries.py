@@ -3578,3 +3578,70 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def _region_clique_tails(spark, sf_dir):
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    star = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    return LinkGraph(clique.union(star))
+
+
+def q_transitivity_region_clique(spark, sf_dir):
+    """Global clustering coefficient of the K5-with-nation-tails fixture:
+    3·C(n,3) triangles over Σ_r C(deg_r, 2) wedges (region degree =
+    (n−1) + its tail count; leaves contribute none) — the SQL recomputes
+    both terms from the base tables. Millionths-cast for exact hashing."""
+    from linkgraph import transitivity
+
+    t = transitivity(_region_clique_tails(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(round(t * 1e6)),)], "transitivity_millionths long"
+    )
+
+
+def q_square_count_region_clique(spark, sf_dir):
+    """4-cycle count of the same fixture: only region pairs share ≥2
+    neighbors (the other n−2 regions), so squares = (1/2)·C(n,2)·C(n−2,2)
+    = 3·C(n,4); tails add none. The SQL computes the closed form from the
+    region count."""
+    from linkgraph import square_count
+
+    n = square_count(_region_clique_tails(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "squares long")
+
+
+QUERIES.update(
+    {
+        "transitivity_region_clique": q_transitivity_region_clique,
+        "square_count_region_clique": q_square_count_region_clique,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "transitivity_region_clique": """
+        WITH n AS (SELECT count(*) AS n FROM region),
+        tails AS (SELECT n_regionkey AS k, count(*) AS t FROM nation
+                  GROUP BY n_regionkey),
+        degs AS (SELECT r.r_regionkey,
+                        (SELECT n - 1 FROM n) + coalesce(t.t, 0) AS d
+                 FROM region r LEFT JOIN tails t ON t.k = r.r_regionkey),
+        w AS (SELECT sum(d * (d - 1)) / 2 AS wedges FROM degs),
+        tri AS (SELECT n * (n - 1) * (n - 2) / 6 AS triangles FROM n)
+        SELECT CAST(round(3.0 * triangles / wedges * 1000000)
+                    AS BIGINT) AS transitivity_millionths
+        FROM tri CROSS JOIN w
+    """,
+        "square_count_region_clique": """
+        SELECT CAST(3 * n * (n - 1) * (n - 2) * (n - 3) / 24 AS BIGINT)
+               AS squares
+        FROM (SELECT count(*) AS n FROM region)
+    """,
+    }
+)
