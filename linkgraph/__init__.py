@@ -73,6 +73,7 @@ from linkgraph.algorithms.linkpred import (
     link_prediction_top_k,
 )
 from linkgraph.algorithms.aggregate_messages import aggregate_messages
+from linkgraph.algorithms.densest import densest_subgraph
 from linkgraph.algorithms.feature_prop import feature_propagation
 from linkgraph.algorithms.wl import wl_colors, wl_fingerprint
 from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
@@ -109,6 +110,7 @@ __all__ = [
     "average_clustering",
     "transitivity",
     "square_count",
+    "densest_subgraph",
     "degree_assortativity",
     "k_truss",
     "eccentricity",

@@ -3645,3 +3645,32 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_densest_region_clique(spark, sf_dir):
+    """Greedy densest-subgraph peeling on the K5-with-tails fixture: round 0
+    is the whole graph (density (C(n,2)+|nations|)/(n+|nations|)), the
+    degree-1 tails peel first, and the surviving K5 at density (n−1)/2 is
+    the best iterate — the SQL replays the closed form, so a wrong
+    threshold direction or a lost best-snapshot hash-mismatches."""
+    from linkgraph import densest_subgraph
+
+    nodes, density = densest_subgraph(
+        _region_clique_tails(spark, sf_dir), epsilon=0.5
+    )
+    return nodes.select(
+        "id", F.lit(int(round(density * 1e6))).alias("density_millionths")
+    )
+
+
+QUERIES.update({"densest_region_clique": q_densest_region_clique})
+ORACLE_SQL.update(
+    {
+        "densest_region_clique": """
+        SELECT 'r' || r_regionkey AS id,
+               CAST(round((SELECT (count(*) - 1) / 2.0 FROM region) * 1000000)
+                    AS BIGINT) AS density_millionths
+        FROM region
+    """,
+    }
+)
