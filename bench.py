@@ -290,6 +290,17 @@ def main():
 
     timed("wl_corpus", _wl_corpus)
 
+    def _densest_corpus():
+        # greedy peeling: O(log n) rounds x (degree agg + 2 semi-joins);
+        # the corpus's dense co-change cores dominate the density
+        from linkgraph import densest_subgraph
+
+        nodes, density = densest_subgraph(g, epsilon=0.5)
+        extra["densest_nodes"] = nodes.count()
+        extra["densest_density"] = round(density, 2)
+
+    timed("densest_corpus", _densest_corpus)
+
     def _tfidf_corpus():
         # two algebraic shuffles over the exploded token table (~15M rows
         # at 300k files) + broadcast df join — the aggregate-heavy text wall
