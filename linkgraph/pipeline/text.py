@@ -432,3 +432,59 @@ def chunk_documents(
             "text",
         )
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1_000_000,
+    max_dup_2gram: float = 0.5,
+    min_alpha_ratio: float = 0.5,
+    max_word_len_mean: float = 30.0,
+) -> DataFrame:
+    """Gopher/C4-style composite pretraining filter in ONE pass: word-count
+    bounds, duplicate-bigram fraction, alphabetic-character ratio, and mean
+    word length, evaluated as pure column expressions (zero shuffle, zero
+    UDF — the whole filter is scan-bound). Returns the input plus ``keep``
+    (boolean) and ``drop_reason`` (first failed rule in a FIXED order, null
+    when kept) — the reason column is what makes filter sweeps debuggable
+    at corpus scale (one groupBy tells you what each rule costs you).
+
+    Thresholds are per-corpus knobs; the defaults are deliberately loose.
+    Composes with :func:`unigram_logprob` / :func:`lang_id` downstream for
+    model-based signals (they need their own aggregates)."""
+    t = F.col(text_col)
+    words = _words_col(text_col)
+    nw = F.size(words)
+    g2 = F.expr(_grams_expr("_w", 2))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    nchars = F.length(t)
+    staged = df.withColumn("_w", words).withColumn(
+        "_dup2",
+        F.when(
+            F.size(g2) > 0,
+            (F.size(g2) - F.size(F.array_distinct(g2))).cast("double")
+            / F.size(g2),
+        ).otherwise(F.lit(0.0)),
+    )
+    mean_wlen = F.when(
+        nw > 0, alpha.cast("double") / nw
+    ).otherwise(F.lit(0.0))
+    reason = (
+        F.when(nw < min_words, F.lit("too_few_words"))
+        .when(nw > max_words, F.lit("too_many_words"))
+        .when(F.col("_dup2") > max_dup_2gram, F.lit("repetitive"))
+        .when(
+            (nchars > 0)
+            & (alpha.cast("double") / nchars < min_alpha_ratio),
+            F.lit("low_alpha_ratio"),
+        )
+        .when(mean_wlen > max_word_len_mean, F.lit("words_too_long"))
+    )
+    return (
+        staged.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_w", "_dup2")
+    )

@@ -3674,3 +3674,58 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_quality_filter_documents(spark, sf_dir):
+    """Composite pretraining filter (min 30 words, dup-bigram ≤ 0.06,
+    alpha ratio ≥ 0.5, mean word length ≤ 30) with the fixed first-failed
+    rule as drop_reason; thresholds chosen so the synthetic corpus
+    exercises the word-count AND repetition rules. The SQL replays every
+    predicate in the same order."""
+    from linkgraph.pipeline.text import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_words=30,
+        max_dup_2gram=0.06,
+    ).select("doc_id", "keep", "drop_reason")
+
+
+QUERIES.update({"quality_filter_documents": q_quality_filter_documents})
+ORACLE_SQL.update(
+    {
+        "quality_filter_documents": f"""
+        WITH {_WORDS_CTE},
+        g AS (SELECT w.doc_id, words,
+                     CASE WHEN len(words) >= 2 THEN
+                       [array_to_string(words[i:i+1], ' ')
+                        FOR i IN range(1, len(words))]
+                     ELSE [] END AS g2,
+                     d.text
+              FROM w JOIN documents d USING (doc_id)),
+        m AS (SELECT doc_id,
+                     len(words) AS nw,
+                     CASE WHEN len(g2) > 0 THEN
+                       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / len(g2) ELSE 0.0 END AS dup2,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS alpha,
+                     length(text) AS nchars
+              FROM g),
+        r AS (SELECT doc_id,
+                     CASE WHEN nw < 30 THEN 'too_few_words'
+                          WHEN nw > 1000000 THEN 'too_many_words'
+                          WHEN dup2 > 0.06 THEN 'repetitive'
+                          WHEN nchars > 0
+                               AND CAST(alpha AS DOUBLE) / nchars < 0.5
+                               THEN 'low_alpha_ratio'
+                          WHEN (CASE WHEN nw > 0 THEN
+                                  CAST(alpha AS DOUBLE) / nw
+                                ELSE 0.0 END) > 30.0
+                               THEN 'words_too_long'
+                     END AS drop_reason
+              FROM m)
+        SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r
+    """,
+    }
+)

@@ -254,3 +254,36 @@ def test_chunk_documents_windows(spark):
         chunk_documents(d, 0)
     with _pt.raises(ValueError):
         chunk_documents(d, 4, overlap=4)
+
+
+def test_quality_filter_rules_and_order(spark):
+    from linkgraph.pipeline.text import quality_filter
+
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(f"word{i}" for i in range(15))),  # varied, passes
+            (2, "short"),                           # too few words
+            (3, "spam spam " * 20),                 # repetitive bigrams
+            (4, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) ___"),  # low alpha
+            (5, " ".join("x" * 80 + str(i) for i in range(12))),  # huge words
+        ],
+        ["doc_id", "text"],
+    )
+    out = quality_filter(
+        d, min_words=10, max_dup_2gram=0.3, min_alpha_ratio=0.5,
+        max_word_len_mean=40.0,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["keep"] and rows[1]["drop_reason"] is None
+    assert rows[2]["drop_reason"] == "too_few_words"
+    assert rows[3]["drop_reason"] == "repetitive"
+    assert rows[4]["drop_reason"] == "low_alpha_ratio"
+    assert rows[5]["drop_reason"] == "words_too_long"
+    assert not any(rows[i]["keep"] for i in (2, 3, 4, 5))
+    # rule order is fixed: a doc failing several rules reports the FIRST
+    tiny_junk = spark.createDataFrame([(9, "@@ ##")], ["doc_id", "text"])
+    [r] = quality_filter(tiny_junk, min_words=10).collect()
+    assert r["drop_reason"] == "too_few_words"
+    # pure column math: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
