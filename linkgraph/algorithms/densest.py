@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.graph import ID, LinkGraph
 from linkgraph.session import static_plans
 
 
@@ -33,14 +33,9 @@ def densest_subgraph(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     with static_plans(graph.edges.sparkSession):
-        edges = (
-            graph.edges.select(
-                F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        from linkgraph.algorithms.triangles import _canonical_undirected
+
+        edges = _canonical_undirected(graph).localCheckpoint(eager=True)
         best_nodes: DataFrame | None = None
         best_density = -1.0
         for _ in range(max_iter):

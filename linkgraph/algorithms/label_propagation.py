@@ -178,9 +178,14 @@ def seeded_label_propagation(
     Beyond the reference; the standard "extend known communities /
     classify the unlabeled 99%" primitive (Zhu & Ghahramani 2002,
     hard-label variant)."""
-    mine = seeds.select(
-        F.col(id_col).alias(ID), F.col(label_col).alias("label")
-    ).join(graph.nodes.select(ID), ID, "left_semi")
+    mine = (
+        seeds.select(F.col(id_col).alias(ID), F.col(label_col).alias("label"))
+        # duplicate seed ids would make the full-join convergence scan pair
+        # conflicting rows forever (delta never 0); resolve to min label
+        .groupBy(ID)
+        .agg(F.min("label").alias("label"))
+        .join(graph.nodes.select(ID), ID, "left_semi")
+    )
     with static_plans(graph.edges.sparkSession):
         und = _und_edges(graph, weighted).persist()
         clamped = mine.localCheckpoint(eager=True)

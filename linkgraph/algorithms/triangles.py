@@ -32,14 +32,21 @@ def _canonical_undirected(graph: LinkGraph) -> DataFrame:
     )
 
 
-def _orient(und: DataFrame) -> DataFrame:
-    """Orient a canonical undirected edge set low→high by (degree, id)."""
-    deg = (
+def _degrees_of(und: DataFrame) -> DataFrame:
+    """(id, deg) over a canonical undirected edge set."""
+    return (
         und.select(F.col("a").alias(ID))
         .union(und.select(F.col("b").alias(ID)))
         .groupBy(ID)
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _orient(und: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Orient a canonical undirected edge set low→high by (degree, id).
+    Pass a precomputed ``deg`` to avoid a second degree shuffle."""
+    if deg is None:
+        deg = _degrees_of(und)
     e = (
         und.join(deg.select(F.col(ID).alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col(ID).alias("b"), F.col("deg").alias("db")), "b")
@@ -170,19 +177,15 @@ def transitivity(graph: LinkGraph) -> float:
     no new joins. Matches ``nx.transitivity``."""
     und = _canonical_undirected(graph).persist()
     try:
-        tri = _triples_of(_orient(und)).count()
-        deg = (
-            und.select(F.col("a").alias(ID))
-            .union(und.select(F.col("b").alias(ID)))
-            .groupBy(ID)
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        deg = _degrees_of(und).persist()
+        tri = _triples_of(_orient(und, deg)).count()
         wedges = (
             deg.agg(
                 F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w")
             ).collect()[0][0]
             or 0
         ) // 2
+        deg.unpersist()
     finally:
         und.unpersist()
     return (3.0 * tri / float(wedges)) if wedges else 0.0

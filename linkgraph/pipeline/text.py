@@ -456,12 +456,12 @@ def quality_filter(
     Composes with :func:`unigram_logprob` / :func:`lang_id` downstream for
     model-based signals (they need their own aggregates)."""
     t = F.col(text_col)
-    words = _words_col(text_col)
-    nw = F.size(words)
+    staged = df.withColumn("_w", _words_col(text_col))
     g2 = F.expr(_grams_expr("_w", 2))
+    nw = F.size(F.col("_w"))  # the staged column — single evaluation
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     nchars = F.length(t)
-    staged = df.withColumn("_w", words).withColumn(
+    staged = staged.withColumn(
         "_dup2",
         F.when(
             F.size(g2) > 0,
@@ -469,11 +469,19 @@ def quality_filter(
             / F.size(g2),
         ).otherwise(F.lit(0.0)),
     )
+    # TRUE mean word length (sum of word lengths / word count) — an
+    # alpha-chars proxy lets long digit/punct junk words evade the cap
+    wlen_sum = F.aggregate(
+        F.col("_w"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
     mean_wlen = F.when(
-        nw > 0, alpha.cast("double") / nw
+        nw > 0, wlen_sum.cast("double") / nw
     ).otherwise(F.lit(0.0))
     reason = (
-        F.when(nw < min_words, F.lit("too_few_words"))
+        # null text first: every later predicate would be NULL and the doc
+        # would silently pass the gate (ANSI NULL propagation)
+        F.when(t.isNull(), F.lit("null_text"))
+        .when(nw < min_words, F.lit("too_few_words"))
         .when(nw > max_words, F.lit("too_many_words"))
         .when(F.col("_dup2") > max_dup_2gram, F.lit("repetitive"))
         .when(

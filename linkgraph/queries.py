@@ -3704,23 +3704,26 @@ ORACLE_SQL.update(
                      d.text
               FROM w JOIN documents d USING (doc_id)),
         m AS (SELECT doc_id,
+                     text IS NULL AS tnull,
                      len(words) AS nw,
                      CASE WHEN len(g2) > 0 THEN
                        CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
                        / len(g2) ELSE 0.0 END AS dup2,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                      AS alpha,
-                     length(text) AS nchars
+                     length(text) AS nchars,
+                     list_sum(list_transform(words, x -> length(x))) AS wsum
               FROM g),
         r AS (SELECT doc_id,
-                     CASE WHEN nw < 30 THEN 'too_few_words'
+                     CASE WHEN tnull THEN 'null_text'
+                          WHEN nw < 30 THEN 'too_few_words'
                           WHEN nw > 1000000 THEN 'too_many_words'
                           WHEN dup2 > 0.06 THEN 'repetitive'
                           WHEN nchars > 0
                                AND CAST(alpha AS DOUBLE) / nchars < 0.5
                                THEN 'low_alpha_ratio'
                           WHEN (CASE WHEN nw > 0 THEN
-                                  CAST(alpha AS DOUBLE) / nw
+                                  CAST(coalesce(wsum, 0) AS DOUBLE) / nw
                                 ELSE 0.0 END) > 30.0
                                THEN 'words_too_long'
                      END AS drop_reason

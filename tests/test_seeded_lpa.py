@@ -103,3 +103,18 @@ def test_phantom_seed_dropped(spark):
         _g(spark, [("a", "b")]), _seeds(spark, {"zz": "X"})
     )
     assert out.count() == 0
+
+
+def test_duplicate_seed_ids_resolve_and_converge(spark):
+    # review regression: duplicate seed ids with conflicting labels used to
+    # defeat the convergence scan (delta never 0, full max_iter burned);
+    # now they resolve deterministically to the min label up front
+    g = _g(spark, [("s", "a"), ("a", "b")])
+    seeds = spark.createDataFrame(
+        [("s", "Z"), ("s", "A")], ["id", "label"]
+    )
+    out = {
+        r["id"]: r["label"]
+        for r in seeded_label_propagation(g, seeds, max_iter=5).collect()
+    }
+    assert out == {"s": "A", "a": "A", "b": "A"}
