@@ -3732,3 +3732,83 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_streaming_quality_filter_documents(spark, sf_dir):
+    """The composite quality filter applied UNCHANGED to a document stream
+    (stateless column ops are streaming-valid by construction): documents
+    replayed as a file stream, filtered per micro-batch, drop reasons
+    tallied after completion — counts equal the batch run, so the SQL
+    oracle replays the batch predicates and aggregates."""
+    import tempfile
+    import uuid
+
+    from linkgraph.pipeline.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="lg_stream_qf_")
+    docs.write.mode("overwrite").parquet(stage)
+    ds = spark.readStream.schema(docs.schema).parquet(stage)
+    name = "qf_" + uuid.uuid4().hex[:8]
+    q = (
+        quality_filter(ds, min_words=30, max_dup_2gram=0.06)
+        .select("doc_id", "keep", "drop_reason")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES.update(
+    {"streaming_quality_filter_documents": q_streaming_quality_filter_documents}
+)
+ORACLE_SQL.update(
+    {
+        "streaming_quality_filter_documents": f"""
+        WITH {_WORDS_CTE},
+        g AS (SELECT w.doc_id, words,
+                     CASE WHEN len(words) >= 2 THEN
+                       [array_to_string(words[i:i+1], ' ')
+                        FOR i IN range(1, len(words))]
+                     ELSE [] END AS g2,
+                     d.text
+              FROM w JOIN documents d USING (doc_id)),
+        m AS (SELECT doc_id,
+                     text IS NULL AS tnull,
+                     len(words) AS nw,
+                     CASE WHEN len(g2) > 0 THEN
+                       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                       / len(g2) ELSE 0.0 END AS dup2,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS alpha,
+                     length(text) AS nchars,
+                     list_sum(list_transform(words, x -> length(x))) AS wsum
+              FROM g),
+        r AS (SELECT doc_id,
+                     CASE WHEN tnull THEN 'null_text'
+                          WHEN nw < 30 THEN 'too_few_words'
+                          WHEN nw > 1000000 THEN 'too_many_words'
+                          WHEN dup2 > 0.06 THEN 'repetitive'
+                          WHEN nchars > 0
+                               AND CAST(alpha AS DOUBLE) / nchars < 0.5
+                               THEN 'low_alpha_ratio'
+                          WHEN (CASE WHEN nw > 0 THEN
+                                  CAST(coalesce(wsum, 0) AS DOUBLE) / nw
+                                ELSE 0.0 END) > 30.0
+                               THEN 'words_too_long'
+                     END AS drop_reason
+              FROM m)
+        SELECT coalesce(drop_reason, 'kept') AS outcome,
+               count(*) AS n_docs
+        FROM r GROUP BY 1
+    """,
+    }
+)
