@@ -3812,3 +3812,48 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_degree_percentiles_lineitem(spark, sf_dir):
+    """Exact interpolated degree percentiles (p50/p90/p99/max) of the
+    supplier-part graph — the distribution summary every capacity/skew
+    decision starts from. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` share the interpolation definition, so the doubles
+    hash-match bit-for-bit (verified including float dust)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = LinkGraph(
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        ).distinct()
+    )
+    deg = g.degree()
+    return deg.agg(
+        F.percentile("degree", F.lit([0.5, 0.9, 0.99]))
+        .alias("p"),
+        F.max("degree").alias("max_degree"),
+    ).select(
+        F.col("p")[0].alias("p50"),
+        F.col("p")[1].alias("p90"),
+        F.col("p")[2].alias("p99"),
+        F.col("max_degree").cast("long").alias("max_degree"),
+    )
+
+
+QUERIES.update({"degree_percentiles_lineitem": q_degree_percentiles_lineitem})
+ORACLE_SQL.update(
+    {
+        "degree_percentiles_lineitem": """
+        WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                                   'p' || l_partkey AS dst FROM lineitem),
+        deg AS (SELECT id, count(*) AS degree FROM (
+                    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+                ) GROUP BY id),
+        q AS (SELECT quantile_cont(degree, [0.5, 0.9, 0.99]) AS p,
+                     max(degree) AS m FROM deg)
+        SELECT p[1] AS p50, p[2] AS p90, p[3] AS p99,
+               CAST(m AS BIGINT) AS max_degree
+        FROM q
+    """,
+    }
+)
