@@ -76,7 +76,11 @@ from linkgraph.algorithms.aggregate_messages import aggregate_messages
 from linkgraph.algorithms.densest import densest_subgraph
 from linkgraph.algorithms.feature_prop import feature_propagation
 from linkgraph.algorithms.wl import wl_colors, wl_fingerprint
-from linkgraph.algorithms.partition_metrics import cut_metrics, modularity
+from linkgraph.algorithms.partition_metrics import (
+    cut_metrics,
+    modularity,
+    quotient_graph,
+)
 from linkgraph.algorithms.temporal_reach import temporal_reachability
 from linkgraph.io import read_edges_bucketed, write_edges_bucketed
 from linkgraph.embeddings import Embeddings, GraphEmbedding
@@ -119,6 +123,7 @@ __all__ = [
     "louvain_communities",
     "modularity",
     "cut_metrics",
+    "quotient_graph",
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",

@@ -124,3 +124,42 @@ def cut_metrics(
         )
     )
     return out
+
+
+def quotient_graph(
+    graph: LinkGraph,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """Contract a partition into its super-graph: one node per community,
+    edge weight = summed weight of the member edges between (or within,
+    as self-loops) the two communities — the coarsening step after every
+    community detection pass (multi-level Louvain, hierarchical layout,
+    drill-down dashboards). Returns canonical single-stored edges
+    DataFrame[src, dst, weight] with src <= dst (undirected semantics,
+    matching the partition-metrics convention); wrap in ``LinkGraph`` to
+    feed it back into any operator.
+
+    One labels join per endpoint + one algebraic groupBy — no windows;
+    edges with an unlabeled endpoint are dropped (inner-join semantics,
+    same as cut_metrics)."""
+    edges = _single_stored(graph)
+    part = _partition(labels, id_col, label_col)
+    le = (
+        edges.select(SRC, DST, "weight")
+        .join(part.selectExpr(f"id as {SRC}", "c as cs"), SRC, "inner")
+        .join(part.selectExpr(f"id as {DST}", "c as cd"), DST, "inner")
+    )
+    if not keep_self_loops:
+        le = le.filter(F.col("cs") != F.col("cd"))
+    return (
+        le.select(
+            F.least("cs", "cd").alias("src"),
+            F.greatest("cs", "cd").alias("dst"),
+            "weight",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )

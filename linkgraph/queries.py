@@ -3857,3 +3857,30 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_quotient_nation_parity(spark, sf_dir):
+    """Community contraction of the parity partition: a 2-node super-graph
+    whose self-loop weights are the intra-parity edge counts and whose
+    cross edge is the parity cut — the SQL recomputes all three weights
+    from the nation table."""
+    from linkgraph import quotient_graph
+
+    return quotient_graph(
+        nation_region_single(spark, sf_dir), _parity_labels(spark, sf_dir)
+    )
+
+
+QUERIES.update({"quotient_nation_parity": q_quotient_nation_parity})
+ORACLE_SQL.update(
+    {
+        "quotient_nation_parity": """
+        WITH e AS (SELECT n_nationkey % 2 AS pn, n_regionkey % 2 AS pr
+                   FROM nation)
+        SELECT CAST(least(pn, pr) AS BIGINT) AS src,
+               CAST(greatest(pn, pr) AS BIGINT) AS dst,
+               CAST(count(*) AS DOUBLE) AS weight
+        FROM e GROUP BY 1, 2
+    """,
+    }
+)

@@ -98,3 +98,31 @@ def test_cut_metrics_isolated_community_row(spark):
     assert rows[9]["volume"] == 0.0
     assert rows[9]["cut_weight"] == 0.0
     assert rows[9]["conductance"] is None
+
+
+def test_quotient_graph_contraction(spark):
+    from linkgraph import LinkGraph, quotient_graph
+    from pyspark.sql import functions as F
+
+    # two triangles bridged by one weight-5 edge; parity-free labels
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0),
+            ("d", "e", 2.0), ("e", "f", 2.0), ("d", "f", 2.0),
+            ("c", "d", 5.0),
+        ],
+        ["src", "dst", "weight"],
+    )
+    part = _labels(spark, {"a": 0, "b": 0, "c": 0, "d": 1, "e": 1, "f": 1})
+    g = LinkGraph(edges, keys={"directed": False})
+    q = {(r["src"], r["dst"]): r["weight"] for r in quotient_graph(g, part).collect()}
+    assert q == {(0, 0): 3.0, (1, 1): 6.0, (0, 1): 5.0}
+    q2 = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in quotient_graph(g, part, keep_self_loops=False).collect()
+    }
+    assert q2 == {(0, 1): 5.0}
+    # unlabeled endpoints drop their edges
+    partial = _labels(spark, {"a": 0, "b": 0})
+    q3 = {(r["src"], r["dst"]): r["weight"] for r in quotient_graph(g, partial).collect()}
+    assert q3 == {(0, 0): 1.0}
