@@ -19,6 +19,7 @@ from linkgraph.checkpoint import CheckpointManager
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
+from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -124,6 +125,7 @@ __all__ = [
     "modularity",
     "cut_metrics",
     "quotient_graph",
+    "simrank",
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",

@@ -3884,3 +3884,35 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_simrank_nation_region(spark, sf_dir):
+    """SimRank (C=0.9) on the undirected nation-region stars has the
+    closed-form fixpoint: same-region nation pairs score exactly C (their
+    in-neighborhoods are the identical region singleton) and every other
+    pair is 0 (the cross-region system x = C·z, z = C·x collapses) — the
+    SQL emits the closed form, so the fixpoint solver, the in-neighbor
+    convention, and the u<v pair canonicalization are all pinned."""
+    from linkgraph import simrank
+
+    return simrank(
+        nation_region_graph(spark, sf_dir),
+        importance_factor=0.9,
+        tol=1e-12,
+        min_similarity=1e-9,
+    )
+
+
+QUERIES.update({"simrank_nation_region": q_simrank_nation_region})
+ORACLE_SQL.update(
+    {
+        "simrank_nation_region": """
+        SELECT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS u,
+               greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS v,
+               0.9 AS similarity
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey
+         AND a.n_nationkey < b.n_nationkey
+    """,
+    }
+)
