@@ -33,19 +33,20 @@ def densest_subgraph(
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     with static_plans(graph.edges.sparkSession):
-        from linkgraph.algorithms.triangles import _canonical_undirected
+        from linkgraph.algorithms.triangles import (
+            _canonical_undirected,
+            _degrees_of,
+        )
 
         edges = _canonical_undirected(graph).localCheckpoint(eager=True)
         best_nodes: DataFrame | None = None
         best_density = -1.0
-        for _ in range(max_iter):
-            deg = (
-                edges.select(F.col("a").alias(ID))
-                .unionByName(edges.select(F.col("b").alias(ID)))
-                .groupBy(ID)
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .localCheckpoint(eager=False)
-            )
+        # max_iter + 1: a peel that empties the graph on round k only
+        # OBSERVES the empty edge set on round k+1, and that final check
+        # round is free (one count on an empty table), so the documented
+        # O(log n) bound stays the peel-round bound
+        for _ in range(max_iter + 1):
+            deg = _degrees_of(edges).localCheckpoint(eager=False)
             stats = deg.agg(
                 F.count(F.lit(1)).alias("v"), F.sum("deg").alias("d2")
             ).collect()[0]

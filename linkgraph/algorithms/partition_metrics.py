@@ -79,7 +79,12 @@ def cut_metrics(
     edge weight is attributed to BOTH endpoints' communities, the standard
     definition."""
     edges = _single_stored(graph)
-    part = _partition(labels, id_col, label_col)
+    # restrict to ids that exist in the graph: stale/typo'd label ids must
+    # not fabricate phantom zero-volume communities (the left join below
+    # is for edge-less NODES of the graph, which stay covered)
+    part = _partition(labels, id_col, label_col).join(
+        graph.nodes.select("id"), "id", "left_semi"
+    )
 
     deg = (
         edges.selectExpr(f"{SRC} as id", "weight")

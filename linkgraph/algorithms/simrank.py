@@ -46,6 +46,10 @@ def simrank(
             f"importance_factor must be in (0, 1), got {importance_factor}"
         )
     n_nodes = graph.number_of_nodes()
+    if n_nodes == 0:
+        return graph.edges.sparkSession.createDataFrame(
+            [], "u string, v string, similarity double"
+        )
     if n_nodes > max_nodes:
         raise ValueError(
             f"simrank state is O(V^2); graph has {n_nodes} nodes > "

@@ -176,17 +176,23 @@ def transitivity(graph: LinkGraph) -> float:
     pipeline; the wedge term is one extra algebraic degree aggregate —
     no new joins. Matches ``nx.transitivity``."""
     und = _canonical_undirected(graph).persist()
+    deg = None
     try:
         deg = _degrees_of(und).persist()
         tri = _triples_of(_orient(und, deg)).count()
-        wedges = (
+        # decimal(38,0) accumulator: sum(d*(d-1)) over long overflows 2^63
+        # (ANSI throws) already at one ~3e9-degree hub
+        wedges = int(
             deg.agg(
-                F.sum(F.col("deg") * (F.col("deg") - 1)).alias("w")
+                F.sum(
+                    F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1)
+                ).alias("w")
             ).collect()[0][0]
             or 0
         ) // 2
-        deg.unpersist()
     finally:
+        if deg is not None:
+            deg.unpersist()
         und.unpersist()
     return (3.0 * tri / float(wedges)) if wedges else 0.0
 
@@ -203,26 +209,37 @@ def square_count(graph: LinkGraph, max_neighbor_degree: int | None = None) -> in
     link_prediction_scores` (then the count is a lower bound — documented
     hub-cap trade, exact when unset)."""
     und = _canonical_undirected(graph)
-    # adj: (neighbor n, center c) — wedge join on the shared center
+    # adj: (neighbor n, center c) — wedge join on the shared center;
+    # persisted: it feeds both join sides (and the cap aggregate), which
+    # would otherwise each recompute the distinct canonicalization
     adj = und.select(F.col("a").alias("n"), F.col("b").alias("c")).unionByName(
         und.select(F.col("b").alias("n"), F.col("a").alias("c"))
     )
     if max_neighbor_degree is not None:
+        adj = adj.persist()
         cdeg = adj.groupBy("c").agg(F.count(F.lit(1)).alias("_cd"))
-        adj = adj.join(
+        capped = adj.join(
             cdeg.filter(F.col("_cd") <= max_neighbor_degree).select("c"), "c"
+        ).persist()
+        adj.unpersist()
+        adj = capped
+    else:
+        adj = adj.persist()
+    try:
+        left = adj.select(F.col("n").alias("u"), "c")
+        right = adj.select(F.col("n").alias("v"), "c")
+        cn = (
+            left.join(right, "c")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .filter(F.col("cn") >= 2)
         )
-    left = adj.select(F.col("n").alias("u"), "c")
-    right = adj.select(F.col("n").alias("v"), "c")
-    cn = (
-        left.join(right, "c")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
-        .filter(F.col("cn") >= 2)
-    )
-    # integer-exact: sum cn*(cn-1) = 2*sum C(cn,2); squares = that / 4
-    total = cn.agg(
-        F.sum(F.col("cn") * (F.col("cn") - 1)).alias("s")
-    ).collect()[0][0]
+        # integer-exact: sum cn*(cn-1) = 2*sum C(cn,2); squares = that / 4;
+        # decimal accumulator avoids the ANSI int64 overflow at hub scale
+        total = cn.agg(
+            F.sum(F.col("cn").cast("decimal(38,0)") * (F.col("cn") - 1)).alias("s")
+        ).collect()[0][0]
+    finally:
+        adj.unpersist()
     return int(total or 0) // 4

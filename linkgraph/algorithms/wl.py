@@ -114,7 +114,7 @@ def wl_fingerprint(graph: LinkGraph, rounds: int = 3) -> str:
     colors = wl_colors(graph, rounds)
     # 24-bit buckets here: the global sum must stay under 2^63 (ANSI mode
     # throws on overflow) even at 10^10 nodes; per-node sums in wl_colors
-    # keep 32 bits (2^32 x hub degree stays far below the limit)
+    # use 30-bit buckets (2^30 x hub degree stays far below the limit)
     row = colors.agg(
         F.pmod(
             F.sum(F.pmod(_bucket32(F.col("wl_color")), F.lit(1 << 24))),

@@ -58,3 +58,12 @@ def test_empty_and_guards(spark):
     assert density == 0.0 and nodes.count() == 0
     with pytest.raises(ValueError):
         densest_subgraph(g, epsilon=0.0)
+
+
+def test_peel_completes_within_documented_rounds(spark):
+    # review regression: a peel finishing in exactly max_iter rounds used
+    # to raise (the empty-set observation round cost an extra iteration)
+    nodes, density = densest_subgraph(
+        _g(spark, [("a", "b")]), epsilon=0.5, max_iter=1
+    )
+    assert density == pytest.approx(0.5) and nodes.count() == 2

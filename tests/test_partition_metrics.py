@@ -126,3 +126,17 @@ def test_quotient_graph_contraction(spark):
     partial = _labels(spark, {"a": 0, "b": 0})
     q3 = {(r["src"], r["dst"]): r["weight"] for r in quotient_graph(g, partial).collect()}
     assert q3 == {(0, 0): 1.0}
+
+
+def test_cut_metrics_ignores_phantom_label_ids(spark):
+    # review regression: label ids absent from the graph must not
+    # fabricate zero-volume communities
+    from linkgraph import LinkGraph
+
+    g = LinkGraph(
+        spark.createDataFrame([("a", "b")], ["src", "dst"]),
+        keys={"directed": False},
+    )
+    part = _labels(spark, {"a": 0, "b": 0, "ghost": 42})
+    rows = {r["label"] for r in cut_metrics(g, part).collect()}
+    assert rows == {0}
