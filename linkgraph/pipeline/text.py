@@ -496,3 +496,52 @@ def quality_filter(
         .withColumn("keep", F.col("drop_reason").isNull())
         .drop("_w", "_dup2")
     )
+
+
+#: PII patterns in FIXED redaction order (URL first — it can contain the
+#: others — then email, then the digit shapes from most to least specific).
+#: Lookaround-free and backreference-free on purpose: the same pattern string
+#: must behave identically under Java regex (Spark JVM) and RE2 (the DuckDB
+#: oracle), and RE2 supports neither construct.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    redacted_col: str = "redacted",
+    prefix: str = "pii_",
+) -> DataFrame:
+    """Regex PII scrubbing for pretraining corpora: per-type match counts on
+    the ORIGINAL text plus a ``redacted`` copy with each match replaced by a
+    typed placeholder (``<URL>``, ``<EMAIL>``, …), applied in the fixed
+    PII_PATTERNS order so URL-embedded emails are consumed by the URL rule.
+
+    All six counters and the six chained ``regexp_replace`` calls are JVM
+    column expressions over one scan — zero shuffle, zero UDF, column-pruned
+    to ``text_col`` — so the scrub runs at parquet-scan speed at 100 TB.
+    Null text yields zero counts and a null ``redacted`` (concat/replace
+    propagate NULL identically in Spark and the oracle engine).
+    """
+    t = F.col(text_col)
+    counts = []
+    red = t
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.when(
+                t.isNotNull(),
+                F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"{prefix}{name}")
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.select("*", *counts, red.alias(redacted_col))

@@ -3916,3 +3916,77 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+#: (modulus, spark suffix-builder args, sql suffix expr) for the PII
+#: injection — the synthetic corpus has no PII, so the query plants
+#: deterministic markers (same appends, same order) in BOTH engines and the
+#: hash then pins counting AND the redacted text byte-for-byte.
+_PII_INJECT = [
+    (5, "email", " contact u", "@example.com"),
+    (7, "phone", " call 555-123-4567", None),
+    (11, "ipv4", " host 10.0.0.3", None),
+    (13, "url", " see https://ex.org/p?q=1", None),
+    (17, "ssn", " ssn 123-45-6789", None),
+    (19, "card", " card 4111 1111 1111 1111", None),
+]
+
+
+def q_pii_scrub_documents(spark, sf_dir):
+    """PII scrub over documents with deterministic injected markers
+    (doc_id % {5,7,11,13,17,19} plant email/phone/ipv4/url/ssn/card —
+    composites like doc_id=35 get several, in list order). Returns per-doc
+    type counts and the fully redacted text; the value hash therefore
+    verifies the regex semantics of both engines agree on every byte."""
+    from linkgraph.pipeline.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    inj = F.col("text")
+    for mod, _name, pre, post in _PII_INJECT:
+        piece = (
+            F.concat(F.lit(pre), F.col("doc_id").cast("string"), F.lit(post))
+            if post is not None
+            else F.lit(pre)
+        )
+        inj = F.when(F.col("doc_id") % mod == 0, F.concat(inj, piece)).otherwise(inj)
+    return pii_scrub(d.select("doc_id", inj.alias("text"))).select(
+        "doc_id", "pii_url", "pii_email", "pii_ssn", "pii_card",
+        "pii_phone", "pii_ipv4", "redacted",
+    )
+
+
+QUERIES.update({"pii_scrub_documents": q_pii_scrub_documents})
+
+
+def _pii_oracle_sql() -> str:
+    from linkgraph.pipeline.text import PII_PATTERNS
+
+    appends = []
+    for mod, _name, pre, post in _PII_INJECT:
+        suffix = (
+            f"'{pre}' || CAST(doc_id AS VARCHAR) || '{post}'"
+            if post is not None
+            else f"'{pre}'"
+        )
+        appends.append(f"|| CASE WHEN doc_id % {mod} = 0 THEN {suffix} ELSE '' END")
+    txt = "text\n          " + "\n          ".join(appends)
+    red = "txt"
+    count_cols = []
+    for name, pat in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        count_cols.append(
+            f"CASE WHEN txt IS NULL THEN 0 ELSE "
+            f"CAST(len(regexp_extract_all(txt, '{sql_pat}')) AS BIGINT) END "
+            f"AS pii_{name}"
+        )
+        red = f"regexp_replace({red}, '{sql_pat}', '<{name.upper()}>', 'g')"
+    return f"""
+        WITH base AS (SELECT doc_id, {txt} AS txt FROM documents)
+        SELECT doc_id,
+               {', '.join(count_cols)},
+               {red} AS redacted
+        FROM base
+    """
+
+
+ORACLE_SQL.update({"pii_scrub_documents": _pii_oracle_sql()})

@@ -287,3 +287,37 @@ def test_quality_filter_rules_and_order(spark):
     # pure column math: no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_pii_scrub_types_order_and_nulls(spark):
+    from linkgraph.pipeline.text import pii_scrub
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@my-site.org today"),
+            (2, "see https://ex.org/u?e=a@b.com then mail c@d.net"),
+            (3, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.3"),
+            (4, "card 4111 1111 1111 1111 and 4111-1111-1111-1111"),
+            (5, None),
+            (6, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert rows[1]["pii_email"] == 1
+    assert rows[1]["redacted"] == "mail me at <EMAIL> today"
+    # URL rule consumes the embedded email in REDACTION (fixed order), but
+    # counts are computed independently on the original text
+    assert rows[2]["pii_url"] == 1 and rows[2]["pii_email"] == 2
+    assert rows[2]["redacted"] == "see <URL> then mail <EMAIL>"
+    assert rows[3]["pii_ssn"] == 1 and rows[3]["pii_phone"] == 1
+    assert rows[3]["pii_ipv4"] == 1
+    assert rows[3]["redacted"] == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert rows[4]["pii_card"] == 2
+    assert rows[4]["redacted"] == "card <CARD> and <CARD>"
+    # null text: zero counts, null redacted (no ANSI null poisoning)
+    assert rows[5]["pii_email"] == 0 and rows[5]["redacted"] is None
+    assert rows[6]["redacted"] == "no pii here at all"
+    # scan-shaped: no shuffle, no Python in the plan
+    plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
