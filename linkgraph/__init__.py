@@ -20,6 +20,7 @@ from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
 from linkgraph.algorithms.simrank import simrank
+from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -126,6 +127,8 @@ __all__ = [
     "cut_metrics",
     "quotient_graph",
     "simrank",
+    "scan_clustering",
+    "structural_similarity",
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",

@@ -3990,3 +3990,148 @@ def _pii_oracle_sql() -> str:
 
 
 ORACLE_SQL.update({"pii_scrub_documents": _pii_oracle_sql()})
+
+
+def q_structural_similarity_copurchase(spark, sf_dir):
+    """SCAN cosine structural similarity on the supplier co-purchase graph
+    (triangle-rich). The oracle recomputes |Γ(a)∩Γ(b)| generically via an
+    adjacency double-join, so the support+2 identity, the closed-neighborhood
+    degree join, and the canonicalization are all hash-pinned; similarity is
+    emitted in millionths (both engines round the same IEEE double)."""
+    from linkgraph import structural_similarity
+
+    g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+    return structural_similarity(g).select(
+        "a",
+        "b",
+        F.round(F.col("similarity") * 1e6).cast("long").alias("sim_millionths"),
+    )
+
+
+QUERIES.update({"structural_similarity_copurchase": q_structural_similarity_copurchase})
+ORACLE_SQL.update(
+    {
+        "structural_similarity_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+               FROM sp a JOIN sp b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        e AS (SELECT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+        adj AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT x AS id, count(*) AS d FROM adj GROUP BY x),
+        common AS (SELECT e.a, e.b, count(*) AS c
+                   FROM e JOIN adj p ON p.x = e.a
+                          JOIN adj q ON q.x = e.b AND q.y = p.y
+                   GROUP BY e.a, e.b)
+        SELECT e.a, e.b,
+               CAST(round((coalesce(c.c, 0) + 2)
+                    / sqrt((da.d + 1.0) * (db.d + 1.0)) * 1000000) AS BIGINT)
+               AS sim_millionths
+        FROM e LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+               JOIN deg da ON da.id = e.a
+               JOIN deg db ON db.id = e.b
+    """,
+    }
+)
+
+
+#: extra edges for the SCAN fixture beyond the two nation 4-cliques:
+#: bridge, a 2-anchor satellite (border), a cross-clique connector (hub),
+#: and its pendant (outlier)
+_SCAN_EXTRA = [("n0", "n4"), ("n1", "n8"), ("n2", "n8"), ("n1", "n9"),
+               ("n5", "n9"), ("n9", "n10")]
+
+
+def q_scan_fixture_nation(spark, sf_dir):
+    """SCAN (eps=0.7, mu=4) on the two-clique fixture (nations 0-3 / 4-7,
+    as the spectral fixture) extended with a border/hub/outlier scaffold.
+    The oracle replays the WHOLE algorithm generically in SQL — similarity
+    joins, eps-core counting, a recursive-CTE transitive closure for the
+    core components, min-cluster border attachment, and the hub/outlier
+    split — so every SCAN rule is value-hash-verified end to end."""
+    from linkgraph import scan_clustering
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"), F.col("n_nationkey").alias("k")
+    )
+
+    def clique(side):
+        x, y = side.alias("x"), side.alias("y")
+        return x.join(y, F.col("x.k") < F.col("y.k")).select(
+            F.col("x.id").alias("src"), F.col("y.id").alias("dst")
+        )
+
+    extra = spark.createDataFrame(_SCAN_EXTRA, ["src", "dst"])
+    edges = (
+        clique(n.filter("k < 4"))
+        .union(clique(n.filter("k >= 4 and k < 8")))
+        .union(extra)
+    )
+    g = LinkGraph(edges, keys={"directed": False})
+    res = scan_clustering(g, eps=0.7, mu=4)
+    return res.labels.select("id", "role", "cluster")
+
+
+QUERIES.update({"scan_fixture_nation": q_scan_fixture_nation})
+ORACLE_SQL.update(
+    {
+        "scan_fixture_nation": """
+        WITH RECURSIVE
+        cl AS (SELECT 'n' || a.n_nationkey AS a, 'n' || b.n_nationkey AS b
+               FROM nation a JOIN nation b
+               ON a.n_nationkey < b.n_nationkey
+              AND ((a.n_nationkey < 4 AND b.n_nationkey < 4)
+                   OR (a.n_nationkey BETWEEN 4 AND 7
+                       AND b.n_nationkey BETWEEN 4 AND 7))),
+        eds AS (SELECT a, b FROM cl
+                UNION ALL
+                SELECT * FROM (VALUES ('n0','n4'), ('n1','n8'), ('n2','n8'),
+                                      ('n1','n9'), ('n5','n9'), ('n9','n10'))
+                          v(a, b)),
+        adj AS (SELECT a AS x, b AS y FROM eds UNION ALL SELECT b, a FROM eds),
+        deg AS (SELECT x AS id, count(*) AS d FROM adj GROUP BY x),
+        common AS (SELECT e.a, e.b, count(*) AS c
+                   FROM eds e JOIN adj p ON p.x = e.a
+                              JOIN adj q ON q.x = e.b AND q.y = p.y
+                   GROUP BY e.a, e.b),
+        sim AS (SELECT e.a, e.b,
+                       (coalesce(c.c, 0) + 2)
+                       / sqrt((da.d + 1.0) * (db.d + 1.0)) AS s
+                FROM eds e LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+                           JOIN deg da ON da.id = e.a
+                           JOIN deg db ON db.id = e.b),
+        epse AS (SELECT a, b FROM sim WHERE s >= 0.7),
+        epssym AS (SELECT a AS u, b AS v FROM epse
+                   UNION ALL SELECT b, a FROM epse),
+        cores AS (SELECT u AS id FROM epssym GROUP BY u
+                  HAVING count(*) + 1 >= 4),
+        ce AS (SELECT u, v FROM epssym
+               WHERE u IN (SELECT id FROM cores)
+                 AND v IN (SELECT id FROM cores)),
+        reach(src, dst) AS (
+            SELECT id, id FROM cores
+            UNION
+            SELECT r.src, ce.v FROM reach r JOIN ce ON ce.u = r.dst
+        ),
+        comp AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+        border AS (SELECT s.u AS id, min(c.cluster) AS cluster
+                   FROM epssym s JOIN comp c ON c.id = s.v
+                   WHERE s.u NOT IN (SELECT id FROM cores)
+                   GROUP BY s.u),
+        member AS (SELECT id, 'core' AS role, cluster FROM comp
+                   UNION ALL
+                   SELECT id, 'border' AS role, cluster FROM border),
+        allnodes AS (SELECT DISTINCT x AS id FROM adj),
+        adjc AS (SELECT a2.x AS id, count(DISTINCT m.cluster) AS nc
+                 FROM adj a2 JOIN member m ON m.id = a2.y GROUP BY a2.x)
+        SELECT id, role, cluster FROM member
+        UNION ALL
+        SELECT n.id,
+               CASE WHEN coalesce(adjc.nc, 0) >= 2
+                    THEN 'hub' ELSE 'outlier' END AS role,
+               CAST(NULL AS VARCHAR) AS cluster
+        FROM allnodes n LEFT JOIN adjc ON adjc.id = n.id
+        WHERE n.id NOT IN (SELECT id FROM member)
+    """,
+    }
+)
