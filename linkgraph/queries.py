@@ -4135,3 +4135,84 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_triangles_per_vertex_copurchase(spark, sf_dir):
+    """Per-vertex triangle participation on the co-purchase graph,
+    zero-filled over all nodes (networkx ``triangles`` parity); the oracle
+    re-enumerates triangles generically and counts corners."""
+    from linkgraph import triangle_counts_per_vertex
+
+    g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+    return triangle_counts_per_vertex(g).select("id", "triangles")
+
+
+QUERIES.update({"triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase})
+ORACLE_SQL.update(
+    {
+        "triangles_per_vertex_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+               FROM sp a JOIN sp b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        eo AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+        tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM eo e1 JOIN eo e2 ON e1.v = e2.u
+                           JOIN eo e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+        nodes AS (SELECT DISTINCT u AS id FROM eo
+                  UNION SELECT DISTINCT v FROM eo)
+        SELECT n.id, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+        FROM nodes n LEFT JOIN cnt c ON c.id = n.id
+    """,
+    }
+)
+
+
+def q_avg_clustering_copurchase(spark, sf_dir):
+    """Average clustering coefficient (networkx ``average_clustering``
+    parity: mean of 2T(v)/(d(v)(d(v)-1)) over ALL nodes, 0 when d < 2) on
+    the co-purchase graph, in billionths — the oracle recomputes per-node
+    lcc from a generic triangle enumeration + degree count."""
+    from linkgraph import average_clustering
+
+    g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+    val = average_clustering(g)
+    return spark.createDataFrame(
+        [(int(round(val * 1e9)),)], "avg_lcc_billionths: bigint"
+    )
+
+
+QUERIES.update({"avg_clustering_copurchase": q_avg_clustering_copurchase})
+ORACLE_SQL.update(
+    {
+        "avg_clustering_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+               FROM sp a JOIN sp b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        eo AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+        tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM eo e1 JOIN eo e2 ON e1.v = e2.u
+                           JOIN eo e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+        deg AS (SELECT id, count(*) AS d FROM
+                (SELECT u AS id FROM eo UNION ALL SELECT v FROM eo)
+                GROUP BY id),
+        lcc AS (SELECT deg.id,
+                       CASE WHEN deg.d >= 2 THEN
+                         2.0 * coalesce(cnt.t, 0) / (deg.d * (deg.d - 1))
+                       ELSE 0.0 END AS lcc
+                FROM deg LEFT JOIN cnt ON cnt.id = deg.id)
+        SELECT CAST(round(avg(lcc) * 1000000000) AS BIGINT)
+               AS avg_lcc_billionths
+        FROM lcc
+    """,
+    }
+)
