@@ -223,3 +223,47 @@ def lsh_cosine_topk(
         id_col, cosine_expr(vec_col, "_q").alias("cosine")
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization (the standard int8 ANN
+    compression): scale = max(|v_i|), q_i = round(v_i / scale · L) with
+    L = 2^(bits−1) − 1, stored as ``array<tinyint>`` for bits=8 — a 4×
+    memory cut that makes 100 TB of fp32 vectors a 25 TB scan.
+
+    Zero vectors quantize to all-zero (scale 0 guarded). Pure JVM
+    higher-order functions over the scan — no shuffle, no UDF. Returns the
+    input plus ``q_scale`` (double) and ``q_<vec_col>``.
+
+    :func:`dequantize_expr` is the inverse; the round-trip error bound is
+    scale/(2L) per coordinate.
+    """
+    if not 2 <= bits <= 8:
+        raise ValueError(f"bits must be in [2, 8], got {bits}")
+    levels = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0, F.round(x.cast("double") / scale * levels)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return emb.select(
+        "*", scale.alias("q_scale"), q.alias(f"q_{vec_col}")
+    )
+
+
+def dequantize_expr(q_col: str, scale_col: str, bits: int = 8) -> F.Column:
+    """array<double> reconstruction of a quantized column: q_i · scale / L."""
+    levels = (1 << (bits - 1)) - 1
+    s = F.col(scale_col)
+    return F.transform(
+        F.col(q_col), lambda y: y.cast("double") * s / F.lit(float(levels))
+    )

@@ -4216,3 +4216,72 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 symmetric scalar quantization round-trip on the embeddings
+    table: per-vector scale (millionths), the quantized values pinned by an
+    order-sensitive position-weighted checksum + plain sum (exact ints), and
+    the L1 reconstruction error of the dequantized vector (millionths, same
+    left-fold order in both engines). Hash equality proves both engines
+    agree on every quantized byte and on the reconstruction arithmetic."""
+    from linkgraph.pipeline.similarity import dequantize_expr, quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(e)
+    qi = F.col("q_embedding")
+    qsum = F.aggregate(qi, F.lit(0), lambda a, y: a + y.cast("int"))
+    poschk = F.aggregate(
+        F.zip_with(qi, F.sequence(F.lit(1), F.size(qi)), lambda y, i: y.cast("int") * i),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    errs = F.zip_with(
+        F.col("embedding"),
+        dequantize_expr("q_embedding", "q_scale"),
+        lambda a, b: F.abs(a.cast("double") - b),
+    )
+    l1 = F.aggregate(errs, F.lit(0.0), lambda a, x: a + x)
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale") * 1e6).cast("long").alias("scale_millionths"),
+        qsum.cast("long").alias("q_sum"),
+        poschk.cast("long").alias("q_poschk"),
+        F.round(l1 * 1e6).cast("long").alias("l1_err_millionths"),
+    )
+
+
+QUERIES.update({"quantize_embeddings": q_quantize_embeddings})
+ORACLE_SQL.update(
+    {
+        "quantize_embeddings": """
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        ),
+        qq AS (
+          SELECT vec_id, embedding, scale,
+                 list_transform(embedding,
+                     x -> CAST(round(CASE WHEN scale > 0
+                              THEN CAST(x AS DOUBLE) / scale * 127
+                              ELSE 0.0 END) AS TINYINT)) AS qv
+          FROM q
+        )
+        SELECT vec_id,
+               CAST(round(scale * 1000000) AS BIGINT) AS scale_millionths,
+               CAST(list_sum(list_transform(qv,
+                    y -> CAST(y AS INTEGER))) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> i * CAST(qv[i] AS INTEGER))) AS BIGINT) AS q_poschk,
+               CAST(round(list_reduce(
+                    list_transform(range(1, len(qv) + 1),
+                        i -> abs(CAST(embedding[i] AS DOUBLE)
+                                 - CAST(qv[i] AS DOUBLE) * scale / 127.0)),
+                    (a, b) -> a + b) * 1000000) AS BIGINT)
+               AS l1_err_millionths
+        FROM qq
+    """,
+    }
+)

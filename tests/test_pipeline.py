@@ -241,3 +241,31 @@ def test_resize_images_real(spark):
     again = {r["media_id"]: bytes(r["payload"])
              for r in resize_images(media, width=8, height=4).collect()}
     assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import pytest as _pt
+
+    from linkgraph.pipeline.similarity import dequantize_expr, quantize_embeddings
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    q = quantize_embeddings(e)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[1]["q_scale"] == 1.0
+    assert rows[1]["q_embedding"] == [127, -64, 32, 0]  # round(±x·127)
+    assert rows[2]["q_scale"] == 0.0 and rows[2]["q_embedding"] == [0, 0, 0, 0]
+    # round-trip error bounded by scale/(2·127) per coordinate
+    dq = q.select("vec_id", dequantize_expr("q_embedding", "q_scale").alias("d"))
+    d1 = {r["vec_id"]: r["d"] for r in dq.collect()}
+    for orig, rec in zip([1.0, -0.5, 0.25, 0.0], d1[1]):
+        assert abs(orig - rec) <= 1.0 / (2 * 127) + 1e-12
+    assert d1[2] == [0.0, 0.0, 0.0, 0.0]
+    with _pt.raises(ValueError):
+        quantize_embeddings(e, bits=9)
+    # scan-shaped: no shuffle, no Python
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
