@@ -4285,3 +4285,63 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_quantized_ann_top10(spark, sf_dir):
+    """Top-10 by cosine over the int8-quantized vectors for query vec_id=0
+    (scale cancels in cosine, so integer vectors rank exactly like their
+    dequantized forms). Ranked on cos rounded to 5 decimals (as the brute
+    oracle) with id tie-break; the SQL replays the quantization and the
+    integer dot/norm arithmetic."""
+    from linkgraph.pipeline.similarity import quantized_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = quantized_cosine_topk(e, query_id=0, k=10)
+    return (
+        out.select("vec_id", F.round("q_cosine", 5).alias("qcos5"))
+        .orderBy(F.desc("qcos5"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+QUERIES.update({"quantized_ann_top10": q_quantized_ann_top10})
+ORACLE_SQL.update(
+    {
+        "quantized_ann_top10": """
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        ),
+        qq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CASE WHEN scale > 0
+                              THEN CAST(x AS DOUBLE) / scale * 127
+                              ELSE 0.0 END) AS TINYINT)) AS qv
+          FROM q
+        ),
+        probe AS (SELECT qv AS pq FROM qq WHERE vec_id = 0),
+        scored AS (
+          SELECT qq.vec_id,
+                 list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> CAST(qv[i] AS INTEGER) * CAST(pq[i] AS INTEGER)))
+                 AS dot,
+                 list_sum(list_transform(qv,
+                     y -> CAST(y AS INTEGER) * CAST(y AS INTEGER))) AS na,
+                 list_sum(list_transform(pq,
+                     y -> CAST(y AS INTEGER) * CAST(y AS INTEGER))) AS nb
+          FROM qq CROSS JOIN probe
+        )
+        SELECT vec_id,
+               round(CASE WHEN na > 0 AND nb > 0
+                     THEN CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                     ELSE 0.0 END, 5) AS qcos5
+        FROM scored
+        ORDER BY qcos5 DESC, vec_id ASC
+        LIMIT 10
+    """,
+    }
+)

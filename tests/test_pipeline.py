@@ -269,3 +269,15 @@ def test_quantize_embeddings_roundtrip(spark):
     # scan-shaped: no shuffle, no Python
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_quantized_topk_matches_brute_ranking(spark):
+    from linkgraph.pipeline.similarity import cosine_topk, quantized_cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = [r["vec_id"] for r in cosine_topk(e, query_id=0, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_cosine_topk(e, query_id=0, k=10).collect()]
+    # int8 keeps cosine to ~1e-4, so top-10 overlap must be near-total and
+    # the top hit (the query itself, cos 1.0) identical
+    assert quant[0] == brute[0] == 0
+    assert len(set(brute) & set(quant)) >= 8
