@@ -545,3 +545,88 @@ def pii_scrub(
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return df.select("*", *counts, red.alias(redacted_col))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scores: int | None = None,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; Lucene's non-negative
+    idf variant): score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    tf/(tf + k1·(1 − b + b·dl/avgdl)). Returns the top-k
+    DataFrame[id, bm25] with deterministic (score desc, id asc) order.
+
+    Scale shape: the corpus-sized work is ONE tokenize scan feeding two
+    algebraic aggregates (per-doc length; per-(doc, matched-term) tf after
+    an early filter to the query vocabulary — the explode never shuffles
+    non-matching tokens). N/avgdl/df_t are one-row or |query|-row tables,
+    broadcast; no windows, no UDF, no driver action.
+
+    ``round_scores=d`` rounds bm25 to d decimals BEFORE ranking: the
+    per-doc term sum is float-order-dependent across partitions, so exact
+    ties (identical tf and dl) can differ in the last bit run-to-run —
+    rounding first makes the (score desc, id asc) top-k reproducible."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.explode(_words_col(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    toks = toks.persist()
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = df.select(F.col(id_col).alias("_id")).distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    stats = n_docs.crossJoin(tot).select(
+        "n", (F.col("tt") / F.col("n")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_id",
+            (
+                idf
+                * F.col("tf").cast("double")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_s").alias("bm25"))
+    )
+    if round_scores is not None:
+        scored = scored.select("_id", F.round("bm25", round_scores).alias("bm25"))
+    out = (
+        scored.orderBy(F.desc("bm25"), F.asc("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "bm25")
+    )
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out

@@ -4345,3 +4345,53 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bm25_top10_documents(spark, sf_dir):
+    """BM25 retrieval for the 3-term query {merge, spark, window} over the
+    documents table — Lucene idf variant, k1=1.2, b=0.75, scores rounded to
+    5 decimals BEFORE ranking (exact ties then break on doc_id identically
+    in both engines). The oracle replays the whole formula from the shared
+    tokenizer CTE."""
+    from linkgraph.pipeline.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"),
+        ["merge", "spark", "window"],
+        k=10,
+        round_scores=5,
+    )
+
+
+QUERIES.update({"bm25_top10_documents": q_bm25_top10_documents})
+ORACLE_SQL.update(
+    {
+        "bm25_top10_documents": f"""
+        WITH {_WORDS_CTE},
+        toks AS (SELECT doc_id, term FROM
+                 (SELECT doc_id, unnest(words) AS term FROM w)
+                 WHERE term <> ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM documents),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+               WHERE term IN ('merge', 'spark', 'window')
+               GROUP BY doc_id, term),
+        dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+                FROM tf GROUP BY term),
+        s AS (SELECT tf.doc_id,
+                     ln(1.0 + (nd.n - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                     * CAST(tf.tf AS DOUBLE)
+                     / (tf.tf + 1.2 * (0.25
+                        + 0.75 * CAST(dl.dl AS DOUBLE) / (tt.tt / nd.n)))
+                     AS sc
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN nd CROSS JOIN tt)
+        SELECT doc_id, round(sum(sc), 5) AS bm25
+        FROM s GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 10
+    """,
+    }
+)

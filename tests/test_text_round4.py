@@ -321,3 +321,27 @@ def test_pii_scrub_types_order_and_nulls(spark):
     # scan-shaped: no shuffle, no Python in the plan
     plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_bm25_ranking_semantics(spark):
+    import pytest as _pt
+
+    from linkgraph.pipeline.text import bm25_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),      # high tf for 'spark'
+            (2, "spark join " + "pad " * 50),   # long doc penalized by b
+            (3, "join merge filter"),           # no query term
+            (4, "spark"),                       # short doc, tf 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(d, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids              # docs without the term never score
+    assert ids[0] == 1               # tf 3 in a short doc wins
+    assert ids.index(4) < ids.index(2)  # length normalization bites doc 2
+    assert all(r["bm25"] > 0 for r in out)
+    with _pt.raises(ValueError):
+        bm25_search(d, [])
