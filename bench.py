@@ -236,6 +236,17 @@ def main():
 
     timed("ktruss3_imports", _ktruss_imports)
 
+    def _structsim_imports():
+        from linkgraph import structural_similarity
+
+        out = structural_similarity(g_imp)
+        extra["structsim_edges"] = out.count()
+        extra["structsim_max_millionths"] = int(
+            out.agg(F.max(F.round(F.col("similarity") * 1e6))).collect()[0][0] or 0
+        )
+
+    timed("structsim_imports", _structsim_imports)
+
     def _pr_cop():
         # default auto strategy: a ~240k-edge graph takes the driver-local
         # plan (the engine's size-based physical choice) — ~100 BSP
@@ -315,6 +326,22 @@ def main():
     timed("weighted_degree", lambda: q_weighted_degree_lineitem(spark, sf_dir).count())
     timed("ann_cosine_top10", lambda: q_ann_cosine_top10(spark, sf_dir).collect())
     timed("dedup_exact", lambda: q_dedup_exact_documents(spark, sf_dir).count())
+
+    def _quant_ann():
+        from linkgraph.pipeline.similarity import quantized_cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        quantized_cosine_topk(emb, query_id=0, k=10).collect()
+
+    timed("quantized_ann_top10", _quant_ann)
+
+    def _bm25_docs():
+        from linkgraph.pipeline.text import bm25_search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bm25_search(docs, ["merge", "spark", "window"], k=10).collect()
+
+    timed("bm25_documents", _bm25_docs)
 
     shutil.rmtree(tmp, ignore_errors=True)
 
