@@ -21,6 +21,7 @@ from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
+from linkgraph.generators import gnm_graph, rmat_graph
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -129,6 +130,8 @@ __all__ = [
     "simrank",
     "scan_clustering",
     "structural_similarity",
+    "rmat_graph",
+    "gnm_graph",
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",

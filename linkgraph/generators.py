@@ -1,0 +1,101 @@
+"""Deterministic distributed graph generators — R-MAT and uniform G(n, m).
+
+Beyond the reference (no synthetic-graph sources in ``mercury/``): a
+link-graph engine needs benchmark/test graphs it can synthesize AT SCALE —
+R-MAT (Chakrabarti, Zhan, Faloutsos, SDM'04; the Graph500 generator) gives
+power-law, community-structured edge lists; G(n, m) gives the uniform
+control.
+
+Scale shape: both generators are pure column expressions over
+``spark.range(m)`` — embarrassingly parallel, zero shuffle, no RNG state.
+Randomness is md5-derived (the same engine-portable primitive as
+:mod:`linkgraph.pipeline.sampling`): edge i's bits come from
+``md5(seed:i:level:tag)``, so the SAME edge list materializes on every run,
+every partitioning, and every engine (the DuckDB oracles replay the
+arithmetic digit-for-digit). Quadrant choices compare 60-bit integer
+hashes against integer thresholds — no float anywhere.
+
+Like every sampling-with-replacement generator (including Graph500's),
+output is a multigraph with possible self-loops; ``.distinct()`` or
+``LinkGraph`` canonicalization downstream dedups when needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_B60 = 1 << 60
+
+
+def _h60(*parts) -> F.Column:
+    """60-bit uniform integer from md5 of ':'-joined parts (first 15 hex
+    digits big-endian — the engine-portable slice)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def rmat_graph(
+    spark: SparkSession,
+    scale: int,
+    num_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[i, src, dst] — R-MAT over n = 2^scale nodes: each edge
+    descends ``scale`` quadrant choices; at level l the 60-bit hash of
+    (seed, i, l) picks the quadrant by integer thresholds ⌊a·2^60⌋ /
+    ⌊(a+b)·2^60⌋ / ⌊(a+b+c)·2^60⌋ (d = 1−a−b−c implicit). Defaults are the
+    Graph500 parameters."""
+    if scale < 1 or scale > 62:
+        raise ValueError(f"scale must be in [1, 62], got {scale}")
+    d = 1.0 - a - b - c
+    if min(a, b, c, d) < 0:
+        raise ValueError(f"a+b+c must be <= 1 and all parts >= 0 (d={d:.4f})")
+    ta, tb, tc = (int(x * _B60) for x in (a, a + b, a + b + c))
+    df = spark.range(0, num_edges, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    lv = F.sequence(F.lit(0), F.lit(scale - 1))
+    hashes = F.transform(lv, lambda l: _h60(F.lit(str(seed)), F.col("id"), l))
+    quad = F.transform(
+        hashes,
+        lambda h: (
+            F.when(h < ta, F.lit(0))
+            .when(h < tb, F.lit(1))
+            .when(h < tc, F.lit(2))
+            .otherwise(F.lit(3))
+        ),
+    )
+    fold = lambda bit: F.aggregate(  # noqa: E731
+        F.col("_q"), F.lit(0).cast("long"), lambda acc, q: acc * 2 + bit(q)
+    )
+    return (
+        df.withColumn("_q", quad)
+        .select(
+            F.col("id").alias("i"),
+            fold(lambda q: (q >= 2).cast("long")).alias("src"),
+            fold(lambda q: (q % 2).cast("long")).alias("dst"),
+        )
+    )
+
+
+def gnm_graph(
+    spark: SparkSession,
+    n: int,
+    num_edges: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[i, src, dst] — uniform random edges over n nodes (sampling
+    with replacement): endpoint = 60-bit hash of (seed, i, tag) mod n."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    df = spark.range(0, num_edges, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    return df.select(
+        F.col("id").alias("i"),
+        F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("s")), F.lit(n)).alias("src"),
+        F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("d")), F.lit(n)).alias("dst"),
+    )

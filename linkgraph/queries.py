@@ -4395,3 +4395,128 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_corpus_stats_rollup(spark, sf_dir):
+    """Corpus accounting with ROLLUP — doc counts, token totals, and mean
+    doc length by (lang, source) plus per-lang and grand-total subtotal
+    rows (the Catalyst `Expand`-based rollup: partial-aggregable, one
+    shuffle for every grouping set). Subtotal rows surface as NULL group
+    keys in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    from linkgraph.pipeline.text import token_count
+
+    t = token_count(d)
+    return (
+        t.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        )
+        .select("lang", "source", "n_docs", "total_tokens", "mean_tokens")
+    )
+
+
+QUERIES.update({"corpus_stats_rollup": q_corpus_stats_rollup})
+ORACLE_SQL.update(
+    {
+        "corpus_stats_rollup": """
+        WITH t AS (
+          SELECT lang, source,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS mean_tokens
+        FROM t GROUP BY ROLLUP (lang, source)
+    """,
+    }
+)
+
+
+def _rmat_oracle_sql(scale: int, m: int, seed: int, a: float, b: float, c: float) -> str:
+    """DuckDB replica of rmat_graph: the 60-bit md5 hash rebuilt digit by
+    digit (strpos arithmetic, as the simhash oracle), integer-threshold
+    quadrants, bit-fold to (src, dst)."""
+    ta, tb, tc = (int(x * (1 << 60)) for x in (a, a + b, a + b + c))
+    h = (
+        "list_sum(list_transform(range(1, 16), p -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr(md5('{seed}:' || i || ':' || l), p, 1)) - 1 AS BIGINT) "
+        "* (1::BIGINT << (4 * (15 - p)))))"
+    )
+    def bits(cond: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {scale + 1}), k -> "
+            f"(CASE WHEN {cond} THEN 1::BIGINT ELSE 0::BIGINT END) "
+            f"* (1::BIGINT << ({scale} - k)))) AS BIGINT)"
+        )
+    return f"""
+        WITH e AS (SELECT i FROM range(0, {m}) t(i)),
+        q AS (SELECT i,
+                list_transform(range(0, {scale}), l ->
+                  CASE WHEN {h} < {ta} THEN 0
+                       WHEN {h} < {tb} THEN 1
+                       WHEN {h} < {tc} THEN 2
+                       ELSE 3 END) AS qs
+              FROM e)
+        SELECT CAST(i AS BIGINT) AS i,
+               {bits("qs[k] >= 2")} AS src,
+               {bits("qs[k] % 2 = 1")} AS dst
+        FROM q
+    """
+
+
+def q_rmat_edges(spark, sf_dir):
+    """R-MAT generator determinism: 2,000 edges over 2^8 nodes at the
+    Graph500 parameters — the oracle rebuilds every md5-derived quadrant
+    choice digit-for-digit, so the hash pins the exact edge list (not just
+    its shape) across engines, runs, and partitionings."""
+    from linkgraph import rmat_graph
+
+    return rmat_graph(spark, scale=8, num_edges=2000, seed=7)
+
+
+QUERIES.update({"rmat_edges": q_rmat_edges})
+ORACLE_SQL.update(
+    {"rmat_edges": _rmat_oracle_sql(8, 2000, 7, 0.57, 0.19, 0.19)}
+)
+
+
+def q_gnm_degree_stats(spark, sf_dir):
+    """Uniform G(n, m) control: 5,000 hash-uniform edges over 500 nodes,
+    summarized as the out-degree histogram (degree → node count) — pins
+    both endpoint hashes mod n and exercises the generator → aggregate
+    path."""
+    from linkgraph import gnm_graph
+
+    e = gnm_graph(spark, n=500, num_edges=5000, seed=11)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+QUERIES.update({"gnm_degree_stats": q_gnm_degree_stats})
+_GNM_H = (
+    "list_sum(list_transform(range(1, 16), p -> "
+    "CAST(strpos('0123456789abcdef', "
+    "substr(md5('11:' || i || ':' || {tag}), p, 1)) - 1 AS BIGINT) "
+    "* (1::BIGINT << (4 * (15 - p)))))"
+)
+ORACLE_SQL.update(
+    {
+        "gnm_degree_stats": f"""
+        WITH e AS (SELECT i,
+                          {_GNM_H.format(tag="'s'")} % 500 AS src,
+                          {_GNM_H.format(tag="'d'")} % 500 AS dst
+                   FROM range(0, 5000) t(i)),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+        SELECT CAST(deg AS BIGINT) AS deg,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY deg
+    """,
+    }
+)
