@@ -21,6 +21,7 @@ from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import strongly_connected_components
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
+from linkgraph.algorithms.pattern import find_pattern
 from linkgraph.generators import gnm_graph, rmat_graph
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
@@ -132,6 +133,7 @@ __all__ = [
     "structural_similarity",
     "rmat_graph",
     "gnm_graph",
+    "find_pattern",
     "temporal_reachability",
     "aggregate_messages",
     "feature_propagation",

@@ -4520,3 +4520,77 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_pattern_chain_orders(spark, sf_dir):
+    """Motif DSL smoke on a 2-level DAG (customer→order from orders,
+    order→part from lineitem): the chain pattern '(a)-[]->(b); (b)-[]->(c)'
+    must bind exactly the SQL 2-join, with the negated variant dropping
+    closures (none exist in a DAG — pinned by equal counts in SQL)."""
+    from linkgraph import find_pattern
+
+    o = _t(spark, sf_dir, "orders").select(
+        _tag("o_custkey", "c").alias("src"), _tag("o_orderkey", "o").alias("dst")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            _tag("l_orderkey", "o").alias("src"), _tag("l_partkey", "p").alias("dst")
+        )
+        .distinct()
+    )
+    g = LinkGraph(o.union(li))
+    m = find_pattern(g, "(a)-[]->(b); (b)-[]->(c)")
+    return m.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.count_distinct("c").alias("n_parts"),
+    )
+
+
+QUERIES.update({"pattern_chain_orders": q_pattern_chain_orders})
+ORACLE_SQL.update(
+    {
+        "pattern_chain_orders": """
+        WITH e AS (SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+                   FROM orders
+                   UNION ALL
+                   SELECT DISTINCT 'o' || l_orderkey, 'p' || l_partkey
+                   FROM lineitem)
+        SELECT e1.src AS a,
+               CAST(count(*) AS BIGINT) AS n_chains,
+               CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_parts
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        GROUP BY e1.src
+    """,
+    }
+)
+
+
+def q_pattern_triangle_copurchase(spark, sf_dir):
+    """Triangle LISTING via the motif DSL over the canonical (a<b)
+    co-purchase edge set: '(a)->(b); (b)->(c); (a)->(c)' binds each
+    triangle exactly once with a<b<c — the oracle is the generic 3-join."""
+    from linkgraph import find_pattern
+
+    e = copurchase_edges(spark, sf_dir).select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    g = LinkGraph(e)
+    return find_pattern(g, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+
+
+QUERIES.update({"pattern_triangle_copurchase": q_pattern_triangle_copurchase})
+ORACLE_SQL.update(
+    {
+        "pattern_triangle_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+               FROM sp a JOIN sp b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        eo AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e0)
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM eo e1 JOIN eo e2 ON e1.v = e2.u
+                   JOIN eo e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    }
+)
