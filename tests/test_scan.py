@@ -60,3 +60,83 @@ def test_scan_param_validation(spark):
         scan_clustering(g, eps=0.0)
     with pytest.raises(ValueError):
         scan_clustering(g, mu=1)
+
+
+def _scan_reference(edges, eps, mu):
+    """Brute-force SCAN: closed-neighborhood cosine sims, eps-cores,
+    BFS clusters over core-core eps-edges, min-cluster borders, hub/outlier
+    split — mirrors the paper definitions with min-id labels."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    gamma = {v: adj[v] | {v} for v in nodes}
+    sig = {}
+    for a, b in {(min(x, y), max(x, y)) for x, y in edges if x != y}:
+        sig[(a, b)] = len(gamma[a] & gamma[b]) / (
+            (len(gamma[a]) * len(gamma[b])) ** 0.5
+        )
+    eps_nb = {
+        v: {u for u in adj[v] if sig[(min(u, v), max(u, v))] >= eps}
+        for v in nodes
+    }
+    cores = {v for v in nodes if len(eps_nb[v]) + 1 >= mu}
+    cluster = {}
+    for seed in sorted(cores):
+        if seed in cluster:
+            continue
+        comp, frontier = {seed}, [seed]
+        while frontier:
+            v = frontier.pop()
+            for u in eps_nb[v]:
+                if u in cores and u not in comp:
+                    comp.add(u)
+                    frontier.append(u)
+        lbl = min(comp)
+        for v in comp:
+            cluster[v] = lbl
+    roles = {}
+    for v in nodes:
+        if v in cores:
+            roles[v] = ("core", cluster[v])
+    for v in nodes:
+        if v in cores:
+            continue
+        att = {cluster[u] for u in eps_nb[v] if u in cores}
+        if att:
+            roles[v] = ("border", min(att))
+    member = {v: rc[1] for v, rc in roles.items()}
+    for v in nodes:
+        if v in roles:
+            continue
+        ncl = {member[u] for u in adj[v] if u in member}
+        roles[v] = ("hub", None) if len(ncl) >= 2 else ("outlier", None)
+    return roles
+
+
+def test_scan_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"v{i:02d}" for i in range(40)]
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and rng.random() < 0.12
+        }
+    )
+    g = LinkGraph(
+        spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False}
+    )
+    for eps, mu in [(0.5, 3), (0.7, 2), (0.6, 4)]:
+        want = _scan_reference(edges, eps, mu)
+        got = {
+            r["id"]: (r["role"], r["cluster"])
+            for r in scan_clustering(g, eps=eps, mu=mu).labels.collect()
+        }
+        assert got == want, (eps, mu)
