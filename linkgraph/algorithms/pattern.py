@@ -18,7 +18,7 @@ the pattern constrains otherwise, and negated terms may not introduce new
 variables or name their edge.
 
 Execution is pure Catalyst: each positive term is one equi-join of the
-accumulated binding table against the (persisted, reused) edge table —
+accumulated binding table against the edge-table projection —
 shared variables become join keys, fresh variables extend the schema;
 negated terms compile to ``left_anti`` joins. No windows, no UDFs, no
 driver-side enumeration — the planner sees an ordinary join DAG (AQE picks
@@ -81,12 +81,16 @@ def find_pattern(graph: LinkGraph, pattern: str) -> DataFrame:
     one row per binding with a column per named vertex var and a
     (src, dst) struct per named edge var."""
     terms = _parse(pattern)
+    # no implicit persist: the projection is one scan of the (typically
+    # parquet or caller-cached) edge table per term, and a hidden persist
+    # here would leak cache across calls — callers matching many patterns
+    # against one graph should cache graph.edges themselves (the engine's
+    # caller-owned-cache convention)
     edges = graph.edges.select(SRC, DST)
-    if not edges.is_cached:
-        edges = edges.persist()
 
     bound: DataFrame | None = None
     cols: set[str] = set()
+    edge_vars: set[str] = set()
     negated: list[dict] = []
     anon = 0
 
@@ -100,11 +104,20 @@ def find_pattern(graph: LinkGraph, pattern: str) -> DataFrame:
         if d is None:
             d, anon = f"__anon{anon}", anon + 1
         if s == d:
-            raise ValueError("self-loop terms '(a)-[]->(a)' are not supported")
+            raise ValueError(
+                "positive self-loop terms '(a)-[]->(a)' are not supported"
+            )
+        clash = [v for v in (s, d) if v in edge_vars]
+        if clash:
+            raise ValueError(
+                f"vertex variable(s) {clash} already bound as edge variables"
+            )
         step = edges.select(F.col(SRC).alias(s), F.col(DST).alias(d))
         if e:
-            if e in cols:
-                raise ValueError(f"edge variable {e!r} bound twice")
+            if e in cols or e in (s, d):
+                raise ValueError(
+                    f"edge variable {e!r} collides with an existing binding"
+                )
             step = step.withColumn(
                 e, F.struct(F.col(s).alias("src"), F.col(d).alias("dst"))
             )
@@ -116,6 +129,7 @@ def find_pattern(graph: LinkGraph, pattern: str) -> DataFrame:
         cols |= {s, d}
         if e:
             cols.add(e)
+            edge_vars.add(e)
 
     for t in negated:
         s, d = t["src"], t["dst"]
@@ -125,8 +139,21 @@ def find_pattern(graph: LinkGraph, pattern: str) -> DataFrame:
                 f"negated term uses unbound variable(s) {missing} — negation "
                 "cannot introduce new variables"
             )
-        step = edges.select(F.col(SRC).alias(s), F.col(DST).alias(d))
-        bound = bound.join(step, [s, d], "left_anti")
+        non_vertex = [v for v in (s, d) if v in edge_vars]
+        if non_vertex:
+            raise ValueError(
+                f"negated term endpoint(s) {non_vertex} are edge variables, "
+                "not vertices"
+            )
+        if s == d:
+            # '!(a)-[]->(a)': a has no self-loop
+            step = edges.filter(F.col(SRC) == F.col(DST)).select(
+                F.col(SRC).alias(s)
+            )
+            bound = bound.join(step, [s], "left_anti")
+        else:
+            step = edges.select(F.col(SRC).alias(s), F.col(DST).alias(d))
+            bound = bound.join(step, [s, d], "left_anti")
 
     named = [c for c in bound.columns if not c.startswith("__anon")]
     return bound.select(*sorted(named))

@@ -45,14 +45,16 @@ from .ktruss import _edge_support
 from .triangles import _canonical_undirected, _degrees_of
 
 
-def structural_similarity(graph: LinkGraph) -> DataFrame:
+def structural_similarity(graph: LinkGraph, _und: DataFrame | None = None) -> DataFrame:
     """DataFrame[a, b, similarity] over canonical undirected edges (a < b):
     the SCAN cosine similarity of closed neighborhoods. Support comes from
-    one triangle pass; edges in no triangle get support 0 (σ = 2/sqrt(…))."""
-    und = _canonical_undirected(graph)
-    owned = not und.is_cached
-    if owned:
-        und = und.persist()
+    one triangle pass; edges in no triangle get support 0 (σ = 2/sqrt(…)).
+
+    ``_und`` (private): a precomputed, caller-persisted canonical edge set —
+    lets :func:`scan_clustering` share ONE canonicalization shuffle between
+    the similarity pass and its own hub detection."""
+    owned = _und is None
+    und = _canonical_undirected(graph).persist() if owned else _und
     deg = _degrees_of(und)
     supp = _edge_support(und)  # materialized (localCheckpoint) inside
     sim = (
@@ -95,7 +97,8 @@ def scan_clustering(
     if mu < 2:
         raise ValueError(f"mu must be >= 2, got {mu}")
     spark = graph.edges.sparkSession
-    sim = structural_similarity(graph)
+    und = _canonical_undirected(graph).persist()
+    sim = structural_similarity(graph, _und=und)
     eps_edges = sim.filter(F.col("similarity") >= eps).select("a", "b")
     eps_edges = eps_edges.persist()
 
@@ -143,14 +146,18 @@ def scan_clustering(
     )
     member = member.persist()
 
-    # hubs vs outliers among the rest: neighbors' clusters over ALL edges
-    und_sym = _canonical_undirected(graph)
-    und_sym = und_sym.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-        und_sym.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    # hubs vs outliers among the rest: neighbors' clusters over ALL edges —
+    # reusing the persisted canonical set and semi-joined down to the
+    # (typically few) unclustered nodes BEFORE the distinct-cluster
+    # aggregate, so members never enter this shuffle
+    und_sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     rest = nodes.join(member, ID, "anti")
+    rest = rest.persist()
     nclusters = (
-        und_sym.join(member.select(F.col(ID).alias("v"), "cluster"), "v")
+        und_sym.join(rest.withColumnRenamed(ID, "u"), "u", "leftsemi")
+        .join(member.select(F.col(ID).alias("v"), "cluster"), "v")
         .groupBy(F.col("u").alias(ID))
         .agg(F.count_distinct("cluster").alias("_nc"))
     )
@@ -168,6 +175,6 @@ def scan_clustering(
         rest_roles.select(ID, "role", "cluster")
     )
     labels = labels.localCheckpoint(eager=True)
-    for df in (eps_edges, cores, comp, member):
+    for df in (und, eps_edges, cores, comp, member, rest):
         df.unpersist()
     return ScanResult(labels=labels, similarity=sim)

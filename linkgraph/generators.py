@@ -53,9 +53,12 @@ def rmat_graph(
     Graph500 parameters."""
     if scale < 1 or scale > 62:
         raise ValueError(f"scale must be in [1, 62], got {scale}")
-    d = 1.0 - a - b - c
-    if min(a, b, c, d) < 0:
-        raise ValueError(f"a+b+c must be <= 1 and all parts >= 0 (d={d:.4f})")
+    # float-dust tolerance: a=0.3,b=0.3,c=0.4 gives 1-a-b-c = -5.6e-17,
+    # which must not reject a mathematically valid parameterization
+    if min(a, b, c) < 0 or a + b + c > 1.0 + 1e-12:
+        raise ValueError(
+            f"need a,b,c >= 0 and a+b+c <= 1 (got a+b+c={a + b + c!r})"
+        )
     ta, tb, tc = (int(x * _B60) for x in (a, a + b, a + b + c))
     df = spark.range(0, num_edges, 1, num_partitions or spark.sparkContext.defaultParallelism)
     lv = F.sequence(F.lit(0), F.lit(scale - 1))

@@ -276,16 +276,29 @@ def quantized_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 8,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine over int8-quantized vectors — the scan side of
     a quantized ANN: cosine is invariant under the per-vector positive
     scale, so ranking on the integer vectors equals ranking on the
     dequantized ones, while the scan reads 1/4 the bytes. Integer dot and
     squared norms stay exact (≤ dim·127² per vector, far inside int); the
-    final divide is the only float op. Returns [id, q_cosine]."""
+    final divide is the only float op. Returns [id, q_cosine].
+
+    ``round_scores=d`` rounds the cosine to d decimals BEFORE the top-k cut
+    so boundary ties resolve by id identically across engines/runs (the
+    raw-double order at the k-th position is not portable when two values
+    round equal). Raises if ``query_id`` matches no (or several) rows —
+    a typo'd id must not masquerade as an empty result."""
     q = quantize_embeddings(emb.select(id_col, vec_col), vec_col, bits=bits)
     qv = f"q_{vec_col}"
     qrow = q.filter(F.col(id_col) == query_id).select(F.col(qv).alias("_qq"))
+    nq = qrow.limit(2).count()
+    if nq != 1:
+        raise ValueError(
+            f"query_id {query_id!r} matches {'no' if nq == 0 else 'multiple'} "
+            f"rows in {id_col!r}"
+        )
     dot = F.aggregate(
         F.zip_with(F.col(qv), F.col("_qq"), lambda a, b: a.cast("int") * b.cast("int")),
         F.lit(0),
@@ -302,4 +315,8 @@ def quantized_cosine_topk(
     scored = q.crossJoin(F.broadcast(qrow)).select(
         id_col, cos.alias("q_cosine")
     )
+    if round_scores is not None:
+        scored = scored.select(
+            id_col, F.round("q_cosine", round_scores).alias("q_cosine")
+        )
     return scored.orderBy(F.desc("q_cosine"), F.asc(id_col)).limit(k)

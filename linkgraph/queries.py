@@ -4296,12 +4296,11 @@ def q_quantized_ann_top10(spark, sf_dir):
     from linkgraph.pipeline.similarity import quantized_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    out = quantized_cosine_topk(e, query_id=0, k=10)
-    return (
-        out.select("vec_id", F.round("q_cosine", 5).alias("qcos5"))
-        .orderBy(F.desc("qcos5"), F.asc("vec_id"))
-        .limit(10)
-    )
+    # round_scores BEFORE the top-k cut: a raw-double tie straddling the
+    # rank-10 boundary would otherwise pick different rows than the
+    # rounded-ranking oracle
+    out = quantized_cosine_topk(e, query_id=0, k=10, round_scores=5)
+    return out.select("vec_id", F.col("q_cosine").alias("qcos5"))
 
 
 QUERIES.update({"quantized_ann_top10": q_quantized_ann_top10})

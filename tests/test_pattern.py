@@ -77,3 +77,28 @@ def test_pattern_validation(spark):
     ]:
         with pytest.raises(ValueError):
             find_pattern(g, bad).collect()
+
+
+def test_negated_self_loop_and_var_collisions(spark):
+    from pyspark.sql import functions as F
+
+    # graph with one self-loop: 1→1, plus 1→2, 2→3
+    g = LinkGraph(
+        spark.createDataFrame([(1, 1), (1, 2), (2, 3)], ["src", "dst"])
+    )
+    rows = {
+        (r["a"], r["b"])
+        for r in find_pattern(g, "(a)-[]->(b); !(a)-[]->(a)").collect()
+    }
+    # edges FROM 1 are dropped (1 has a self-loop; the 1→1 row also binds
+    # a=1), edges from 2 survive
+    assert rows == {(2, 3)}
+    # edge var colliding with a vertex var in the same term
+    with pytest.raises(ValueError):
+        find_pattern(g, "(x)-[x]->(b)").collect()
+    # later vertex var colliding with an earlier edge var
+    with pytest.raises(ValueError):
+        find_pattern(g, "(a)-[x]->(b); (b)-[]->(x)").collect()
+    # negated endpoint that is an edge var
+    with pytest.raises(ValueError):
+        find_pattern(g, "(a)-[x]->(b); !(x)-[]->(b)").collect()
