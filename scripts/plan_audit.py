@@ -125,6 +125,36 @@ def main():
             "decontaminate_documents",
             "eval gram set broadcasts; train side one scan + map-side join",
         ),
+        (
+            "pii_scrub_documents",
+            "six counters + six chained regexp_replace as JVM column exprs "
+            "over ONE scan: zero shuffle, zero Python",
+        ),
+        (
+            "quantize_embeddings",
+            "int8 quantization + checksums + L1 reconstruction as pure "
+            "higher-order functions: scan-shaped, no shuffle",
+        ),
+        (
+            "bm25_top10_documents",
+            "tokenize scan → per-doc length agg + query-filtered tf agg; "
+            "N/avgdl/df_t broadcast; top-k is TakeOrderedAndProject",
+        ),
+        (
+            "structural_similarity_copurchase",
+            "SCAN sigma via the degree-oriented triangle pass (support+2 "
+            "identity) — no neighbor-set materialization, no windows",
+        ),
+        (
+            "pattern_triangle_copurchase",
+            "motif DSL compiles to an ordinary equi-join DAG the planner "
+            "reorders/broadcasts like hand-written joins",
+        ),
+        (
+            "rmat_edges",
+            "generator: pure column exprs over range(m) — embarrassingly "
+            "parallel, zero shuffle, no RNG state",
+        ),
     ]
 
     out = io.StringIO()
