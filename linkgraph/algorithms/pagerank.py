@@ -115,8 +115,20 @@ def pagerank(
     strategy: str = "auto",
     local_max_edges: int = 2_000_000,
     personalization: dict | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run power iteration until L1(r' - r) <= tol or max_iter supersteps.
+
+    ``initial_ranks`` — optional warm start: a DataFrame whose first two
+    columns are (id, rank), e.g. yesterday's converged ranks on today's
+    slightly-changed graph. Ranks are reindexed to the node table (missing
+    nodes get 0), L1-normalized, and the iteration continues from there —
+    the fixpoint is unchanged (start-independent), only the distance to it
+    shrinks, so daily refreshes converge in a few supersteps instead of
+    ~log(1/tol)/log(1/d). A k-step warm continuation is bit-compatible with
+    an uninterrupted run up to the one normalization divide. Mutually
+    exclusive with ``resume`` (which restores a checkpointed mid-run state
+    including dangling mass).
 
     ``personalization`` — optional {node_id: weight} dict for personalized
     PageRank (PPR): the teleport distribution becomes p (weights normalized
@@ -157,6 +169,10 @@ def pagerank(
     if personalization is not None:
         if not personalization or any(v < 0 for v in personalization.values()):
             raise ValueError("personalization must be a non-empty dict of >=0 weights")
+    if initial_ranks is not None and resume:
+        raise ValueError(
+            "initial_ranks and resume are mutually exclusive starts"
+        )
 
     def _run_distributed(release_after_build=()) -> PageRankResult:
         spark = graph.edges.sparkSession
@@ -173,6 +189,7 @@ def pagerank(
                 use_arrow_kernel,
                 release_after_build,
                 personalization,
+                initial_ranks,
             )
 
     we_persisted: list[DataFrame] = []
@@ -197,7 +214,9 @@ def pagerank(
                 graph.edges.limit(local_max_edges + 1).count() <= local_max_edges
                 and graph.nodes.limit(local_max_edges + 1).count() <= local_max_edges
             ):
-                return _pagerank_local(graph, damping, tol, max_iter, personalization)
+                return _pagerank_local(
+                    graph, damping, tol, max_iter, personalization, initial_ranks
+                )
             # Gate fell through to the distributed loop: keep the persist
             # alive until the loop's own persisted tables (edges_norm /
             # node_state) materialize — their builds reuse the probe's
@@ -221,6 +240,7 @@ def _pagerank_local(
     tol: float,
     max_iter: int,
     personalization: dict | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Driver-local power iteration — the small-graph physical strategy.
 
@@ -279,6 +299,18 @@ def _pagerank_local(
     else:
         p = None
         r = np.full(n, 1.0 / n)
+    if initial_ranks is not None:
+        c0, c1 = initial_ranks.columns[:2]
+        irdf = initial_ranks.select(
+            F.col(c0).alias("_id"), F.col(c1).cast("double").alias("_r")
+        ).toPandas()
+        warm = (
+            irdf.set_index("_id")["_r"].reindex(ids).fillna(0.0).to_numpy()
+        )
+        tot = float(warm.sum())
+        if tot <= 0:
+            raise ValueError("initial_ranks has no mass on graph nodes")
+        r = warm / tot
     dm = float(r[dangling].sum())
     history: list[dict] = []
     converged = False
@@ -331,6 +363,7 @@ def _pagerank_loop(
     use_arrow_kernel: bool,
     release_after_build=(),
     personalization: dict | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     spark = graph.edges.sparkSession
     has_p = personalization is not None
@@ -399,6 +432,7 @@ def _pagerank_loop(
     p_col = [(F.col("_p_raw") / F.lit(p_total)).alias("_p")] if has_p else []
     start_step = 0
     history: list[dict] = []
+    state_ready = False
     if resume and checkpoint is not None and checkpoint.latest_step() is not None:
         start_step = checkpoint.latest_step()
         man = checkpoint.manifest(start_step)
@@ -412,6 +446,35 @@ def _pagerank_loop(
         )
         dangling_mass = man["metrics"]["dangling_mass"]
         history = man["metrics"].get("history", [])
+    elif initial_ranks is not None:
+        # warm start: reindex to the node table (missing → 0), L1-normalize;
+        # ONE aggregate yields normalizer + warm dangling mass together
+        c0, c1 = initial_ranks.columns[:2]
+        ir = initial_ranks.select(
+            F.col(c0).alias(ID), F.col(c1).cast("double").alias("_r0")
+        )
+        st = node_state.join(ir, ID, "left").withColumn(
+            "_r0", F.coalesce(F.col("_r0"), F.lit(0.0))
+        )
+        st = st.repartition(num_partitions, ID).persist()
+        row_w = st.agg(
+            F.sum("_r0").alias("tot"),
+            F.sum(F.when(F.col("_dangling"), F.col("_r0")).otherwise(0.0)).alias(
+                "dm"
+            ),
+        ).collect()[0]
+        tot = float(row_w["tot"] or 0.0)
+        if tot <= 0:
+            st.unpersist()
+            raise ValueError("initial_ranks has no mass on graph nodes")
+        # checkpoint HERE (not at the shared line below) so st's cache can
+        # be released as soon as the blocks are materialized
+        state = st.select(
+            ID, "_dangling", *p_col, (F.col("_r0") / F.lit(tot)).alias("pagerank")
+        ).localCheckpoint(eager=True)
+        dangling_mass = float(row_w["dm"]) / tot
+        st.unpersist()
+        state_ready = True
     elif has_p:
         # r₀ = p (teleport-seeded start; see pagerank() docstring)
         state = node_state.select(
@@ -424,7 +487,8 @@ def _pagerank_loop(
         dangling_mass = n_dangling / n
     # state carries (id, _dangling, pagerank) so the per-superstep update and
     # the convergence stats need NO extra joins against node_state/old ranks.
-    state = state.localCheckpoint(eager=True)
+    if not state_ready:
+        state = state.localCheckpoint(eager=True)
 
     import time as _time
 

@@ -4593,3 +4593,97 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_streaming_pii_tally_documents(spark, sf_dir):
+    """PII scrubbing applied UNCHANGED to a document stream (stateless
+    column exprs are streaming-valid by construction) with the injected
+    markers of ``pii_scrub_documents``; per-type totals after completion
+    equal the batch run, so the SQL oracle replays the batch counts."""
+    import tempfile
+    import uuid
+
+    from linkgraph.pipeline.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = F.col("text")
+    for mod, _name, pre, post in _PII_INJECT:
+        piece = (
+            F.concat(F.lit(pre), F.col("doc_id").cast("string"), F.lit(post))
+            if post is not None
+            else F.lit(pre)
+        )
+        inj = F.when(F.col("doc_id") % mod == 0, F.concat(inj, piece)).otherwise(inj)
+    docs = docs.select("doc_id", inj.alias("text"))
+    stage = tempfile.mkdtemp(prefix="lg_stream_pii_")
+    docs.write.mode("overwrite").parquet(stage)
+    ds = spark.readStream.schema(docs.schema).parquet(stage)
+    name = "pii_" + uuid.uuid4().hex[:8]
+    q = (
+        pii_scrub(ds)
+        .select("doc_id", "pii_url", "pii_email", "pii_ssn", "pii_card",
+                "pii_phone", "pii_ipv4")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).agg(
+        *[
+            F.sum(f"pii_{t}").alias(f"n_{t}")
+            for t in ("url", "email", "ssn", "card", "phone", "ipv4")
+        ]
+    )
+
+
+QUERIES.update({"streaming_pii_tally_documents": q_streaming_pii_tally_documents})
+
+
+def _streaming_pii_oracle_sql() -> str:
+    from linkgraph.pipeline.text import PII_PATTERNS
+
+    appends = []
+    for mod, _name, pre, post in _PII_INJECT:
+        suffix = (
+            f"'{pre}' || CAST(doc_id AS VARCHAR) || '{post}'"
+            if post is not None
+            else f"'{pre}'"
+        )
+        appends.append(f"|| CASE WHEN doc_id % {mod} = 0 THEN {suffix} ELSE '' END")
+    txt = "text\n          " + "\n          ".join(appends)
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN txt IS NULL THEN 0 ELSE "
+        f"len(regexp_extract_all(txt, '{pat}')) END) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, {txt} AS txt FROM documents)
+        SELECT {sums} FROM base
+    """
+
+
+ORACLE_SQL.update({"streaming_pii_tally_documents": _streaming_pii_oracle_sql()})
+
+
+def q_pagerank_warmstart_nation_region(spark, sf_dir):
+    """Warm-start bit-compatibility: 2 cold supersteps feed ``initial_ranks``
+    for 3 more — the result must hash-equal the SAME unrolled 5-step SQL
+    oracle as ``pagerank_nation_region_5`` (the warm path's one
+    normalization divide is by an exactly-1.0 sum only up to float dust,
+    absorbed by the millionths rounding)."""
+    g = nation_region_graph(spark, sf_dir)
+    cold2 = pagerank(g, damping=DAMPING, tol=0.0, max_iter=2)
+    warm = pagerank(
+        g, damping=DAMPING, tol=0.0, max_iter=3, initial_ranks=cold2.ranks
+    )
+    return warm.ranks.select(
+        "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_millionths")
+    )
+
+
+QUERIES.update({"pagerank_warmstart_nation_region": q_pagerank_warmstart_nation_region})
+ORACLE_SQL.update(
+    {"pagerank_warmstart_nation_region": _pagerank_unrolled_sql(5)}
+)

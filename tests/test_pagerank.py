@@ -248,3 +248,43 @@ def test_personalization_validation(spark):
         pagerank(g, personalization={"a": -1.0})
     with pytest.raises(ValueError, match="no mass"):
         pagerank(g, personalization={"zzz": 1.0}, strategy="distributed")
+
+
+def test_pagerank_warm_start_continuation_and_equivalence(spark):
+    """Warm-starting with k-step cold ranks then running j more steps must
+    equal an uninterrupted k+j-step run (both strategies), and warm-starting
+    from the converged fixpoint must converge immediately."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from linkgraph import LinkGraph, pagerank
+
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    e = n.select(
+        F.concat(F.lit("n"), "n_nationkey").alias("src"),
+        F.concat(F.lit("r"), "n_regionkey").alias("dst"),
+    )
+    g = LinkGraph(e, keys={"directed": False})
+
+    for strat in ("local", "distributed"):
+        cold2 = pagerank(g, tol=0.0, max_iter=2, strategy=strat)
+        warm = pagerank(
+            g, tol=0.0, max_iter=3, strategy=strat, initial_ranks=cold2.ranks
+        )
+        cold5 = pagerank(g, tol=0.0, max_iter=5, strategy=strat)
+        a = {r["id"]: r["pagerank"] for r in warm.ranks.collect()}
+        b = {r["id"]: r["pagerank"] for r in cold5.ranks.collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12, (strat, k)
+
+    conv = pagerank(g, tol=1e-12, max_iter=300)
+    rewarm = pagerank(g, tol=1e-10, max_iter=50, initial_ranks=conv.ranks)
+    assert rewarm.converged and rewarm.iterations <= 2
+
+    # guards: zero-mass warm start; resume conflict
+    zero = conv.ranks.select("id", F.lit(0.0).alias("pagerank"))
+    with _pt.raises(ValueError):
+        pagerank(g, max_iter=2, initial_ranks=zero, strategy="local")
+    with _pt.raises(ValueError):
+        pagerank(g, max_iter=2, initial_ranks=conv.ranks, resume=True)
