@@ -83,9 +83,22 @@ def connected_components(
     checkpoint=None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns DataFrame[id, component(, component_size)] where component is
     the min node id in the component.
+
+    ``initial_labels`` — optional warm start for ADDITIVELY evolving graphs
+    (yesterday's labels on today's graph after edge/node additions): the
+    first two columns are (id, component). Each labeled node gains a
+    virtual shortcut edge to its old component representative, so every old
+    component starts at diameter ≤ 2 and the rounds only pay for what the
+    NEW edges merge. Output semantics are unchanged (old components are
+    genuinely connected, and their labels are node ids, so min-id per
+    merged component is identical to a cold run). CORRECTNESS REQUIRES no
+    edge/node removals since the labels were computed — removals can split
+    components, which shortcuts would silently re-glue; run cold after
+    deletions.
 
     ``strategy`` mirrors pagerank's size-based physical choice: ``"auto"``
     probes the edge count (``limit(k+1).count()``, O(threshold) at any table
@@ -107,6 +120,15 @@ def connected_components(
         # validate eagerly even when the local plan would ignore it — a typo
         # must not surface only once the input outgrows the local threshold
         raise ValueError(f"unknown method {method!r} (two_star|min_label)")
+    if initial_labels is not None:
+        c0, c1 = initial_labels.columns[:2]
+        shortcut = initial_labels.select(
+            F.col(c0).alias(SRC), F.col(c1).alias(DST)
+        ).filter(F.col(SRC) != F.col(DST))
+        graph = LinkGraph(
+            graph.edges.select(SRC, DST).unionByName(shortcut),
+            nodes=graph.nodes,
+        )
     needs_cluster = checkpoint is not None or resume
     if needs_cluster:
         if strategy == "local":

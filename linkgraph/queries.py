@@ -4687,3 +4687,44 @@ QUERIES.update({"pagerank_warmstart_nation_region": q_pagerank_warmstart_nation_
 ORACLE_SQL.update(
     {"pagerank_warmstart_nation_region": _pagerank_unrolled_sql(5)}
 )
+
+
+def q_cc_warmstart_nation_region(spark, sf_dir):
+    """Incremental CC: labels from the nation-region star graph warm-start
+    a rerun after bridges r0—r1 and r2—r3 are added (additive evolution).
+    The oracle computes the merged groups {r0,r1}, {r2,r3}, {r4} directly —
+    warm output must equal the cold closed form exactly."""
+    g_old = nation_region_graph(spark, sf_dir)
+    labels_old = connected_components(g_old, with_sizes=False)
+    bridges = spark.createDataFrame(
+        [("r0", "r1"), ("r2", "r3")], ["src", "dst"]
+    )
+    g_new = LinkGraph(g_old.edges.select("src", "dst").union(bridges))
+    return connected_components(
+        g_new, with_sizes=False, initial_labels=labels_old
+    )
+
+
+QUERIES.update({"cc_warmstart_nation_region": q_cc_warmstart_nation_region})
+ORACLE_SQL.update(
+    {
+        "cc_warmstart_nation_region": """
+        WITH members AS (
+          SELECT 'n' || n_nationkey AS id,
+                 CASE WHEN n_regionkey IN (0, 1) THEN 0
+                      WHEN n_regionkey IN (2, 3) THEN 2
+                      ELSE 4 END AS g
+          FROM nation
+          UNION
+          SELECT DISTINCT 'r' || n_regionkey,
+                 CASE WHEN n_regionkey IN (0, 1) THEN 0
+                      WHEN n_regionkey IN (2, 3) THEN 2
+                      ELSE 4 END
+          FROM nation
+        ),
+        comp AS (SELECT g, min(id) AS component FROM members GROUP BY g)
+        SELECT m.id, c.component
+        FROM members m JOIN comp c USING (g)
+    """,
+    }
+)

@@ -143,3 +143,43 @@ def test_cc_checkpoint_gate_errors(spark):
     with pytest.raises(ValueError, match="two_star"):
         connected_components(g, method="min_label",
                              checkpoint=CheckpointManager("/tmp/_x", spark))
+
+
+def test_cc_warm_labels_additive_equivalence(spark):
+    """Warm labels on an additively grown graph must reproduce the cold
+    labels exactly — across both methods and the local gate."""
+    from pyspark.sql import functions as F
+
+    from linkgraph import LinkGraph, connected_components
+
+    # yesterday: two paths a0-..-a9 and b0-..-b9
+    old_edges = [(f"a{i}", f"a{i+1}") for i in range(9)] + [
+        (f"b{i}", f"b{i+1}") for i in range(9)
+    ]
+    g_old = LinkGraph(spark.createDataFrame(old_edges, ["src", "dst"]))
+    labels_old = connected_components(g_old, with_sizes=False)
+
+    # today: a new node c0 bridges the two paths
+    new_edges = old_edges + [("a9", "c0"), ("c0", "b0")]
+    g_new = LinkGraph(spark.createDataFrame(new_edges, ["src", "dst"]))
+    cold = {
+        r["id"]: r["component"]
+        for r in connected_components(g_new, with_sizes=False).collect()
+    }
+    for method in ("two_star", "min_label"):
+        for strategy in ("local", "distributed"):
+            warm = {
+                r["id"]: r["component"]
+                for r in connected_components(
+                    g_new,
+                    method=method,
+                    strategy=strategy,
+                    with_sizes=False,
+                    initial_labels=labels_old,
+                ).collect()
+            }
+            assert warm == cold, (method, strategy)
+    assert set(cold.values()) == {"a0"}  # everything merged, min id a0
+    # sizes path still works with warm labels
+    sized = connected_components(g_new, initial_labels=labels_old)
+    assert sized.filter(F.col("component_size") != 21).count() == 0
