@@ -304,8 +304,10 @@ def _pagerank_local(
         irdf = initial_ranks.select(
             F.col(c0).alias("_id"), F.col(c1).cast("double").alias("_r")
         ).toPandas()
+        # duplicate ids sum their mass (mirrors the distributed branch's
+        # groupBy — and a plain reindex would raise on duplicates)
         warm = (
-            irdf.set_index("_id")["_r"].reindex(ids).fillna(0.0).to_numpy()
+            irdf.groupby("_id")["_r"].sum().reindex(ids).fillna(0.0).to_numpy()
         )
         tot = float(warm.sum())
         if tot <= 0:
@@ -450,8 +452,14 @@ def _pagerank_loop(
         # warm start: reindex to the node table (missing → 0), L1-normalize;
         # ONE aggregate yields normalizer + warm dangling mass together
         c0, c1 = initial_ranks.columns[:2]
-        ir = initial_ranks.select(
-            F.col(c0).alias(ID), F.col(c1).cast("double").alias("_r0")
+        # duplicate ids sum their mass — a raw left join would silently
+        # MULTIPLY node rows instead
+        ir = (
+            initial_ranks.select(
+                F.col(c0).alias(ID), F.col(c1).cast("double").alias("_r0")
+            )
+            .groupBy(ID)
+            .agg(F.sum("_r0").alias("_r0"))
         )
         st = node_state.join(ir, ID, "left").withColumn(
             "_r0", F.coalesce(F.col("_r0"), F.lit(0.0))
