@@ -630,3 +630,100 @@ def bm25_search(
     out = out.localCheckpoint(eager=True)
     toks.unpersist()
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    max_dist: int = 1,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Edit-distance similarity join: pairs (l, r) with
+    ``levenshtein(l, r) <= max_dist``, distinct values only. Returns
+    DataFrame[l, r, dist] with l < r dropped? No — returns ALL ordered
+    pairs l != r from left×right (dedup to unordered pairs is the caller's
+    one-liner when left is right).
+
+    Plan (the standard q-gram blocking join, Gravano et al., VLDB'01):
+
+    1. distinct values each side → q-gram explode (JVM ``sequence`` +
+       ``substring`` HOFs, no UDF);
+    2. candidate pairs = equi-join on gram (+ a length-difference ≤
+       max_dist pre-filter) — a short-key shuffle, NOT a cross join;
+    3. verify with JVM ``levenshtein`` once per distinct candidate pair.
+
+    Completeness: edit distance k destroys at most k·q of a string's
+    (len−q+1) non-positional q-grams, so any pair with
+    min_len ≥ q·(max_dist+1) shares ≥ 1 gram and survives blocking.
+    SHORTER strings can share zero grams while matching, so they are routed
+    to one brute-force block (they are bounded: |Σ|^(q·(k+1)) shapes) —
+    the join is exact, verified against a full cross-join oracle.
+
+    ``max_gram_freq`` optionally drops grams more frequent than the cap
+    before the candidate join (the boilerplate-hub trade from
+    ngram_jaccard): at web scale a stopword-gram like 'er' would dominate
+    the shuffle; capping bounds the blow-up at a DOCUMENTED recall cost —
+    leave None for the exact join.
+    """
+    if max_dist < 0 or q < 1:
+        raise ValueError(f"need max_dist >= 0 and q >= 1 (got {max_dist}, {q})")
+    right_col = right_col or left_col
+    short_len = q * (max_dist + 1)
+
+    lv = left.select(F.col(left_col).alias("l")).filter(F.col("l").isNotNull()).distinct()
+    rv = right.select(F.col(right_col).alias("r")).filter(F.col("r").isNotNull()).distinct()
+
+    def grams(df: DataFrame, col: str) -> DataFrame:
+        n = F.length(F.col(col))
+        g = F.transform(
+            F.sequence(F.lit(1), n - q + 1),
+            lambda i: F.substring(F.col(col), i, q),
+        )
+        return df.filter(n >= short_len).select(
+            col, F.explode(F.array_distinct(g)).alias("gram")
+        )
+
+    lg, rg = grams(lv, "l"), grams(rv, "r")
+    if max_gram_freq is not None:
+        hot = (
+            lg.groupBy("gram").agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_gram_freq)
+            .select("gram")
+        )
+        lg = lg.join(hot, "gram", "left_anti")
+        rg = rg.join(hot, "gram", "left_anti")
+    cand = (
+        lg.join(rg, "gram")
+        .filter(
+            (F.col("l") != F.col("r"))
+            & (F.abs(F.length("l") - F.length("r")) <= max_dist)
+        )
+        .select("l", "r")
+        .distinct()
+    )
+    # short strings: both-below-threshold pairs can share no gram yet match;
+    # the block is alphabet-bounded, so a broadcast cross join is exact
+    ls = lv.filter(F.length("l") < short_len)
+    rs = rv.filter(F.length("r") < short_len)
+    short_pairs = ls.crossJoin(F.broadcast(rs)).filter(F.col("l") != F.col("r"))
+    # short×long pairs within the length-difference bound can also share no
+    # gram (the long side has few grams, all destroyable when its length is
+    # < short_len + max_dist): include the boundary band exactly
+    rl_band = rv.filter(
+        (F.length("r") >= short_len) & (F.length("r") < short_len + max_dist)
+    )
+    band_pairs = ls.crossJoin(F.broadcast(rl_band)).filter(F.col("l") != F.col("r"))
+    lb_band = lv.filter(
+        (F.length("l") >= short_len) & (F.length("l") < short_len + max_dist)
+    )
+    band_pairs2 = rs.crossJoin(F.broadcast(lb_band)).select(
+        F.col("l"), F.col("r")
+    ).filter(F.col("l") != F.col("r"))
+
+    allc = cand.union(short_pairs).union(band_pairs).union(band_pairs2).distinct()
+    return allc.select(
+        "l", "r", F.levenshtein("l", "r").alias("dist")
+    ).filter(F.col("dist") <= max_dist)

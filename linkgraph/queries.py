@@ -4728,3 +4728,36 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_fuzzy_join_part_words(spark, sf_dir):
+    """Edit-distance-≤2 similarity join over the distinct words of part
+    names — q-gram blocking + length filter + JVM levenshtein verify. The
+    oracle is the FULL brute-force cross join with DuckDB's levenshtein, so
+    the hash also proves the blocking loses no pair (completeness, not just
+    precision)."""
+    from linkgraph.pipeline.text import fuzzy_join
+
+    words = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return fuzzy_join(words, words, "w", max_dist=2)
+
+
+QUERIES.update({"fuzzy_join_part_words": q_fuzzy_join_part_words})
+ORACLE_SQL.update(
+    {
+        "fuzzy_join_part_words": """
+        WITH w AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+                   FROM part),
+        w2 AS (SELECT w FROM w WHERE w <> '')
+        SELECT a.w AS l, b.w AS r,
+               CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        FROM w2 a CROSS JOIN w2 b
+        WHERE a.w <> b.w AND levenshtein(a.w, b.w) <= 2
+    """,
+    }
+)

@@ -345,3 +345,50 @@ def test_bm25_ranking_semantics(spark):
     assert all(r["bm25"] > 0 for r in out)
     with _pt.raises(ValueError):
         bm25_search(d, [])
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_exact_vs_bruteforce(spark):
+    import random
+
+    import pytest as _pt
+
+    from linkgraph.pipeline.text import fuzzy_join
+
+    rng = random.Random(77)
+    base = ["spark", "graph", "table", "merge", "query", "scan", "row",
+            "joint", "window", "a", "ab", "abc"]
+    vals = set(base)
+    for w in base:  # mutations at distance 1-2
+        for _ in range(3):
+            i = rng.randrange(len(w))
+            vals.add(w[:i] + rng.choice("abcxyz") + w[i + 1:])   # sub
+            vals.add(w[:i] + w[i + 1:])                          # del
+            vals.add(w[:i] + rng.choice("qz") + w[i:])           # ins
+    vals = sorted(v for v in vals if v)
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    for k in (1, 2):
+        got = {
+            (r["l"], r["r"]): r["dist"]
+            for r in fuzzy_join(df, df, "name", max_dist=k).collect()
+        }
+        want = {
+            (x, y): _lev(x, y)
+            for x in vals
+            for y in vals
+            if x != y and _lev(x, y) <= k
+        }
+        assert got == want, (k, len(got), len(want))
+    with _pt.raises(ValueError):
+        fuzzy_join(df, df, "name", max_dist=-1)
