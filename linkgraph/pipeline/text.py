@@ -641,11 +641,10 @@ def fuzzy_join(
     q: int = 2,
     max_gram_freq: int | None = None,
 ) -> DataFrame:
-    """Edit-distance similarity join: pairs (l, r) with
-    ``levenshtein(l, r) <= max_dist``, distinct values only. Returns
-    DataFrame[l, r, dist] with l < r dropped? No — returns ALL ordered
-    pairs l != r from left×right (dedup to unordered pairs is the caller's
-    one-liner when left is right).
+    """Edit-distance similarity join: DataFrame[l, r, dist] of the pairs
+    with ``levenshtein(l, r) <= max_dist`` over the distinct values of each
+    side. All ordered pairs l != r are returned; when left IS right, the
+    canonical unordered dedup is the caller's ``filter(l < r)``.
 
     Plan (the standard q-gram blocking join, Gravano et al., VLDB'01):
 
