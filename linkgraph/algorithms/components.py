@@ -120,6 +120,11 @@ def connected_components(
         # validate eagerly even when the local plan would ignore it — a typo
         # must not surface only once the input outgrows the local threshold
         raise ValueError(f"unknown method {method!r} (two_star|min_label)")
+    if initial_labels is not None and resume:
+        # mirror pagerank: a resumed snapshot already encodes label state, and
+        # the resume branch replays the checkpointed pair table without ever
+        # reading graph.edges — the warm labels would be silently dropped
+        raise ValueError("initial_labels and resume are mutually exclusive starts")
     if initial_labels is not None:
         c0, c1 = initial_labels.columns[:2]
         shortcut = initial_labels.select(

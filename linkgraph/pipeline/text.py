@@ -661,11 +661,13 @@ def fuzzy_join(
     to one brute-force block (they are bounded: |Σ|^(q·(k+1)) shapes) —
     the join is exact, verified against a full cross-join oracle.
 
-    ``max_gram_freq`` optionally drops grams more frequent than the cap
-    before the candidate join (the boilerplate-hub trade from
-    ngram_jaccard): at web scale a stopword-gram like 'er' would dominate
-    the shuffle; capping bounds the blow-up at a DOCUMENTED recall cost —
-    leave None for the exact join.
+    ``max_gram_freq`` optionally drops grams whose COMBINED left+right
+    frequency exceeds the cap before the candidate join (the
+    boilerplate-hub trade from ngram_jaccard): at web scale a
+    stopword-gram like 'er' would dominate the shuffle; counting both
+    sides bounds the per-gram join fan-out at f_l*f_r <= cap^2 even when
+    one side is a small dictionary and the other is the web, at a
+    DOCUMENTED recall cost — leave None for the exact join.
     """
     if max_dist < 0 or q < 1:
         raise ValueError(f"need max_dist >= 0 and q >= 1 (got {max_dist}, {q})")
@@ -687,8 +689,13 @@ def fuzzy_join(
 
     lg, rg = grams(lv, "l"), grams(rv, "r")
     if max_gram_freq is not None:
+        # a gram is hot if it exceeds the cap on EITHER side — a left-only
+        # count would keep a stopword gram that is rare in a small left
+        # dictionary but appears in 10^7 right rows, and the equi-join on it
+        # would emit f_l x f_r candidates, exactly the blow-up the cap bounds
         hot = (
-            lg.groupBy("gram").agg(F.count(F.lit(1)).alias("_f"))
+            lg.select("gram").unionAll(rg.select("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_gram_freq)
             .select("gram")
         )

@@ -661,7 +661,9 @@ def q_streaming_running_degree(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     return (
         spark.table(name)
         .groupBy("id")
@@ -692,7 +694,9 @@ def q_streaming_dedup_documents(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     return (
         spark.table(name)
         .groupBy("fingerprint")
@@ -3759,7 +3763,9 @@ def q_streaming_quality_filter_documents(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     return (
         spark.table(name)
         .groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
@@ -4629,7 +4635,9 @@ def q_streaming_pii_tally_documents(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
     return spark.table(name).agg(
         *[
             F.sum(f"pii_{t}").alias(f"n_{t}")
