@@ -183,3 +183,16 @@ def test_cc_warm_labels_additive_equivalence(spark):
     # sizes path still works with warm labels
     sized = connected_components(g_new, initial_labels=labels_old)
     assert sized.filter(F.col("component_size") != 21).count() == 0
+
+
+def test_cc_warm_start_rejects_resume(spark, tmp_path):
+    """initial_labels + resume is a contradiction (the resumed snapshot
+    replays the checkpointed pair table and never reads the shortcut
+    edges) — must raise, mirroring pagerank's initial_ranks+resume guard."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    labels = spark.createDataFrame([("a", "a"), ("b", "a")], ["id", "component"])
+    mgr = CheckpointManager(str(tmp_path / "cc_ck"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        connected_components(g, initial_labels=labels, checkpoint=mgr, resume=True)

@@ -392,3 +392,26 @@ def test_fuzzy_join_exact_vs_bruteforce(spark):
         assert got == want, (k, len(got), len(want))
     with _pt.raises(ValueError):
         fuzzy_join(df, df, "name", max_dist=-1)
+
+
+def test_fuzzy_join_hot_gram_cap_counts_both_sides(spark):
+    """max_gram_freq must count gram frequency over left+right combined: a
+    gram rare on the left but flooding the right is exactly the stopword
+    blow-up the cap exists to bound, so pairs whose every shared gram is
+    right-side-hot are (documented recall cost) dropped."""
+    import string
+
+    from linkgraph.pipeline.text import fuzzy_join
+
+    left = spark.createDataFrame([("axxb",)], ["w"])
+    # 33 right values 'cxxb': grams xx and xb occur 34x combined, cx once each
+    chars = [c for c in string.ascii_lowercase + string.digits if c not in "ax"]
+    right = spark.createDataFrame([(f"{c}xxb",) for c in chars], ["w"])
+
+    uncapped = fuzzy_join(left, right, "w", max_dist=1)
+    assert uncapped.count() == len(chars)  # every pair is at distance 1
+
+    capped = fuzzy_join(left, right, "w", max_dist=1, max_gram_freq=5)
+    # both shared grams (xx, xb) exceed the cap on the RIGHT side only; a
+    # left-only count would keep them and return all pairs again
+    assert capped.count() == 0
