@@ -155,6 +155,12 @@ def main():
             "generator: pure column exprs over range(m) — embarrassingly "
             "parallel, zero shuffle, no RNG state",
         ),
+        (
+            "fuzzy_join_part_words",
+            "q-gram blocking join: gram explode via sequence+substring HOFs, "
+            "short-key equi-join (never a cross join), levenshtein verify "
+            "once per distinct candidate — no windows, no Python",
+        ),
     ]
 
     out = io.StringIO()
