@@ -444,3 +444,72 @@ def dedup_corpus(
         "near_removed": n_exact - n_near,
     }
     return clean, stats
+
+
+# ------------------------------------------- cross-doc duplicate-span signal
+
+
+def duplicate_span_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Inter-document duplicate-span fraction (the MassiveText/RefinedWeb
+    repetition-across-documents filter signal): for each document, the
+    fraction of its ``span_tokens``-token shingle POSITIONS whose span text
+    also occurs in at least one OTHER document. Complements
+    ``repetition_stats`` (within-doc) and the pairwise dedup family — this
+    is a per-document score, not a pair list.
+
+    Plan: token spans via sequence+slice+array_join HOFs (JVM codegen, no
+    UDF); the sharing test is ONE algebraic aggregate (distinct docs per
+    span), never a pairwise self-join — a boilerplate span occurring in
+    10^6 docs costs one aggregate row, not 10^12 pairs. Spans are keyed by
+    ``xxhash64`` immediately after extraction so every shuffle moves 8-byte
+    keys instead of span strings (a 64-bit collision merges two spans with
+    probability ~n^2/2^65 — negligible against near-dup noise).
+
+    Returns DataFrame[id_col, n_spans, n_dup_spans, dup_fraction]; docs
+    shorter than ``span_tokens`` tokens have 0 spans and fraction 0.0.
+    """
+    k = int(span_tokens)
+    if k < 1:
+        raise ValueError(f"span_tokens must be >= 1 (got {span_tokens})")
+    toks = df.select(F.col(id_col).alias("_id"), F.split(text_col, " ").alias("_t"))
+    span_expr = (
+        f"case when size(_t) >= {k} then "
+        f"transform(sequence(1, size(_t) - {k - 1}), i -> xxhash64(array_join(slice(_t, i, {k}), ' '))) "
+        f"else array() end"
+    )
+    spans = toks.select("_id", F.explode(F.expr(span_expr)).alias("_h"))
+    shared = (
+        spans.dropDuplicates(["_id", "_h"])
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d") >= 2)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    per_doc = (
+        spans.join(shared, "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.col("n_dup_spans") / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

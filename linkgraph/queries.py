@@ -4769,3 +4769,51 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_dup_span_fraction_documents(spark, sf_dir):
+    """Per-document cross-corpus duplicate-span fraction (MassiveText /
+    RefinedWeb inter-document repetition signal): the fraction of each
+    doc's 8-token span positions whose span also occurs in another doc.
+    One algebraic aggregate over 8-byte span hashes — never a pairwise
+    self-join. Oracle unrolls the identical definition on span STRINGS,
+    so the hash also proves the xxhash64 keying is collision-free here."""
+    from linkgraph.pipeline.dedup import duplicate_span_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_span_fraction(d, span_tokens=8)
+
+
+QUERIES.update({"dup_span_fraction_documents": q_dup_span_fraction_documents})
+ORACLE_SQL.update(
+    {
+        "dup_span_fraction_documents": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS g
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+            WHERE len(t) >= 8
+        ),
+        shared AS (
+            SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS d FROM spans GROUP BY g
+            ) WHERE d >= 2
+        ),
+        agg AS (
+            SELECT s.doc_id,
+                   count(*) AS n_spans,
+                   count(sh.g) AS n_dup_spans
+            FROM spans s LEFT JOIN shared sh USING (g)
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+               CASE WHEN coalesce(a.n_spans, 0) > 0
+                    THEN a.n_dup_spans / a.n_spans ELSE 0.0 END AS dup_fraction
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    }
+)

@@ -281,3 +281,40 @@ def test_quantized_topk_matches_brute_ranking(spark):
     # the top hit (the query itself, cos 1.0) identical
     assert quant[0] == brute[0] == 0
     assert len(set(brute) & set(quant)) >= 8
+
+
+def test_duplicate_span_fraction_closed_form(spark):
+    """4-doc fixture with one shared 8-token span, one too-short doc and
+    one fully unique doc — fractions are closed-form."""
+    from linkgraph.pipeline.dedup import duplicate_span_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 3 spans, span[0] shared with doc 2
+            (2, "a b c d e f g h x y"),   # 3 spans, span[0] shared with doc 1
+            (3, "z z z"),                 # < 8 tokens: zero spans
+            (4, "eight totally unique words appear only here once"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_fraction"])
+        for r in duplicate_span_fraction(docs, span_tokens=8).collect()
+    }
+    third = 1 / 3
+    assert got == {
+        1: (3, 1, third),
+        2: (3, 1, third),
+        3: (0, 0, 0.0),
+        4: (1, 0, 0.0),
+    }
+    # a doc duplicated verbatim scores 1.0 against its copy
+    twin = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h i")], ["doc_id", "text"]
+    )
+    out = duplicate_span_fraction(twin).collect()
+    assert all(r["dup_fraction"] == 1.0 for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        duplicate_span_fraction(docs, span_tokens=0)
