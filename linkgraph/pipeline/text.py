@@ -733,3 +733,65 @@ def fuzzy_join(
     return allc.select(
         "l", "r", F.levenshtein("l", "r").alias("dist")
     ).filter(F.col("dist") <= max_dist)
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level bigram PMI — the word2phrase-style collocation score
+    used to merge multi-word expressions before tokenizer/embedding
+    training: pmi(a,b) = ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram
+    occurrences and p(·) over unigram occurrences. Returns the top ``k``
+    bigrams with count ≥ ``min_count`` as DataFrame[w1, w2, c_ab, pmi]
+    (pmi rounded to 6 decimals; ties broken (pmi desc, w1 asc, w2 asc)).
+
+    Shape at 100 TB: two algebraic count aggregates (unigrams, bigrams) +
+    two joins of the bigram table against the vocabulary-sized unigram
+    counts (planner-chosen strategy; vocabulary is bucketable) + global
+    top-k as TakeOrderedAndProject — no windows, no UDFs, no all-pairs.
+    ``min_count`` kills the hapax pairs whose PMI is maximal by
+    construction (the standard word2phrase guard).
+    """
+    if min_count < 1 or k < 1:
+        raise ValueError(f"need min_count >= 1 and k >= 1 (got {min_count}, {k})")
+    words = df.select(_words_col(text_col).alias("_w"))
+    uni = (
+        words.select(F.explode("_w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        words.select(F.explode(F.expr(_grams_expr("_w", 2))).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_bi = bi.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    scored = (
+        bi.filter(F.col("c_ab") >= min_count)
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_bi"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)

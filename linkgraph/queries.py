@@ -4817,3 +4817,55 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bigram_pmi_documents(spark, sf_dir):
+    """Top-50 bigram collocations by PMI (word2phrase-style phrase
+    detection, min_count=5). Oracle replays the identical counts + the
+    identical operation-order PMI formula; round(·, 6) absorbs last-ulp
+    ln() differences between the JVM and DuckDB."""
+    from linkgraph.pipeline.text import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return bigram_pmi(d, min_count=5, k=50)
+
+
+QUERIES.update({"bigram_pmi_documents": q_bigram_pmi_documents})
+ORACLE_SQL.update(
+    {
+        "bigram_pmi_documents": r"""
+        WITH words AS (
+            SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+            FROM documents
+        ),
+        uni AS (
+            SELECT t, count(*) AS c
+            FROM (SELECT unnest(w) AS t FROM words) GROUP BY t
+        ),
+        bi AS (
+            SELECT g, count(*) AS c_ab FROM (
+                SELECT w[i] || ' ' || w[i + 1] AS g
+                FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) u
+                WHERE len(w) >= 2
+            ) GROUP BY g
+        ),
+        nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+        nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bi),
+        scored AS (
+            SELECT string_split(g, ' ')[1] AS w1,
+                   string_split(g, ' ')[2] AS w2,
+                   c_ab
+            FROM bi WHERE c_ab >= 5
+        )
+        SELECT s.w1, s.w2, s.c_ab,
+               round(ln((s.c_ab / nb.n_bi) /
+                        ((ua.c / nu.n_uni) * (ub.c / nu.n_uni))), 6) AS pmi
+        FROM scored s
+        JOIN uni ua ON ua.t = s.w1
+        JOIN uni ub ON ub.t = s.w2
+        CROSS JOIN nu CROSS JOIN nb
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT 50
+    """,
+    }
+)

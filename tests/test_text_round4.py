@@ -415,3 +415,33 @@ def test_fuzzy_join_hot_gram_cap_counts_both_sides(spark):
     # both shared grams (xx, xb) exceed the cap on the RIGHT side only; a
     # left-only count would keep them and return all pairs again
     assert capped.count() == 0
+
+
+def test_bigram_pmi_closed_form(spark):
+    """4-doc fixture: 'new york' occurs 3x of 10 bigrams, 'new'/'york' 3x
+    of 14 unigrams each — pmi = ln((3/10)/((3/14)^2)); hapax pairs die by
+    min_count; ties sort (pmi desc, w1, w2)."""
+    import math
+
+    import pytest as _pt
+
+    from linkgraph.pipeline.text import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "new york is old"),
+            (3, "big apple new york"),
+            (4, "old city"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bigram_pmi(docs, min_count=2, k=10).collect()
+    got = [(r["w1"], r["w2"], r["c_ab"], r["pmi"]) for r in rows]
+    p = round(math.log((3 / 10) / ((3 / 14) * (3 / 14))), 6)
+    p2 = round(math.log((2 / 10) / ((3 / 14) * (2 / 14))), 6)
+    assert got == [("new", "york", 3, p), ("york", "is", 2, p2)]
+    # min_count=1 admits the hapax pairs too
+    assert bigram_pmi(docs, min_count=1, k=100).count() == 7
+    with _pt.raises(ValueError):
+        bigram_pmi(docs, min_count=0)
