@@ -62,7 +62,7 @@ from linkgraph.algorithms.betweenness import (
 from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
 from linkgraph.algorithms.projection import bipartite_projection
 from linkgraph.algorithms.sampling import sample_neighborhood, sample_neighbors
-from linkgraph.algorithms.katz import hits, katz_centrality
+from linkgraph.algorithms.katz import eigenvector_centrality, hits, katz_centrality
 from linkgraph.algorithms.matching import maximal_matching
 from linkgraph.algorithms.mis import greedy_coloring, maximal_independent_set
 from linkgraph.algorithms.mst import (
@@ -150,6 +150,7 @@ __all__ = [
     "harmonic_centrality",
     "katz_centrality",
     "hits",
+    "eigenvector_centrality",
     "topological_layers",
     "minimum_spanning_forest",
     "minimum_spanning_weight",

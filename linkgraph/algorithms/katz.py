@@ -221,3 +221,74 @@ def hits(
                 (F.col("authority") / F.lit(sa)).alias("authority"),
             )
     return out
+
+
+def eigenvector_centrality(
+    graph: LinkGraph,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """DataFrame[id, eigenvector] — eigenvector centrality with networkx
+    ``eigenvector_centrality`` semantics exactly: start uniform 1/N,
+    iterate x' = (A + I)ᵀ·x (the +I shift damps bipartite oscillation,
+    as in networkx), L2-normalize every step, converge when
+    Σ|x'−x| < N·tol. ``tol<=0`` runs exactly ``max_iter`` supersteps —
+    the fixed-step form the SQL oracle unrolls. Directed graphs score by
+    in-edges (u→v contributes x(u)·w to v), networkx's convention.
+
+    Same distributed shape as katz (one score⋈edges join + one algebraic
+    groupBy per superstep against the once-partitioned adjacency); the
+    per-step normalization needs the L2 action before the scale is known,
+    so a convergence check costs a second scalar action — the HITS trade,
+    documented there.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
+    spark = graph.edges.sparkSession
+    n = graph.number_of_nodes()
+    if n == 0:
+        return graph.nodes.select(ID, F.lit(0.0).alias("eigenvector"))
+    with static_plans(spark):
+        edges = _adjacency(graph, "u")
+        nodes = graph.nodes.select(ID).localCheckpoint(eager=True)
+        x = nodes.select(ID, F.lit(1.0 / n).alias("x"))
+        converged = tol <= 0
+        for _ in range(max_iter):
+            contrib = (
+                x.join(edges, x[ID] == edges["u"])
+                .select(edges["v"].alias(ID), (F.col("x") * F.col("w")).alias("c"))
+                .groupBy(ID)
+                .agg(F.sum("c").alias("c"))
+            )
+            raw = (
+                x.join(contrib, ID, "left")
+                .select(ID, (F.col("x") + F.coalesce("c", F.lit(0.0))).alias("x"))
+                .localCheckpoint(eager=False)
+            )
+            ss = float(raw.agg(F.sum(F.col("x") * F.col("x"))).first()[0])
+            if not math.isfinite(ss):
+                raise RuntimeError(
+                    "eigenvector_centrality overflowed (non-finite L2 norm); "
+                    "weights too large for per-step normalization to track"
+                )
+            s = math.sqrt(ss) if ss > 0 else 1.0
+            newx = raw.select(ID, (F.col("x") / F.lit(s)).alias("x"))
+            if tol > 0:
+                err = float(
+                    newx.join(x.select(ID, F.col("x").alias("_xl")), ID)
+                    .agg(F.sum(F.abs(F.col("x") - F.col("_xl"))).alias("e"))
+                    .first()["e"]
+                )
+                x = newx.localCheckpoint(eager=False)
+                if err < n * tol:
+                    converged = True
+                    break
+            else:
+                x = newx.localCheckpoint(eager=False)
+        if not converged:
+            raise RuntimeError(
+                f"eigenvector_centrality did not converge within "
+                f"max_iter={max_iter} (networkx raises PowerIterationFailed"
+                f"Convergence here too)"
+            )
+    return x.select(ID, F.col("x").alias("eigenvector"))

@@ -4869,3 +4869,55 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_eigenvector_nation_region_4(spark, sf_dir):
+    """Eigenvector centrality at exactly 4 supersteps (tol=0 fixed-step
+    form) on the undirected nation-region forest — the per-step
+    L2-normalized (A+I)ᵀ power iteration is ANSI-SQL-unrollable, same
+    pattern as katz_nation_region_4; millionths-rounding absorbs
+    sum-order float drift."""
+    from linkgraph import eigenvector_centrality
+
+    out = eigenvector_centrality(
+        nation_region_graph(spark, sf_dir), max_iter=4, tol=0
+    )
+    return out.select(
+        "id",
+        F.round(F.col("eigenvector") * 1e6).cast("long").alias("eig_millionths"),
+    )
+
+
+def _eigenvector_unrolled_sql(n_iters: int = 4) -> str:
+    """Unrolled fixed-iteration eigenvector centrality on the nation-region
+    graph: x0 uniform 1/N, each step raw = x + Aᵀx then L2-normalize."""
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS u, 'r' || n_regionkey AS v FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT u AS id FROM e)",
+        "x0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS x FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes.append(
+            f"r{i} AS (SELECT nodes.id, x{p}.x + coalesce(c.s, CAST(0 AS DOUBLE)) AS x "
+            f"FROM nodes JOIN x{p} ON nodes.id = x{p}.id LEFT JOIN ("
+            f"SELECT e.v AS id, sum(x{p}.x) AS s FROM e "
+            f"JOIN x{p} ON e.u = x{p}.id GROUP BY e.v) c ON nodes.id = c.id)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT id, x / (SELECT sqrt(sum(x * x)) FROM r{i}) AS x "
+            f"FROM r{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(1000000 * x) AS BIGINT) "
+        f"AS eig_millionths FROM x{n_iters}"
+    )
+
+
+QUERIES.update({"eigenvector_nation_region_4": q_eigenvector_nation_region_4})
+ORACLE_SQL.update(
+    {"eigenvector_nation_region_4": _eigenvector_unrolled_sql(4)}
+)

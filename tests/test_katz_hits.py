@@ -101,3 +101,70 @@ def test_hits_edge_free_graph(spark):
     res = hits(g, max_iter=5)
     for r in res.collect():
         assert r["hub"] == 0.0 and r["authority"] == 0.0
+
+
+# ---------------------------------------------------------- eigenvector
+
+
+def test_eigenvector_networkx_parity_weighted(spark):
+    from linkgraph.algorithms.katz import eigenvector_centrality
+
+    E = [("a", "b", 2.0), ("b", "c", 1.0), ("c", "d", 3.0),
+         ("d", "a", 1.0), ("a", "c", 1.5), ("e", "a", 1.0)]
+    und = E + [(v, u, w) for u, v, w in E]
+    g = LinkGraph(spark.createDataFrame(und, ["src", "dst", "weight"]))
+    mine = {
+        r["id"]: r["eigenvector"]
+        for r in eigenvector_centrality(g, max_iter=200, tol=1e-7).collect()
+    }
+    G = nx.Graph()
+    G.add_weighted_edges_from(E)
+    ref = nx.eigenvector_centrality(G, max_iter=500, tol=1e-10, weight="weight")
+    assert mine.keys() == ref.keys()
+    for k, v in ref.items():
+        assert mine[k] == pytest.approx(v, abs=1e-4), k
+
+
+def test_eigenvector_directed_and_bipartite_closed_form(spark):
+    """Directed: in-edge convention (networkx). Bipartite K_{2,3}: the +I
+    shift converges where unshifted power iteration oscillates, to the
+    closed form x_u = 1/2, x_v = 1/sqrt(6)."""
+    from linkgraph.algorithms.katz import eigenvector_centrality
+
+    # a cycle keeps A non-nilpotent — on a DAG the power iteration only
+    # converges polynomially and networkx raises there too
+    D = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    g = LinkGraph(spark.createDataFrame(D, ["src", "dst"]))
+    mine = {
+        r["id"]: r["eigenvector"]
+        for r in eigenvector_centrality(g, max_iter=300, tol=1e-7).collect()
+    }
+    G = nx.DiGraph(D)
+    ref = nx.eigenvector_centrality(G, max_iter=1000, tol=1e-10)
+    for k, v in ref.items():
+        assert mine[k] == pytest.approx(v, abs=1e-3), k
+
+    B = [(f"u{i}", f"v{j}") for i in range(2) for j in range(3)]
+    und = B + [(b, a) for a, b in B]
+    gb = LinkGraph(spark.createDataFrame(und, ["src", "dst"]))
+    got = {r["id"]: r["eigenvector"]
+           for r in eigenvector_centrality(gb, max_iter=200, tol=1e-6).collect()}
+    for i in range(2):
+        assert got[f"u{i}"] == pytest.approx(0.5, abs=1e-3)
+    for j in range(3):
+        assert got[f"v{j}"] == pytest.approx(6 ** -0.5, abs=1e-3)
+
+
+def test_eigenvector_nonconvergence_raises_and_fixed_step(spark):
+    from linkgraph.algorithms.katz import eigenvector_centrality
+
+    g = LinkGraph(spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        eigenvector_centrality(g, max_iter=1, tol=1e-15)
+    # fixed-step (tol=0) never raises and runs exactly max_iter steps:
+    # one step from uniform on the 2-cycle is already the fixpoint 1/sqrt(2)
+    out = {r["id"]: r["eigenvector"]
+           for r in eigenvector_centrality(g, max_iter=1, tol=0).collect()}
+    assert out["a"] == pytest.approx(2 ** -0.5)
+    assert out["b"] == pytest.approx(2 ** -0.5)
