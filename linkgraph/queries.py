@@ -4921,3 +4921,68 @@ QUERIES.update({"eigenvector_nation_region_4": q_eigenvector_nation_region_4})
 ORACLE_SQL.update(
     {"eigenvector_nation_region_4": _eigenvector_unrolled_sql(4)}
 )
+
+
+def q_streaming_windowed_degree_events(spark, sf_dir):
+    """Event-time windowed degree (1-hour tumbling windows) over the events
+    table replayed as a file stream. Update mode + an effectively-infinite
+    watermark make the result micro-batch-boundary-independent (counts are
+    monotone per key, nothing is late-dropped), so max(degree) per
+    (window, id) over the update log equals the batch group-by — hence
+    hash-checkable against plain SQL. Window starts are emitted as
+    formatted strings to dodge timestamp-representation drift."""
+    import tempfile
+    import uuid
+
+    from linkgraph.streaming import edges_from_event_stream, windowed_degrees
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="lg_stream_src_")
+    ev.write.mode("overwrite").parquet(stage)
+    es = spark.readStream.schema(ev.schema).parquet(stage)
+    name = "wd_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_degrees(
+            edges_from_event_stream(es), window="1 hour", watermark="3650 days"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "id",
+        )
+        .agg(F.max("degree").cast("long").alias("degree"))
+    )
+
+
+QUERIES.update(
+    {"streaming_windowed_degree_events": q_streaming_windowed_degree_events}
+)
+ORACLE_SQL.update(
+    {
+        "streaming_windowed_degree_events": """
+        WITH ends AS (
+            SELECT CAST(user_id AS VARCHAR) AS id, ts FROM events
+            UNION ALL
+            SELECT CAST(event_type AS VARCHAR) AS id, ts FROM events
+        )
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               id,
+               count(*) AS degree
+        FROM ends
+        GROUP BY 1, 2
+    """,
+    }
+)
