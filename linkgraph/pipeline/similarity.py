@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -320,3 +321,43 @@ def quantized_cosine_topk(
             id_col, F.round("q_cosine", round_scores).alias("q_cosine")
         )
     return scored.orderBy(F.desc("q_cosine"), F.asc(id_col)).limit(k)
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    Rademacher sign matrix: y_j = (1/√k)·Σ_d sign(j,d)·x_d where
+    sign(j,d) = +1 iff the first hex digit of md5('<seed>:<j>:<d>') < '8'.
+    Returns DataFrame[id_col, projection: array<double>].
+
+    The sign matrix is a pure function of (seed, j, d), so two runs — or
+    two ENGINES — project identically (the DuckDB oracle replays it
+    byte-for-byte); no RNG state, no broadcast needed. Entirely
+    higher-order functions over the vector column: zero shuffle, zero UDF
+    — scan-bound at 100 TB. The md5-per-element cost (k·D digests/row) is
+    the price of engine portability; a production variant would
+    precompute the k×D sign matrix once and broadcast it, same output.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    inv = 1.0 / math.sqrt(out_dim)
+    terms = [
+        (
+            F.expr(
+                f"aggregate(transform({vec_col}, (x, i) -> "
+                f"CASE WHEN substring(md5(concat('{seed}:{j}:', cast(i AS string))), 1, 1) < '8' "
+                f"THEN cast(x AS double) ELSE -cast(x AS double) END), "
+                f"cast(0.0 AS double), (a, b) -> a + b)"
+            )
+            * F.lit(inv)
+        ).alias(f"_y{j}")
+        for j in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), *terms).select(
+        id_col, F.array(*[f"_y{j}" for j in range(out_dim)]).alias("projection")
+    )

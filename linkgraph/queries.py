@@ -4986,3 +4986,40 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_random_projection_embeddings(spark, sf_dir):
+    """Deterministic JL random projection (md5-Rademacher signs) of the
+    32-d embeddings to 8 components, exploded to (vec_id, j, y6) — the
+    oracle replays the identical sign function byte-for-byte; round(·,6)
+    absorbs sum-order drift between the fold and SQL SUM."""
+    from linkgraph.pipeline.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = random_projection(e, out_dim=8)
+    return proj.select(
+        "vec_id", F.posexplode("projection").alias("j", "y")
+    ).select("vec_id", "j", F.round("y", 6).alias("y6"))
+
+
+QUERIES.update({"random_projection_embeddings": q_random_projection_embeddings})
+ORACLE_SQL.update(
+    {
+        "random_projection_embeddings": """
+        WITH el AS (
+            SELECT vec_id,
+                   unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        js AS (SELECT unnest(range(8)) AS j)
+        SELECT el.vec_id,
+               CAST(js.j AS INTEGER) AS j,
+               round(sum(CASE WHEN substr(md5('rp:' || js.j || ':' || (el.i - 1)), 1, 1) < '8'
+                              THEN CAST(el.x AS DOUBLE)
+                              ELSE -CAST(el.x AS DOUBLE) END) / sqrt(8), 6) AS y6
+        FROM el CROSS JOIN js
+        GROUP BY el.vec_id, js.j
+    """,
+    }
+)

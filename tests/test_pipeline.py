@@ -318,3 +318,48 @@ def test_duplicate_span_fraction_closed_form(spark):
 
     with _pt.raises(ValueError):
         duplicate_span_fraction(docs, span_tokens=0)
+
+
+def test_random_projection_deterministic_and_jl(spark):
+    """Exact python-md5 replay of the sign function; determinism across
+    runs; JL property: mean squared pairwise distance is approximately
+    preserved going 32 -> 16 dims on random unit-ish vectors."""
+    import hashlib
+    import math
+    import random
+
+    import pytest as _pt
+
+    from linkgraph.pipeline.similarity import random_projection
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, -0.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["projection"]
+           for r in random_projection(emb, out_dim=4).collect()}
+
+    def sign(j, d):
+        return 1.0 if hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[0] < "8" else -1.0
+
+    for vid, vec in [(0, [1.0, 2.0, -0.5]), (1, [0.0, 0.0, 0.0])]:
+        exp = [sum(sign(j, d) * x for d, x in enumerate(vec)) / 2.0
+               for j in range(4)]
+        assert got[vid] == _pt.approx(exp, abs=1e-12)
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    proj = {r["vec_id"]: r["projection"]
+            for r in random_projection(df, out_dim=16).collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    orig = [d2(vecs[i][1], vecs[j][1])
+            for i in range(30) for j in range(i + 1, 30)]
+    prj = [d2(proj[i], proj[j]) for i in range(30) for j in range(i + 1, 30)]
+    ratio = sum(prj) / sum(orig)
+    assert 0.8 < ratio < 1.2  # JL: expected 1.0, k=16 concentration
+    with _pt.raises(ValueError):
+        random_projection(df, out_dim=0)
