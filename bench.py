@@ -322,6 +322,33 @@ def main():
 
     timed("tfidf_corpus", _tfidf_corpus)
 
+    def _dupspan_corpus():
+        # cross-doc duplicate-span signal over the 300k-file corpus: one
+        # distinct-docs-per-span aggregate on 8-byte span hashes + one
+        # per-doc count — the inter-document repetition wall
+        from linkgraph.pipeline.dedup import duplicate_span_fraction
+
+        d = corpus.select(F.col("path").alias("doc_id"), F.col("content").alias("text"))
+        row = duplicate_span_fraction(d).agg(
+            F.sum("n_dup_spans").alias("dup"), F.sum("n_spans").alias("all")
+        ).collect()[0]
+        extra["dupspan_dup_frac"] = round(
+            (row["dup"] or 0) / max(row["all"] or 1, 1), 4
+        )
+
+    timed("dupspan_corpus", _dupspan_corpus)
+
+    def _eigenvector_corpus():
+        # 5 fixed supersteps of the L2-normalized (A+I)^T power iteration
+        # (distributed plan; tol=0 skips the per-step delta action)
+        from linkgraph import eigenvector_centrality
+
+        eigenvector_centrality(g, max_iter=5, tol=0).agg(
+            F.max("eigenvector")
+        ).collect()
+
+    timed("eigenvector_corpus", _eigenvector_corpus)
+
     timed("pagerank_copurchase", _pr_cop)
     timed("weighted_degree", lambda: q_weighted_degree_lineitem(spark, sf_dir).count())
     timed("ann_cosine_top10", lambda: q_ann_cosine_top10(spark, sf_dir).collect())
