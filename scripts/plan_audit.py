@@ -156,6 +156,21 @@ def main():
             "parallel, zero shuffle, no RNG state",
         ),
         (
+            "dup_span_fraction_documents",
+            "cross-doc duplicate spans: one distinct-docs-per-span algebraic "
+            "aggregate on 8-byte xxhash64 keys — never a pairwise self-join",
+        ),
+        (
+            "bigram_pmi_documents",
+            "two count aggregates + vocabulary joins + TakeOrderedAndProject "
+            "top-k; no windows, no Python",
+        ),
+        (
+            "random_projection_embeddings",
+            "JL projection as pure HOF column math: md5-Rademacher signs, "
+            "zero shuffle before the output explode",
+        ),
+        (
             "fuzzy_join_part_words",
             "q-gram blocking join: gram explode via sequence+substring HOFs, "
             "short-key equi-join (never a cross join), levenshtein verify "

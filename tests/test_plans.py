@@ -393,3 +393,28 @@ def test_pack_sequences_single_window_per_group(spark):
     # the window is partitioned by the group key, not the degenerate
     # all-rows-in-one-task form
     assert "grp" in win_lines[0]
+
+
+def test_round4_new_ops_plan_properties(spark, docs_parquet):
+    """Round-4 additions keep the claimed shapes: random_projection is a
+    zero-shuffle zero-Python projection; duplicate_span_fraction and
+    bigram_pmi stay window-free and Python-free (their sharing/count tests
+    are algebraic aggregates, never sorts of unbounded key groups)."""
+    from linkgraph.pipeline.dedup import duplicate_span_fraction
+    from linkgraph.pipeline.similarity import random_projection
+    from linkgraph.pipeline.text import bigram_pmi
+
+    docs = spark.read.parquet(docs_parquet).select("doc_id", "text")
+
+    rp_in = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    rp_plan = _plan(random_projection(rp_in, out_dim=4))
+    assert "EvalPython" not in rp_plan
+    assert "Exchange" not in rp_plan  # scan-shaped: no shuffle at all
+    assert "Window" not in rp_plan
+
+    for df in (duplicate_span_fraction(docs), bigram_pmi(docs, min_count=1, k=5)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
