@@ -18,7 +18,7 @@ from linkgraph.graph import LinkGraph
 from linkgraph.checkpoint import CheckpointManager
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
-from linkgraph.algorithms.scc import strongly_connected_components
+from linkgraph.algorithms.scc import condensation, strongly_connected_components
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
@@ -31,6 +31,7 @@ from linkgraph.algorithms.assortativity import degree_assortativity
 from linkgraph.algorithms.triangles import (
     average_clustering,
     local_clustering_coefficient,
+    clique4_count,
     square_count,
     transitivity,
     triangle_count,
@@ -104,6 +105,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "strongly_connected_components",
+    "condensation",
     "label_propagation",
     "seeded_label_propagation",
     "k_core",
@@ -118,6 +120,7 @@ __all__ = [
     "average_clustering",
     "transitivity",
     "square_count",
+    "clique4_count",
     "densest_subgraph",
     "degree_assortativity",
     "k_truss",

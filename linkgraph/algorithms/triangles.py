@@ -243,3 +243,64 @@ def square_count(graph: LinkGraph, max_neighbor_degree: int | None = None) -> in
     finally:
         adj.unpersist()
     return int(total or 0) // 4
+
+
+def clique4_count(graph: LinkGraph) -> int:
+    """Number of 4-cliques (K4 subgraphs), exact, each counted once.
+
+    kClist-style listing (Danisch et al., WWW'18; cf. Chiba–Nishizeki) on
+    the degree-ordered orientation DAG: under the total order ≺ = (degree,
+    id), every K4 {w1 ≺ w2 ≺ w3 ≺ w4} appears exactly once as a fully
+    oriented triangle (w1, w2, w3) extended by w3's out-neighbor w4 that is
+    also an out-neighbor of w1 and w2.
+
+    Scale notes: orientation bounds out-degree by O(sqrt(m)) — the same
+    guarantee that keeps the triangle wedge join hub-safe bounds the
+    extension join here; the two membership probes are leftsemi hash joins
+    against the oriented edge set (no row blow-up past the candidate list).
+    NOT in the reference (no clique code under ``mercury/``)."""
+    e = _orient(_canonical_undirected(graph)).persist()
+    e.count()
+    try:
+        # wedges (x; y, z): y,z both out-neighbors of the pivot x, y < z by
+        # id only to enumerate each unordered pair once
+        wedges = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+            .filter(F.col("e1.v") < F.col("e2.v"))
+            .select(
+                F.col("e1.u").alias("x"),
+                F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+        )
+        # closing edge carries its true orientation (b ≺ c), keyed by the
+        # id-canonical pair so the probe is ONE hash join
+        closing = e.select(
+            F.least("u", "v").alias("y"),
+            F.greatest("u", "v").alias("z"),
+            F.col("u").alias("b"),
+            F.col("v").alias("c"),
+        )
+        # fully ordered triangles a ≺ b ≺ c (a = pivot: two out-edges)
+        tri = wedges.join(closing.hint("shuffle_hash"), ["y", "z"]).select(
+            F.col("x").alias("a"), "b", "c"
+        )
+        # extend by c's out-neighbors, then require a→d and b→d
+        cand = tri.join(
+            e.select(F.col("u").alias("c"), F.col("v").alias("d")), "c"
+        )
+        probe = e.select(F.col("u").alias("p"), F.col("v").alias("d"))
+        k4 = cand.join(
+            probe.withColumnRenamed("p", "a").hint("shuffle_hash"),
+            ["a", "d"],
+            "leftsemi",
+        ).join(
+            probe.withColumnRenamed("p", "b").hint("shuffle_hash"),
+            ["b", "d"],
+            "leftsemi",
+        )
+        n = k4.count()
+    finally:
+        e.unpersist()
+    return n

@@ -5023,3 +5023,87 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_clique4_nation_coregion(spark, sf_dir):
+    """4-clique count on the nation co-region graph (nations in the same
+    region are pairwise linked → one K_{|region|} per region, so K4s =
+    Σ_r C(|r|, 4)). The Spark side runs the degree-ordered orientation-DAG
+    listing (kClist shape, triangles.py); the oracle enumerates every
+    string-ordered 6-edge chain a<b<c<d from the canonical edge list — a
+    structurally independent recount, not the closed form."""
+    from linkgraph import clique4_count
+
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("r1")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("r2")
+    )
+    e = n1.join(
+        n2, (F.col("r1") == F.col("r2")) & (F.col("k1") < F.col("k2"))
+    ).select(
+        F.concat(F.lit("n"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("k2").cast("string")).alias("dst"),
+    )
+    n = clique4_count(LinkGraph(e))
+    return spark.createDataFrame([(n,)], "cliques4 long")
+
+
+def q_condensation_region_cycles(spark, sf_dir):
+    """Condensation DAG of the scc_region_cycles fixture (one directed
+    nation cycle per region + nation→region DAG edges): each region cycle
+    contracts to its min-nation label with exactly one out-edge to the
+    region's singleton sink — the intra-cycle edges must vanish and the
+    per-nation DAG edges must collapse to ONE distinct pair per region."""
+    from pyspark.sql import Window
+
+    from linkgraph import condensation
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    w = Window.partitionBy("r").orderBy("k")
+    nxt = F.coalesce(
+        F.lead("k").over(w), F.min("k").over(Window.partitionBy("r"))
+    )
+    cyc = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("src"),
+        F.concat(F.lit("n"), nxt.cast("string")).alias("dst"),
+    )
+    dag = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("r").cast("string")).alias("dst"),
+    )
+    return condensation(LinkGraph(cyc.union(dag)))
+
+
+QUERIES.update(
+    {
+        "clique4_nation_coregion": q_clique4_nation_coregion,
+        "condensation_region_cycles": q_condensation_region_cycles,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "clique4_nation_coregion": """
+        WITH e AS (SELECT least('n' || a.n_nationkey, 'n' || b.n_nationkey) AS u,
+                          greatest('n' || a.n_nationkey, 'n' || b.n_nationkey) AS v
+                   FROM nation a JOIN nation b
+                   ON a.n_regionkey = b.n_regionkey
+                      AND a.n_nationkey < b.n_nationkey)
+        SELECT CAST(count(*) AS BIGINT) AS cliques4
+        FROM e ab
+        JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+        JOIN e ad ON ad.u = ab.u AND ad.v > ac.v
+        JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+        JOIN e bd ON bd.u = ab.v AND bd.v = ad.v
+        JOIN e cd ON cd.u = ac.v AND cd.v = ad.v
+    """,
+        "condensation_region_cycles": """
+        SELECT min('n' || n_nationkey) AS src_scc,
+               'r' || n_regionkey AS dst_scc
+        FROM nation GROUP BY n_regionkey
+    """,
+    }
+)
