@@ -247,6 +247,13 @@ def main():
 
     timed("structsim_imports", _structsim_imports)
 
+    def _clique4_imports():
+        from linkgraph import clique4_count
+
+        extra["clique4_imports"] = clique4_count(g_imp)
+
+    timed("clique4_imports", _clique4_imports)
+
     def _pr_cop():
         # default auto strategy: a ~240k-edge graph takes the driver-local
         # plan (the engine's size-based physical choice) — ~100 BSP
