@@ -304,3 +304,41 @@ def clique4_count(graph: LinkGraph) -> int:
     finally:
         e.unpersist()
     return n
+
+
+def approx_triangle_count(
+    graph: LinkGraph, p: float = 0.1, seed: int = 42
+) -> tuple[int, float]:
+    """DOULION (Tsourakakis et al., KDD'09) approximate triangle count:
+    sparsify to a deterministic p-fraction of the canonical undirected
+    edges, count triangles exactly on the sample, scale by 1/p³. Returns
+    ``(sampled_triangles, estimate)``; unbiased with variance that vanishes
+    as the true count grows.
+
+    The coin is md5(u|v|seed)'s leading 24 bits compared against
+    floor(p·2²⁴) — a pure function of the edge, so runs are reproducible
+    across partitionings, retries, AND engines (an external SQL engine
+    replays the identical sample). At 100 TB this is the triangle path when
+    the exact wedge join is too big: the sample shrinks the wedge join by
+    p² before any shuffle."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"sampling probability p must be in (0, 1], got {p}")
+    threshold = int(p * (1 << 24))
+    und = _canonical_undirected(graph)
+    sampled = und.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "a", "b", F.lit(str(seed)))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        < F.lit(threshold)
+    )
+    e = _orient(sampled).persist()
+    e.count()
+    try:
+        n = _triples_of(e).count()
+    finally:
+        e.unpersist()
+    return n, n / (p**3)

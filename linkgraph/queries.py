@@ -5107,3 +5107,103 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def _pagerank_weighted_unrolled_sql(n_iters: int = 5, damping: float = DAMPING) -> str:
+    """ANSI SQL for fixed-iteration WEIGHTED PageRank on the symmetrized
+    nation-region graph with deterministic per-edge weight 1 + (nationkey %
+    3) on both directions: contributions split by w/out_wsum instead of
+    1/out_degree."""
+    d = damping
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst, "
+        "CAST(1 + n_nationkey % 3 AS DOUBLE) AS w FROM nation "
+        "UNION ALL SELECT 'r' || n_regionkey, 'n' || n_nationkey, "
+        "CAST(1 + n_nationkey % 3 AS DOUBLE) FROM nation)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT nodes.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * coalesce(c.s, CAST(0 AS DOUBLE)) AS r "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r{i-1}.r * e.w / deg.d) AS s "
+            f"FROM e JOIN r{i-1} ON e.src = r{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON nodes.id = c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(round(r * 1000000) AS BIGINT) AS pr_millionths"
+        f" FROM r{n_iters}"
+    )
+
+
+def q_pagerank_weighted_nation_region_5(spark, sf_dir):
+    """Fixed 5 supersteps of WEIGHTED PageRank: the nation→region edge (and
+    its symmetric reverse) carries deterministic weight 1 + nationkey % 3,
+    so each superstep splits rank proportionally to w/out_wsum — a uniform
+    1/deg implementation would hash-mismatch on the first step. Covers the
+    weight-respecting path of the pagerank loop that every other pagerank
+    oracle (uniform or complete-graph) leaves unexercised."""
+    n = _t(spark, sf_dir, "nation")
+    w = (F.lit(1.0) + (F.col("n_nationkey") % 3).cast("double")).alias("weight")
+    fwd = n.select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst"), w
+    )
+    rev = n.select(
+        _tag("n_regionkey", "r").alias("src"), _tag("n_nationkey", "n").alias("dst"), w
+    )
+    g = LinkGraph(fwd.unionByName(rev))
+    res = pagerank(g, damping=DAMPING, tol=0.0, max_iter=5, use_arrow_kernel=False)
+    return res.ranks.select(
+        "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_millionths")
+    )
+
+
+QUERIES.update(
+    {"pagerank_weighted_nation_region_5": q_pagerank_weighted_nation_region_5}
+)
+ORACLE_SQL.update(
+    {"pagerank_weighted_nation_region_5": _pagerank_weighted_unrolled_sql(5)}
+)
+
+
+def q_approx_triangles_copurchase(spark, sf_dir):
+    """DOULION approximate triangle count on the supplier co-purchase graph
+    at p=0.5: the md5-coin edge sample is a pure function of (u, v, seed),
+    so DuckDB replays the EXACT same sparsified graph and 3-join-counts it
+    — the hash match proves both the deterministic sampling and the
+    count-on-sample are right (estimate = sampled·8 exactly at p=0.5)."""
+    from linkgraph.algorithms.triangles import approx_triangle_count
+
+    g = LinkGraph(copurchase_edges(spark, sf_dir), keys={"directed": False})
+    sampled, est = approx_triangle_count(g, p=0.5, seed=42)
+    return spark.createDataFrame(
+        [(sampled, int(round(est)))],
+        "sampled_triangles long, triangles_estimate long",
+    )
+
+
+QUERIES.update({"approx_triangles_copurchase": q_approx_triangles_copurchase})
+ORACLE_SQL.update(
+    {
+        "approx_triangles_copurchase": """
+        WITH sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        e0 AS (SELECT DISTINCT 's' || a.l_suppkey AS u, 's' || b.l_suppkey AS v
+               FROM sp a JOIN sp b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+        eo AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e0),
+        es AS (SELECT u, v FROM eo
+               WHERE CAST(('0x' || substr(md5(u || '|' || v || '|' || '42'), 1, 6))
+                          AS BIGINT) < 8388608),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n
+              FROM es e1 JOIN es e2 ON e1.v = e2.u JOIN es e3
+              ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT n AS sampled_triangles, n * 8 AS triangles_estimate FROM c
+    """,
+    }
+)
