@@ -795,3 +795,52 @@ def bigram_pmi(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def hashed_features(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signed: bool = False,
+) -> DataFrame:
+    """Feature-hashing vectorizer (Weinberger et al., ICML'09 "hashing
+    trick"): DataFrame[id, bucket, value] — the sparse COO bag-of-words
+    representation with term → bucket = md5(term) mod ``n_features``. The
+    fixed, vocabulary-free feature space is what a 100 TB training pipeline
+    wants: no global vocab build, no dictionary broadcast, identical
+    feature ids across corpus shards and across engines (the coin is a pure
+    function of the term bytes, never of partitioning or RNG state).
+
+    ``signed=True`` applies the sign trick (second independent md5 bit
+    flips the contribution ±1), making the estimator unbiased under
+    collisions; value is then the SIGNED sum and may be negative or zero
+    (zero-sum buckets are kept — dropping them would make the output depend
+    on which terms collided).
+
+    All JVM Column expressions: split → explode → two algebraic aggregates;
+    one shuffle on (id, bucket). No UDFs, no windows."""
+    if n_features <= 0:
+        raise ValueError(f"n_features must be positive, got {n_features}")
+    tok = df.select(
+        F.col(id_col), F.explode(_words_col(text_col)).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % n_features
+    ).alias("bucket")
+    if signed:
+        sign = F.when(
+            F.substring(F.md5(F.concat(F.lit("sign:"), F.col("term"))), 1, 1)
+            < "8",
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        contrib = tok.select(id_col, bucket, sign.alias("s"))
+        return contrib.groupBy(id_col, "bucket").agg(
+            F.sum("s").cast("long").alias("value")
+        )
+    return tok.select(id_col, bucket).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    )

@@ -5207,3 +5207,53 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_hashed_features_documents(spark, sf_dir):
+    """Feature-hashing (hashing-trick) bag-of-words at 64 buckets: term →
+    md5-mod bucket is a pure function of the term bytes, so DuckDB rebuilds
+    the identical sparse matrix — the hash match pins tokenization, the
+    hex→int bucket map, and the count aggregate in one signal."""
+    from linkgraph.pipeline.text import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents"), n_features=64)
+
+
+def q_hashed_features_signed_documents(spark, sf_dir):
+    """Signed feature hashing at 32 buckets (the ±1 second-hash trick that
+    unbiases collision noise): values may be negative or zero; a replica
+    that drops zero-sum buckets or mis-keys the sign hash mismatches."""
+    from linkgraph.pipeline.text import hashed_features
+
+    return hashed_features(
+        _t(spark, sf_dir, "documents"), n_features=32, signed=True
+    )
+
+
+QUERIES.update(
+    {
+        "hashed_features_documents": q_hashed_features_documents,
+        "hashed_features_signed_documents": q_hashed_features_signed_documents,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "hashed_features_documents": f"""
+        WITH {_WORDS_CTE},
+        t AS (SELECT doc_id, unnest(words) AS term FROM w)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS value
+        FROM t GROUP BY 1, 2
+    """,
+        "hashed_features_signed_documents": f"""
+        WITH {_WORDS_CTE},
+        t AS (SELECT doc_id, unnest(words) AS term FROM w)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 32 AS bucket,
+               CAST(sum(CASE WHEN substr(md5('sign:' || term), 1, 1) < '8'
+                             THEN 1 ELSE -1 END) AS BIGINT) AS value
+        FROM t GROUP BY 1, 2
+    """,
+    }
+)
