@@ -19,6 +19,7 @@ from linkgraph.checkpoint import CheckpointManager
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import condensation, strongly_connected_components
+from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
@@ -106,6 +107,8 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "condensation",
+    "is_bipartite",
+    "bipartite_coloring",
     "label_propagation",
     "seeded_label_propagation",
     "k_core",

@@ -5257,3 +5257,43 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bipartite_coloring_nation_region(spark, sf_dir):
+    """2-coloring of the nation-region star forest via the double-cover CC:
+    each component's min id is a nation (lexicographically 'n…' < 'r…'), so
+    every nation colors 0 and every region colors 1 — any parity slip in
+    the cover construction flips a class and hash-mismatches."""
+    from linkgraph import bipartite_coloring
+
+    return bipartite_coloring(nation_region_graph(spark, sf_dir))
+
+
+def q_bipartite_check_region_clique(spark, sf_dir):
+    """Bipartiteness of the K5-with-nation-tails fixture: the clique's odd
+    cycles force False; a cover construction that lost the twin-crossing
+    edges would wrongly report True."""
+    from linkgraph import is_bipartite
+
+    b = is_bipartite(_region_clique_tails(spark, sf_dir))
+    return spark.createDataFrame([(bool(b),)], "bipartite boolean")
+
+
+QUERIES.update(
+    {
+        "bipartite_coloring_nation_region": q_bipartite_coloring_nation_region,
+        "bipartite_check_region_clique": q_bipartite_check_region_clique,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bipartite_coloring_nation_region": """
+        SELECT 'n' || n_nationkey AS id, CAST(0 AS INT) AS color FROM nation
+        UNION ALL
+        SELECT DISTINCT 'r' || n_regionkey, CAST(1 AS INT) FROM nation
+    """,
+        "bipartite_check_region_clique": """
+        SELECT NOT (count(*) >= 3) AS bipartite FROM region
+    """,
+    }
+)
