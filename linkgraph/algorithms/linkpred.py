@@ -1,4 +1,5 @@
-"""Link prediction scores — common neighbors, Jaccard, Adamic–Adar.
+"""Link prediction scores — common neighbors, Jaccard, Adamic–Adar,
+resource allocation, preferential attachment.
 
 NOT present in the reference (no link-prediction code under ``mercury/``);
 added as part of the beyond-reference link-graph surface: "which repos/files
@@ -86,11 +87,12 @@ def link_prediction_top_k(
     min_common: int = 1,
 ) -> DataFrame:
     """Per-node top-k link-prediction candidates:
-    (node, candidate, rank, common, jaccard, adamic_adar).
+    (node, candidate, rank, common, jaccard, adamic_adar,
+    resource_alloc, pref_attach).
 
     Every scored pair contributes to BOTH endpoints' lists; ranking is
     (``score`` desc, candidate asc) — fully deterministic, ties broken by
-    candidate id. ``score`` ∈ {common, jaccard, adamic_adar}.
+    candidate id. ``score`` ∈ {common, jaccard, adamic_adar, resource_alloc, pref_attach}.
 
     Scale note: the per-node top-k is a ``row_number`` window, the one shape
     this engine otherwise avoids — here it is the right physical plan:
@@ -100,9 +102,12 @@ def link_prediction_top_k(
     (measured on a degree-4M star: window top-1 ties the algebraic
     ``min(struct)`` form, BENCH/lpa_top1_ab.md — and unlike LPA's top-1,
     top-k-with-rank has no algebraic equivalent)."""
-    if score not in ("common", "jaccard", "adamic_adar"):
+    if score not in (
+        "common", "jaccard", "adamic_adar", "resource_alloc", "pref_attach"
+    ):
         raise ValueError(
-            f"unknown score {score!r} (common|jaccard|adamic_adar)"
+            f"unknown score {score!r} "
+            "(common|jaccard|adamic_adar|resource_alloc|pref_attach)"
         )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -111,7 +116,7 @@ def link_prediction_top_k(
     out, cached = _scores_lazy(
         graph, max_neighbor_degree, exclude_edges, min_common
     )
-    cols = ["common", "jaccard", "adamic_adar"]
+    cols = ["common", "jaccard", "adamic_adar", "resource_alloc", "pref_attach"]
     sym = out.select(
         F.col("u").alias("node"), F.col("v").alias("candidate"), *cols
     ).unionAll(
@@ -171,6 +176,7 @@ def _scores_lazy(
             F.sum(1.0 / F.log(F.col("wdeg").cast("double"))).alias(
                 "adamic_adar"
             ),
+            F.sum(1.0 / F.col("wdeg").cast("double")).alias("resource_alloc"),
         )
         .filter(F.col("common") >= F.lit(min_common))
     )
@@ -194,6 +200,8 @@ def _scores_lazy(
                 / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
             ).alias("jaccard"),
             "adamic_adar",
+            "resource_alloc",
+            (F.col("du").cast("long") * F.col("dv")).alias("pref_attach"),
         )
     )
     return out, (und, deg, by_w)

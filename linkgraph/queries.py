@@ -5297,3 +5297,51 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_linkpred_ra_pa_events(spark, sf_dir):
+    """Resource-allocation and preferential-attachment link-prediction
+    scores over the user-event bipartite graph — the two scorers the other
+    linkpred oracles (common/Jaccard/Adamic-Adar) don't pin: RA's 1/deg(w)
+    wedge sum and PA's du·dv degree product each catch a different
+    degree-bookkeeping slip."""
+    from linkgraph import link_prediction_scores
+
+    out = link_prediction_scores(events_graph(spark, sf_dir))
+    return out.select(
+        "u",
+        "v",
+        F.round(F.col("resource_alloc") * 1e6).cast("long").alias("ra_millionths"),
+        F.col("pref_attach").cast("long").alias("pref_attach"),
+    )
+
+
+QUERIES.update({"linkpred_ra_pa_events": q_linkpred_ra_pa_events})
+ORACLE_SQL.update(
+    {
+        "linkpred_ra_pa_events": """
+        WITH e0 AS (SELECT DISTINCT 'u' || user_id AS s, 'e' || event_type AS d
+                    FROM events),
+        e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM e0 WHERE s <> d),
+        nb AS (SELECT a AS node, b AS nbr FROM e
+               UNION ALL SELECT b AS node, a AS nbr FROM e),
+        deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+        byw AS (SELECT nb.nbr AS w, nb.node, d.deg AS wdeg
+                FROM nb JOIN deg d ON nb.nbr = d.node),
+        pairs AS (SELECT l.node AS u, r.node AS v,
+                         count(*) AS common,
+                         sum(1.0 / l.wdeg) AS ra
+                  FROM byw l JOIN byw r
+                  ON l.w = r.w AND l.node < r.node
+                  GROUP BY l.node, r.node),
+        ne AS (SELECT p.* FROM pairs p LEFT JOIN e
+               ON p.u = e.a AND p.v = e.b WHERE e.a IS NULL)
+        SELECT ne.u, ne.v,
+               CAST(round(ra * 1000000) AS BIGINT) AS ra_millionths,
+               CAST(du.deg * dv.deg AS BIGINT) AS pref_attach
+        FROM ne JOIN deg du ON ne.u = du.node
+                JOIN deg dv ON ne.v = dv.node
+    """,
+    }
+)

@@ -141,3 +141,34 @@ def test_top_k_score_validation(spark):
         link_prediction_top_k(g, score="pagerank")
     with pytest.raises(ValueError, match="k must be"):
         link_prediction_top_k(g, k=0)
+
+
+def test_resource_alloc_and_pref_attach(spark):
+    from linkgraph import LinkGraph, link_prediction_scores
+
+    # square a-w1-b, a-w2-b: common=2; w degrees both 2 -> ra = 1.0;
+    # deg(a)=deg(b)=2 -> pa = 4
+    edges = [("a", "w1"), ("w1", "b"), ("a", "w2"), ("w2", "b")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    rows = {
+        (r["u"], r["v"]): r
+        for r in link_prediction_scores(g).collect()
+    }
+    ab = rows[("a", "b")]
+    assert ab["resource_alloc"] == 1.0
+    assert ab["pref_attach"] == 4
+    w12 = rows[("w1", "w2")]  # via a and b, each degree 2
+    assert w12["resource_alloc"] == 1.0 and w12["pref_attach"] == 4
+
+
+def test_top_k_by_new_scores_and_validation(spark):
+    import pytest
+
+    from linkgraph import LinkGraph, link_prediction_top_k
+
+    edges = [("a", "w"), ("w", "b"), ("a", "x"), ("x", "c")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    top = link_prediction_top_k(g, k=1, score="pref_attach")
+    assert {"resource_alloc", "pref_attach"} <= set(top.columns)
+    with pytest.raises(ValueError):
+        link_prediction_top_k(g, k=1, score="katz")
