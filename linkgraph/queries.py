@@ -5345,3 +5345,98 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_salsa_nation_region(spark, sf_dir):
+    """SALSA hub/authority scores on the directed nation→region graph: the
+    role-split support is one star per region, so every nation hubs at 1/N
+    and every region's authority is 1/R — the closed form follows from the
+    component-weighted stationary distribution, and any implementation that
+    used the UNDIRECTED components (the classic SALSA pitfall) or forgot a
+    role would break the split."""
+    from linkgraph import salsa
+
+    n = _t(spark, sf_dir, "nation")
+    g = LinkGraph(
+        n.select(
+            _tag("n_nationkey", "n").alias("src"),
+            _tag("n_regionkey", "r").alias("dst"),
+        )
+    )
+    out = salsa(g)
+    return out.select(
+        "id",
+        F.round(F.col("hub_score") * 1e6).cast("long").alias("hub_millionths"),
+        F.round(F.col("authority_score") * 1e6).cast("long").alias("auth_millionths"),
+    )
+
+
+def q_salsa_events(spark, sf_dir):
+    """SALSA on the real user→event graph — users are pure hubs, events
+    pure authorities, so the role components coincide with the bipartite
+    components and DuckDB can replay the full component-weighted closed
+    form with a recursive-CTE CC + degree arithmetic (per-component
+    normalization computed, not assumed)."""
+    from linkgraph import salsa
+
+    out = salsa(events_graph(spark, sf_dir))
+    return out.select(
+        "id",
+        F.round(F.col("hub_score") * 1e6).cast("long").alias("hub_millionths"),
+        F.round(F.col("authority_score") * 1e6).cast("long").alias("auth_millionths"),
+    )
+
+
+QUERIES.update(
+    {
+        "salsa_nation_region": q_salsa_nation_region,
+        "salsa_events": q_salsa_events,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "salsa_nation_region": """
+        WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+        rr AS (SELECT CAST(count(DISTINCT n_regionkey) AS DOUBLE) AS r FROM nation)
+        SELECT 'n' || n_nationkey AS id,
+               CAST(round(1000000.0 / nn.n) AS BIGINT) AS hub_millionths,
+               CAST(0 AS BIGINT) AS auth_millionths
+        FROM nation, nn
+        UNION ALL
+        SELECT DISTINCT 'r' || n_regionkey, CAST(0 AS BIGINT),
+               CAST(round(1000000.0 / rr.r) AS BIGINT)
+        FROM nation, rr
+    """,
+        "salsa_events": """
+        WITH RECURSIVE e AS (SELECT DISTINCT 'u' || user_id AS s,
+                                    'e' || event_type AS d FROM events),
+        und AS (SELECT s AS a, d AS b FROM e UNION SELECT d, s FROM e),
+        reach(v, w) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM und)
+            UNION
+            SELECT r.v, u.b FROM reach r JOIN und u ON r.w = u.a
+        ),
+        comp AS (SELECT v AS id, min(w) AS c FROM reach GROUP BY v),
+        din AS (SELECT d AS id, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY d),
+        dout AS (SELECT s AS id, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY s),
+        atot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM din),
+        htot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM dout),
+        acomp AS (SELECT comp.c, count(*) AS n_a, sum(din.deg) AS s_in
+                  FROM din JOIN comp ON din.id = comp.id GROUP BY comp.c),
+        hcomp AS (SELECT comp.c, count(*) AS n_h, sum(dout.deg) AS s_out
+                  FROM dout JOIN comp ON dout.id = comp.id GROUP BY comp.c)
+        SELECT dout.id,
+               CAST(round(hcomp.n_h / htot.t * dout.deg / hcomp.s_out * 1000000)
+                    AS BIGINT) AS hub_millionths,
+               CAST(0 AS BIGINT) AS auth_millionths
+        FROM dout JOIN comp ON dout.id = comp.id
+                  JOIN hcomp ON comp.c = hcomp.c CROSS JOIN htot
+        UNION ALL
+        SELECT din.id, CAST(0 AS BIGINT),
+               CAST(round(acomp.n_a / atot.t * din.deg / acomp.s_in * 1000000)
+                    AS BIGINT)
+        FROM din JOIN comp ON din.id = comp.id
+                 JOIN acomp ON comp.c = acomp.c CROSS JOIN atot
+    """,
+    }
+)
