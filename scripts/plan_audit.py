@@ -176,6 +176,27 @@ def main():
             "short-key equi-join (never a cross join), levenshtein verify "
             "once per distinct candidate — no windows, no Python",
         ),
+        (
+            "hashed_features_documents",
+            "hashing-trick vectorizer: split → explode → ONE algebraic "
+            "aggregate on (id, md5-bucket); vocabulary-free, no windows, "
+            "no Python",
+        ),
+        (
+            "linkpred_ra_pa_events",
+            "RA + PA ride the existing single wedge-join aggregate and "
+            "degree joins — zero new shuffles over the 3-score plan",
+        ),
+        (
+            "approx_triangles_copurchase",
+            "DOULION: deterministic md5-coin edge filter BEFORE the wedge "
+            "join (p² shrink), then the standard oriented triangle count",
+        ),
+        (
+            "condensation_region_cycles",
+            "SCC quotient: two node-id hash joins + distinct on the short "
+            "(src_scc, dst_scc) pair — no windows, no driver loop",
+        ),
     ]
 
     out = io.StringIO()

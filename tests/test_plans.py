@@ -418,3 +418,49 @@ def test_round4_new_ops_plan_properties(spark, docs_parquet):
         plan = _plan(df)
         assert "EvalPython" not in plan
         assert "Window" not in plan
+
+
+def test_round4_late_ops_plan_properties(spark, docs_parquet):
+    """Late round-4 additions keep the claimed shapes: hashed_features is
+    Python-free and window-free (split→explode→one algebraic aggregate);
+    the clique4 listing and linkpred's extended scorer set stay window-free
+    and Python-free (all wedge math rides joins + algebraic aggregates)."""
+    from linkgraph.algorithms.linkpred import _scores_lazy
+    from linkgraph.pipeline.text import hashed_features
+
+    docs = spark.read.parquet(docs_parquet).select("doc_id", "text")
+    for signed in (False, True):
+        plan = _plan(hashed_features(docs, n_features=32, signed=signed))
+        assert "EvalPython" not in plan, f"signed={signed}"
+        assert "Window" not in plan, f"signed={signed}"
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("a", "w"), ("w", "b"), ("a", "x")], ["src", "dst"]
+        )
+    )
+    out, cached = _scores_lazy(g, None, True, 1)
+    try:
+        plan = _plan(out)
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
+    finally:
+        for df in cached:
+            df.unpersist()
+
+
+def test_salsa_and_condensation_no_python_no_window(spark):
+    """salsa and condensation are joins + algebraic aggregates over the CC
+    labels — no Python eval nodes and no windows anywhere in their plans."""
+    from linkgraph import condensation, salsa
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("x", "h"), ("h", "a"), ("a", "x"), ("h", "z")], ["src", "dst"]
+        )
+    )
+    for df in (salsa(g), condensation(g)):
+        # localCheckpoint truncates lineage; re-derive plan from a fresh call
+        plan = _plan(df)
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
