@@ -21,6 +21,7 @@ from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import condensation, strongly_connected_components
 from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.salsa import salsa
+from linkgraph.algorithms.profile import graph_profile
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
@@ -111,6 +112,7 @@ __all__ = [
     "is_bipartite",
     "bipartite_coloring",
     "salsa",
+    "graph_profile",
     "label_propagation",
     "seeded_label_propagation",
     "k_core",

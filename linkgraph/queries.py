@@ -5440,3 +5440,48 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_graph_profile_nation_region(spark, sf_dir):
+    """One-row structural profile of the directed nation→region star forest
+    — every field is a closed form of the per-region nation counts, so the
+    SQL recomputes all ten numbers from the base table and a single slip in
+    any composed primitive (degree, CC size, triangle term) mismatches."""
+    from linkgraph.algorithms.profile import graph_profile
+
+    n = _t(spark, sf_dir, "nation")
+    g = LinkGraph(
+        n.select(
+            _tag("n_nationkey", "n").alias("src"),
+            _tag("n_regionkey", "r").alias("dst"),
+        )
+    )
+    return graph_profile(g)
+
+
+QUERIES.update({"graph_profile_nation_region": q_graph_profile_nation_region})
+ORACLE_SQL.update(
+    {
+        "graph_profile_nation_region": """
+        WITH k AS (SELECT n_regionkey, count(*) AS c FROM nation
+                   GROUP BY n_regionkey),
+        t AS (SELECT CAST(sum(c) AS DOUBLE) AS n_nat,
+                     CAST(count(*) AS DOUBLE) AS n_reg,
+                     CAST(max(c) AS BIGINT) AS max_c
+              FROM k)
+        SELECT CAST(n_nat + n_reg AS BIGINT) AS n_nodes,
+               CAST(n_nat AS BIGINT) AS n_edges,
+               CAST(n_nat AS BIGINT) AS n_edges_undirected,
+               CAST(round(2.0 * n_nat / ((n_nat + n_reg) * (n_nat + n_reg - 1))
+                          * 1000000) AS BIGINT) AS density_millionths,
+               CAST(n_reg AS BIGINT) AS n_components,
+               CAST(max_c + 1 AS BIGINT) AS largest_component,
+               CAST(0 AS BIGINT) AS n_triangles,
+               CAST(0 AS BIGINT) AS transitivity_millionths,
+               CAST(max_c AS BIGINT) AS max_degree,
+               CAST(round(2.0 * n_nat / (n_nat + n_reg) * 1000000) AS BIGINT)
+               AS avg_degree_millionths
+        FROM t
+    """,
+    }
+)
