@@ -22,6 +22,7 @@ from linkgraph.algorithms.scc import condensation, strongly_connected_components
 from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.salsa import salsa
 from linkgraph.algorithms.profile import graph_profile
+from linkgraph.algorithms.cuts import articulation_points, bridges
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
@@ -113,6 +114,8 @@ __all__ = [
     "bipartite_coloring",
     "salsa",
     "graph_profile",
+    "bridges",
+    "articulation_points",
     "label_propagation",
     "seeded_label_propagation",
     "k_core",

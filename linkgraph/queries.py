@@ -5485,3 +5485,41 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bridges_nation_region(spark, sf_dir):
+    """Bridges of the nation-region star forest: EVERY edge is a bridge
+    (trees have no cycles) — a lowlink slip that misses a tree edge or
+    emits a phantom one mismatches the exact edge list."""
+    from linkgraph import bridges
+
+    return bridges(nation_region_graph(spark, sf_dir))
+
+
+def q_articulation_nation_region(spark, sf_dir):
+    """Articulation points of the star forest: exactly the regions with ≥2
+    nations (leaf removal never disconnects; a 1-nation region's hub is no
+    cut vertex)."""
+    from linkgraph import articulation_points
+
+    return articulation_points(nation_region_graph(spark, sf_dir))
+
+
+QUERIES.update(
+    {
+        "bridges_nation_region": q_bridges_nation_region,
+        "articulation_nation_region": q_articulation_nation_region,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bridges_nation_region": """
+        SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+        FROM nation
+    """,
+        "articulation_nation_region": """
+        SELECT 'r' || n_regionkey AS id FROM nation
+        GROUP BY n_regionkey HAVING count(*) >= 2
+    """,
+    }
+)
