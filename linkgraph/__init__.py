@@ -23,6 +23,7 @@ from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.salsa import salsa
 from linkgraph.algorithms.profile import graph_profile
 from linkgraph.algorithms.cuts import articulation_points, bridges
+from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
@@ -116,6 +117,7 @@ __all__ = [
     "graph_profile",
     "bridges",
     "articulation_points",
+    "truss_decomposition",
     "label_propagation",
     "seeded_label_propagation",
     "k_core",

@@ -5523,3 +5523,36 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_truss_decomposition_region_clique(spark, sf_dir):
+    """Per-edge trussness of the K_n-with-nation-tails fixture: every
+    clique edge has support n−2 at every peel, so the whole K_n survives
+    to the n-truss exactly (trussness n); the tail edges sit in no
+    triangle and stay at the floor of 2 — wrong peel order or an
+    off-by-one in the support threshold shifts a whole class."""
+    from linkgraph.algorithms.ktruss import truss_decomposition
+
+    return truss_decomposition(_region_clique_tails(spark, sf_dir))
+
+
+QUERIES.update(
+    {"truss_decomposition_region_clique": q_truss_decomposition_region_clique}
+)
+ORACLE_SQL.update(
+    {
+        "truss_decomposition_region_clique": """
+        WITH n AS (SELECT CAST(count(*) AS INT) AS n FROM region)
+        SELECT least('r' || a.r_regionkey, 'r' || b.r_regionkey) AS src,
+               greatest('r' || a.r_regionkey, 'r' || b.r_regionkey) AS dst,
+               n.n AS trussness
+        FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+        CROSS JOIN n
+        UNION ALL
+        SELECT least('n' || n_nationkey, 'r' || n_regionkey),
+               greatest('n' || n_nationkey, 'r' || n_regionkey),
+               CAST(2 AS INT)
+        FROM nation
+    """,
+    }
+)
