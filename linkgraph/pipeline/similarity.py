@@ -361,3 +361,75 @@ def random_projection(
     return emb.select(F.col(id_col), *terms).select(
         id_col, F.array(*[f"_y{j}" for j in range(out_dim)]).alias("projection")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    max_df: int | None = None,
+    min_sim: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join via an inverted index:
+    DataFrame[d1, d2, sim] (d1 < d2) for every document pair sharing ≥1
+    surviving term — the sparse-vector counterpart to the dense ANN paths
+    (cosine_topk/LSH/IVF), and the standard "similar documents" primitive
+    when no embedding exists.
+
+    Plan: tokenize → per-(doc, term) tf aggregate → df aggregate (broadcast
+    back) → per-doc L2 norms → inverted-index self-join on term → ONE
+    algebraic dot-product aggregate per pair. No windows, no Python.
+
+    ``max_df`` drops terms appearing in more than that many documents from
+    the JOIN ONLY (norms keep every term, so surviving similarities are
+    exact, never inflated): stop-word-grade terms are what makes the
+    inverted-index self-join quadratic — the cap is the documented
+    recall/cost trade, same shape as ngram_jaccard's shingle-frequency cap.
+    ``min_sim`` filters the output (boundary floats compare engine-side;
+    leave None when hash-comparing against an external replay).
+
+    idf = ln(N / df); weights tf·idf; cosine = Σ w1·w2 / (‖w1‖·‖w2‖)."""
+    from linkgraph.pipeline.text import _words_col
+
+    tok = df.select(
+        F.col(id_col).alias("d"), F.explode(_words_col(text_col)).alias("term")
+    )
+    tf = tok.groupBy("d", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "d",
+            "term",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("d").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    joinable = w if max_df is None else w.filter(F.col("df") <= max_df)
+    left = joinable.select("term", F.col("d").alias("d1"), F.col("w").alias("w1"))
+    right = joinable.select("term", F.col("d").alias("d2"), F.col("w").alias("w2"))
+    dots = (
+        left.join(right, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("d").alias("d1"), F.col("nrm").alias("n1")), "d1")
+        .join(norms.select(F.col("d").alias("d2"), F.col("nrm").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("dot") / (F.col("n1") * F.col("n2"))).alias("sim"),
+        )
+    )
+    if min_sim is not None:
+        out = out.filter(F.col("sim") >= min_sim)
+    return out

@@ -5556,3 +5556,45 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_tfidf_cosine_pairs_documents(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join over the documents table
+    (uncapped: the synthetic vocabulary is 31 terms, so the inverted-index
+    self-join is bounded and the oracle can replay EVERY pair) — pins
+    tokenization, tf/df/idf bookkeeping, the L2 norms, and the pair dot
+    aggregate in one hash."""
+    from linkgraph.pipeline.similarity import tfidf_cosine_pairs
+
+    out = tfidf_cosine_pairs(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "d1", "d2", F.round(F.col("sim") * 1e6).cast("long").alias("sim_millionths")
+    )
+
+
+QUERIES.update({"tfidf_cosine_pairs_documents": q_tfidf_cosine_pairs_documents})
+ORACLE_SQL.update(
+    {
+        "tfidf_cosine_pairs_documents": f"""
+        WITH {_WORDS_CTE},
+        t AS (SELECT doc_id AS d, unnest(words) AS term FROM w),
+        tf AS (SELECT d, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM t GROUP BY d, term),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM documents),
+        dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+                GROUP BY term),
+        wt AS (SELECT tf.d, tf.term, tf.tf * ln(nd.n / dfq.df) AS w
+               FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        nrm AS (SELECT d, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY d),
+        dots AS (SELECT a.d AS d1, b.d AS d2, sum(a.w * b.w) AS dot
+                 FROM wt a JOIN wt b ON a.term = b.term AND a.d < b.d
+                 GROUP BY a.d, b.d)
+        SELECT d1, d2,
+               CAST(round(dot / (n1.nrm * n2.nrm) * 1000000) AS BIGINT)
+               AS sim_millionths
+        FROM dots JOIN nrm n1 ON dots.d1 = n1.d
+                  JOIN nrm n2 ON dots.d2 = n2.d
+    """,
+    }
+)
