@@ -37,6 +37,8 @@ from linkgraph.algorithms.triangles import (
     average_clustering,
     local_clustering_coefficient,
     clique4_count,
+    k_clique_count,
+    k_cliques,
     square_count,
     transitivity,
     triangle_count,
@@ -133,6 +135,8 @@ __all__ = [
     "transitivity",
     "square_count",
     "clique4_count",
+    "k_clique_count",
+    "k_cliques",
     "densest_subgraph",
     "degree_assortativity",
     "k_truss",

@@ -342,3 +342,82 @@ def approx_triangle_count(
     finally:
         e.unpersist()
     return n, n / (p**3)
+
+
+def _k_clique_plan(e: DataFrame, k: int) -> DataFrame:
+    """Lazy plan listing every k-clique of the oriented DAG ``e`` exactly
+    once as (w1..wk), members in DAG (degree, id) order. Shared by
+    :func:`k_clique_count` (counts it) and :func:`k_cliques` (materializes
+    it) — the caller owns ``e``'s persist scope."""
+    cliques = e.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    for i in range(3, k + 1):
+        last, new = f"w{i - 1}", f"w{i}"
+        cand = cliques.join(
+            e.select(F.col("u").alias(last), F.col("v").alias(new)).hint(
+                "shuffle_hash"
+            ),
+            last,
+        )
+        for j in range(1, i - 1):
+            probe = e.select(F.col("u").alias(f"w{j}"), F.col("v").alias(new))
+            cand = cand.join(
+                probe.hint("shuffle_hash"), [f"w{j}", new], "leftsemi"
+            )
+        cliques = cand.select(*[f"w{j}" for j in range(1, i + 1)])
+    return cliques
+
+
+def k_clique_count(graph: LinkGraph, k: int) -> int:
+    """Exact number of k-cliques (K_k subgraphs), each counted once —
+    the arbitrary-k generalization of :func:`clique4_count`.
+
+    kClist (Danisch et al., WWW'18; cf. Chiba–Nishizeki) on the
+    degree-ordered orientation DAG: under the total order ≺ = (degree, id)
+    every K_k appears exactly once with its members sorted by ≺, so the
+    listing extends fully-oriented (i-1)-cliques by the LAST member's
+    out-neighbors (any new member must be ≻ all current ones) and keeps a
+    candidate only if every earlier member also points to it — i-2 leftsemi
+    hash probes against the oriented edge set, no row blow-up past the
+    candidate list. Orientation bounds out-degree by O(sqrt(m)), so each
+    extension join fans out at most sqrt(m) per clique on any graph; the
+    intermediate i-clique volume is the output-sensitive cost inherent to
+    exact clique listing.
+
+    NOT in the reference (no clique code under ``mercury/``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k == 1:
+        return graph.number_of_nodes()
+    e = _orient(_canonical_undirected(graph)).persist()
+    e.count()
+    try:
+        n = _k_clique_plan(e, k).count()
+    finally:
+        e.unpersist()
+    return int(n)
+
+
+def k_cliques(graph: LinkGraph, k: int) -> DataFrame:
+    """DataFrame[w1..wk] listing every k-clique exactly once, members
+    sorted by node id within each row (rows carry no inherent order).
+    Same plan as :func:`k_clique_count`; see there for the kClist shape
+    and scale notes. Materialized (localCheckpoint) before the shared
+    oriented-edge cache is released — the repo-wide persist-scope pattern
+    (cf. linkpred.link_prediction_scores)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k == 1:
+        return graph.nodes.select(F.col(ID).alias("w1"))
+    e = _orient(_canonical_undirected(graph)).persist()
+    e.count()
+    try:
+        cols = [f"w{j}" for j in range(1, k + 1)]
+        arr = F.array_sort(F.array(*cols))
+        out = (
+            _k_clique_plan(e, k)
+            .select(*[arr[j].alias(cols[j]) for j in range(k)])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()
+    return out

@@ -5598,3 +5598,41 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_clique5_nation_coregion(spark, sf_dir):
+    """5-clique count on the nation co-region graph (one K_{|region|} per
+    region → K5s = Σ_r C(|r|, 5)) via the arbitrary-k kClist listing — the
+    oracle recomputes the closed form from the per-region nation counts, a
+    method-independent recount of the same quantity."""
+    from linkgraph import k_clique_count
+
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("r1")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("r2")
+    )
+    e = n1.join(
+        n2, (F.col("r1") == F.col("r2")) & (F.col("k1") < F.col("k2"))
+    ).select(
+        F.concat(F.lit("n"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("k2").cast("string")).alias("dst"),
+    )
+    n = k_clique_count(LinkGraph(e), 5)
+    return spark.createDataFrame([(n,)], "cliques5 long")
+
+
+QUERIES.update({"clique5_nation_coregion": q_clique5_nation_coregion})
+ORACLE_SQL.update(
+    {
+        "clique5_nation_coregion": """
+        WITH sizes AS (SELECT n_regionkey, count(*) AS c FROM nation
+                       GROUP BY n_regionkey)
+        SELECT CAST(coalesce(sum(
+                   c * (c-1) * (c-2) * (c-3) * (c-4) / 120
+               ), 0) AS BIGINT) AS cliques5
+        FROM sizes WHERE c >= 5
+    """,
+    }
+)

@@ -464,3 +464,34 @@ def test_salsa_and_condensation_no_python_no_window(spark):
         plan = _plan(df)
         assert "EvalPython" not in plan
         assert "Window" not in plan
+
+
+def test_k_clique_plan_and_tfidf_cosine_plan(spark, docs_parquet):
+    """The arbitrary-k clique listing is joins + leftsemi probes over the
+    oriented DAG (no Python, no windows, shuffle-hash extension joins);
+    tfidf_cosine_pairs is tokenize→algebraic aggregates→broadcast df
+    join→inverted-index join→one dot aggregate (no Python, no windows,
+    and the document-frequency join IS a broadcast)."""
+    from linkgraph.algorithms.triangles import (
+        _canonical_undirected,
+        _k_clique_plan,
+        _orient,
+    )
+    from linkgraph.pipeline.similarity import tfidf_cosine_pairs
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+        )
+    )
+    e = _orient(_canonical_undirected(g))
+    plan = _plan(_k_clique_plan(e, 5))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "ShuffledHashJoin" in plan
+
+    docs = spark.read.parquet(docs_parquet).select("doc_id", "text")
+    plan = _plan(tfidf_cosine_pairs(docs, max_df=50))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
