@@ -433,3 +433,77 @@ def tfidf_cosine_pairs(
     if min_sim is not None:
         out = out.filter(F.col("sim") >= min_sim)
     return out
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column:
+    DataFrame[id, cluster] — the corpus-bucketing primitive (group documents
+    by embedding region for balanced sharding, curriculum mixes, per-cluster
+    sampling). Unlike ``pyspark.ml.KMeans`` (RNG init, convergence-dependent
+    iteration count) every step is a pure function of the input, so runs are
+    reproducible across partitionings AND replayable by an external SQL
+    engine: init = the k smallest-id vectors, exactly ``n_iter`` centroid
+    updates, assignment = squared-L2 argmin with ties to the lowest
+    centroid index, empty clusters keep their previous centroid.
+
+    Scale shape: per iteration ONE scan assigns points (distances via JVM
+    zip_with/aggregate against the centroid matrix inlined as literals — no
+    Python, no window, no join) and ONE algebraic (cluster, dim) aggregate
+    reduces to k·d cell averages, which are collected driver-side (k·d
+    scalars — the classic Lloyd reduction, independent of row count). The
+    returned assignment is one final scan against the last centroids.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    pts = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    init = pts.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
+    centroids = [list(r["_v"]) for r in init]
+
+    def _assign(df):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        arr = F.array(*dists)
+        # array_position returns the FIRST index of the min → ties break to
+        # the lowest cluster id, 1-based hence the -1
+        return df.withColumn(
+            "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+
+    d = len(centroids[0])
+    for _ in range(n_iter):
+        cells = (
+            _assign(pts)
+            .select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("cx"))
+            .collect()
+        )
+        by_c: dict[int, list[float]] = {}
+        for r in cells:
+            by_c.setdefault(r["cluster"], [0.0] * d)[r["pos"]] = r["cx"]
+        # empty cluster → previous centroid survives
+        centroids = [by_c.get(j, centroids[j]) for j in range(k)]
+    return _assign(pts).select(id_col, "cluster")

@@ -5636,3 +5636,74 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_kmeans_clusters_embeddings(spark, sf_dir):
+    """Deterministic Lloyd k-means (k=8, exactly 2 centroid updates,
+    smallest-id init, ties→lowest index, empty clusters keep their
+    centroid) over the embeddings table — the oracle unrolls both Lloyd
+    iterations in SQL, so the hash pins init choice, the squared-L2
+    assignment argmin + tie-break, the (cluster, dim) average update, and
+    the final assignment for every vector."""
+    from linkgraph.pipeline.similarity import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, n_iter=2)
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int) -> str:
+    """Unrolled-Lloyd DuckDB replay of q_kmeans_clusters_embeddings."""
+    ctes = [
+        f"""p AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)""",
+        f"""init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+                 FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))""",
+        """c0 AS (SELECT i.c, p.pos, p.x AS cx
+               FROM init i JOIN p ON p.vec_id = i.vec_id)""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT p.vec_id, c.c,
+                        sum((p.x - c.cx) * (p.x - c.cx)) AS d
+                 FROM p JOIN {prev} c ON p.pos = c.pos
+                 GROUP BY p.vec_id, c.c)"""
+        )
+        ctes.append(
+            f"""a{i} AS (SELECT vec_id, c FROM (
+                   SELECT vec_id, c,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, c) AS rn
+                   FROM d{i}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""u{i} AS (SELECT a.c, p.pos, avg(p.x) AS cx
+                 FROM a{i} a JOIN p ON p.vec_id = a.vec_id
+                 GROUP BY a.c, p.pos)"""
+        )
+        ctes.append(
+            f"""c{i} AS (SELECT pc.c, pc.pos, coalesce(u.cx, pc.cx) AS cx
+                 FROM {prev} pc LEFT JOIN u{i} u
+                 ON u.c = pc.c AND u.pos = pc.pos)"""
+        )
+        prev = f"c{i}"
+    fin = n_iter + 1
+    ctes.append(
+        f"""d{fin} AS (SELECT p.vec_id, c.c,
+                    sum((p.x - c.cx) * (p.x - c.cx)) AS d
+             FROM p JOIN {prev} c ON p.pos = c.pos
+             GROUP BY p.vec_id, c.c)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, CAST(c AS INT) AS cluster FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM d{fin}) WHERE rn = 1
+    """
+    )
+
+
+QUERIES.update({"kmeans_clusters_embeddings": q_kmeans_clusters_embeddings})
+ORACLE_SQL.update({"kmeans_clusters_embeddings": _kmeans_oracle_sql(8, 2)})

@@ -495,3 +495,19 @@ def test_k_clique_plan_and_tfidf_cosine_plan(spark, docs_parquet):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_scan_shape(spark):
+    """kmeans_clusters' returned assignment is one scan with JVM HOF
+    distance math — no Python eval, no window, no join, no shuffle."""
+    from linkgraph.pipeline.similarity import kmeans_clusters
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(kmeans_clusters(emb, k=2, n_iter=1))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
