@@ -33,6 +33,10 @@ from linkgraph.algorithms.label_propagation import (
     seeded_label_propagation,
 )
 from linkgraph.algorithms.assortativity import degree_assortativity
+from linkgraph.algorithms.edge_partition import (
+    dbh_edge_partition,
+    partition_stats,
+)
 from linkgraph.algorithms.triangles import (
     average_clustering,
     local_clustering_coefficient,
@@ -137,6 +141,8 @@ __all__ = [
     "clique4_count",
     "k_clique_count",
     "k_cliques",
+    "dbh_edge_partition",
+    "partition_stats",
     "densest_subgraph",
     "degree_assortativity",
     "k_truss",

@@ -5707,3 +5707,81 @@ def _kmeans_oracle_sql(k: int, n_iter: int) -> str:
 
 QUERIES.update({"kmeans_clusters_embeddings": q_kmeans_clusters_embeddings})
 ORACLE_SQL.update({"kmeans_clusters_embeddings": _kmeans_oracle_sql(8, 2)})
+
+
+def q_dbh_partition_events(spark, sf_dir):
+    """DBH vertex-cut edge partitioning of the bipartite user→event graph
+    (event-type nodes are hubs, so DBH hashes the user endpoint and cuts
+    the hubs) — the oracle replays degree computation, lower-degree
+    endpoint choice (ties→a), and the md5-mod placement for every edge."""
+    from linkgraph import dbh_edge_partition
+
+    return dbh_edge_partition(events_graph(spark, sf_dir), 8)
+
+
+def q_dbh_partition_stats_events(spark, sf_dir):
+    """Vertex-cut quality metrics of the DBH placement above: replication
+    factor (avg distinct partitions per vertex) and balance (max/mean edge
+    count), both recomputed by the oracle from the replayed assignment."""
+    from linkgraph import dbh_edge_partition, partition_stats
+
+    st = partition_stats(dbh_edge_partition(events_graph(spark, sf_dir), 8))
+    return st.select(
+        F.round(F.col("replication_factor") * 1e6)
+        .cast("long")
+        .alias("replication_millionths"),
+        F.round(F.col("balance") * 1e6).cast("long").alias("balance_millionths"),
+        F.col("n_parts_used").cast("long"),
+        F.col("n_edges").cast("long"),
+        F.col("n_vertices").cast("long"),
+    )
+
+
+_DBH_EVENTS_CTE = """
+        base AS (SELECT DISTINCT 'u' || user_id AS s, 'e' || event_type AS d
+                 FROM events),
+        und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM base WHERE s <> d),
+        deg AS (SELECT v, count(*) AS deg FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                GROUP BY v),
+        asn AS (SELECT und.a, und.b,
+                       CAST(CAST(('0x' || substr(md5(
+                           (CASE WHEN db.deg < da.deg THEN und.b ELSE und.a END)
+                           || '|' || '42'), 1, 12)) AS BIGINT) % 8 AS INT)
+                       AS part
+                FROM und JOIN deg da ON da.v = und.a
+                         JOIN deg db ON db.v = und.b)"""
+
+
+QUERIES.update(
+    {
+        "dbh_partition_events": q_dbh_partition_events,
+        "dbh_partition_stats_events": q_dbh_partition_stats_events,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "dbh_partition_events": f"""
+        WITH {_DBH_EVENTS_CTE}
+        SELECT a, b, part FROM asn
+    """,
+        "dbh_partition_stats_events": f"""
+        WITH {_DBH_EVENTS_CTE},
+        inc AS (SELECT DISTINCT v, part FROM
+                    (SELECT a AS v, part FROM asn
+                     UNION ALL SELECT b AS v, part FROM asn)),
+        rep AS (SELECT avg(np) AS rf, count(*) AS nv FROM
+                    (SELECT v, count(*) AS np FROM inc GROUP BY v)),
+        pp AS (SELECT part, count(*) AS ne FROM asn GROUP BY part),
+        bal AS (SELECT max(ne) / avg(ne) AS bl, count(*) AS npu,
+                       sum(ne) AS nedge FROM pp)
+        SELECT CAST(round(rf * 1000000) AS BIGINT) AS replication_millionths,
+               CAST(round(bl * 1000000) AS BIGINT) AS balance_millionths,
+               CAST(npu AS BIGINT) AS n_parts_used,
+               CAST(nedge AS BIGINT) AS n_edges,
+               CAST(nv AS BIGINT) AS n_vertices
+        FROM rep CROSS JOIN bal
+    """,
+    }
+)

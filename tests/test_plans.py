@@ -511,3 +511,20 @@ def test_kmeans_assignment_scan_shape(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_dbh_partition_plan_shape(spark):
+    """DBH assignment = degree aggregate + two node-keyed joins + JVM md5
+    projection; stats = two algebraic aggregates — no Python, no windows."""
+    from linkgraph import dbh_edge_partition, partition_stats
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], ["src", "dst"]
+        )
+    )
+    asn = dbh_edge_partition(g, 4)
+    for df in (asn, partition_stats(asn)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
