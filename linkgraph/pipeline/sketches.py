@@ -1,0 +1,121 @@
+"""Mergeable frequency sketches — count-min (Cormode & Muthukrishnan '05).
+
+The heavy-hitter / frequency-estimation primitive for corpus-scale key
+streams: a depth×width counter grid where each occurrence of a key
+increments one cell per row (cell = row-salted hash of the key), and a
+key's estimate is the MIN over its depth cells — an upper bound on the true
+count that overshoots by at most εN with probability 1−δ (ε = e/width,
+δ = e^−depth). Sketches are linear, so they merge by cellwise addition:
+build per partition / per day / per shard, add, query — the property that
+makes them the scale path where an exact groupBy count would have to
+shuffle every key of a 100 TB corpus.
+
+All hashing is md5-based and salted per row — a pure function of the key
+bytes, reproducible across runs, partitionings, and engines (the DuckDB
+oracles replay cells AND estimates byte-for-byte). Sparse representation:
+only touched cells exist; absent cells read as 0.
+
+NOT in the reference (no sketch code under ``mercury/``); companion to the
+HLL-sketch HyperANF in ``linkgraph/algorithms/anf.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col: F.Column, row: int, width: int, salt: int) -> F.Column:
+    """Column index of ``col`` in sketch row ``row`` — first 48 bits of
+    md5(key|row|salt) mod width (the repo-wide cross-engine hash shape)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", col, F.lit(str(row)), F.lit(str(salt)))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    salt: int = 42,
+) -> DataFrame:
+    """DataFrame[row, col, cnt] — the sparse count-min sketch of
+    ``key_col`` occurrences (or of ``weight_col`` sums when given).
+
+    Plan: one scan exploding each input row into ``depth`` (row, col)
+    cells (depth is a small constant) + ONE algebraic groupBy — map-side
+    partial combine does the heavy lifting, and the shuffle key space is
+    bounded by depth×width regardless of input size. No windows, no
+    Python. Merge two sketches with :func:`cms_merge`."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"), _cell(key, j, width, salt).alias("col")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"), w.alias("_w"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cellwise sum of two sketches built with the same (width, depth,
+    salt) — count-min is linear, so the merged sketch is exactly the
+    sketch of the concatenated inputs."""
+    return (
+        a.unionByName(b).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    salt: int = 42,
+) -> DataFrame:
+    """DataFrame[key_col, est] — the count-min estimate (min over depth
+    cells; absent cells are 0) for every row of ``keys``. The sketch side
+    is depth×width at most — broadcast it; the keys side is one scan +
+    one algebraic min aggregate."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        key.alias(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cell(key, j, width, salt).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(key_col, F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -5785,3 +5785,41 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_cms_event_type_counts(spark, sf_dir):
+    """Count-min sketch (width=4, depth=3 — deliberately narrow so the 5
+    event types collide and some estimates EXCEED the true counts) over
+    all 10k event rows, then a lookup for every distinct type — pins the
+    salted md5 cell hashing, the cell sums, and the min-over-rows estimate.
+    The oracle replays sketch and lookup cell-for-cell in SQL."""
+    from linkgraph.pipeline.sketches import cms_lookup, count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_sketch(ev, "event_type", width=4, depth=3)
+    keys = ev.select("event_type").distinct()
+    return cms_lookup(sk, keys, "event_type", width=4, depth=3)
+
+
+QUERIES.update({"cms_event_type_counts": q_cms_event_type_counts})
+ORACLE_SQL.update(
+    {
+        "cms_event_type_counts": """
+        WITH rows_j AS (SELECT unnest(range(3)) AS j),
+        cells AS (SELECT j,
+                         CAST(('0x' || substr(md5(event_type || '|' || j
+                             || '|' || '42'), 1, 12)) AS BIGINT) % 4 AS col,
+                         count(*) AS cnt
+                  FROM events CROSS JOIN rows_j
+                  GROUP BY 1, 2),
+        probes AS (SELECT k.event_type, r.j,
+                          CAST(('0x' || substr(md5(k.event_type || '|' || r.j
+                              || '|' || '42'), 1, 12)) AS BIGINT) % 4 AS col
+                   FROM (SELECT DISTINCT event_type FROM events) k
+                   CROSS JOIN rows_j r)
+        SELECT p.event_type, min(coalesce(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.j = p.j AND c.col = p.col
+        GROUP BY p.event_type
+    """,
+    }
+)

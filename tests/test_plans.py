@@ -528,3 +528,21 @@ def test_dbh_partition_plan_shape(spark):
         plan = _plan(df)
         assert "EvalPython" not in plan
         assert "Window" not in plan
+
+
+def test_cms_plan_shape(spark):
+    """count_min_sketch = one explode scan + ONE algebraic aggregate over a
+    depth×width-bounded key space; cms_lookup broadcasts the sketch — no
+    Python, no windows anywhere."""
+    from linkgraph.pipeline.sketches import cms_lookup, count_min_sketch
+
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    sk = count_min_sketch(df, "k", width=8, depth=2)
+    plan = _plan(sk)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    lk = cms_lookup(sk, df, "k", width=8, depth=2)
+    plan = _plan(lk)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
