@@ -35,6 +35,7 @@ from linkgraph.algorithms.label_propagation import (
 from linkgraph.algorithms.assortativity import degree_assortativity
 from linkgraph.algorithms.edge_partition import (
     dbh_edge_partition,
+    hybrid_edge_partition,
     partition_stats,
 )
 from linkgraph.algorithms.triangles import (
@@ -142,6 +143,7 @@ __all__ = [
     "k_clique_count",
     "k_cliques",
     "dbh_edge_partition",
+    "hybrid_edge_partition",
     "partition_stats",
     "densest_subgraph",
     "degree_assortativity",

@@ -92,3 +92,37 @@ def partition_stats(assignments: DataFrame) -> DataFrame:
     return rep.crossJoin(bal).select(
         "replication_factor", "balance", "n_parts_used", "n_edges", "n_vertices"
     )
+
+
+def hybrid_edge_partition(
+    graph: LinkGraph, n_parts: int, threshold: int = 100, salt: int = 42
+) -> DataFrame:
+    """DataFrame[src, dst, part] — PowerLyra-style hybrid-cut placement of
+    the DIRECTED edge set (cf. "Hybrid Edge Partitioner", SIGMOD'21, in
+    PAPERS.md): an edge into a LOW-in-degree target (in-deg ≤ threshold)
+    goes to H(dst) — edge-cut style, so an ordinary vertex's whole in-
+    neighborhood is co-located and its gather phase is local; an edge into
+    a HIGH-in-degree target goes to H(src) — vertex-cut style, so a hub's
+    in-edges spread across the partitions where their sources already live
+    instead of overwhelming one worker.
+
+    Same pure-function md5 placement as :func:`dbh_edge_partition`
+    (engine-replayable); distinct directed edges, self-loops dropped. Plan:
+    one in-degree aggregate + one dst-keyed join + one JVM md5 projection.
+    Quality metrics via :func:`partition_stats` (rename src/dst → a/b)."""
+    if n_parts < 1:
+        raise ValueError(f"n_parts must be >= 1, got {n_parts}")
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    from linkgraph.graph import DST, SRC
+
+    e = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    indeg = e.groupBy(DST).agg(F.count(F.lit(1)).alias("_ind"))
+    pick = F.when(F.col("_ind") <= threshold, F.col(DST)).otherwise(F.col(SRC))
+    return e.join(indeg, DST).select(
+        SRC, DST, _hash_mod(pick, n_parts, salt).cast("int").alias("part")
+    )

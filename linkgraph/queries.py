@@ -5823,3 +5823,32 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_hybrid_partition_events(spark, sf_dir):
+    """PowerLyra hybrid-cut placement of the directed user→event-type
+    edges (every edge points at an event-type node, so in-degree = the
+    type's distinct-user audience): types at or under the threshold get
+    their whole in-neighborhood co-located at H(dst), busier types spread
+    by H(src) — the oracle replays the in-degree computation, the
+    low/high routing decision, and the md5-mod placement per edge."""
+    from linkgraph import hybrid_edge_partition
+
+    return hybrid_edge_partition(events_graph(spark, sf_dir), 8, threshold=100)
+
+
+QUERIES.update({"hybrid_partition_events": q_hybrid_partition_events})
+ORACLE_SQL.update(
+    {
+        "hybrid_partition_events": """
+        WITH e AS (SELECT DISTINCT 'u' || user_id AS s, 'e' || event_type AS d
+                   FROM events),
+        ind AS (SELECT d, count(*) AS ind FROM e GROUP BY d)
+        SELECT e.s AS src, e.d AS dst,
+               CAST(CAST(('0x' || substr(md5(
+                   (CASE WHEN ind.ind <= 100 THEN e.d ELSE e.s END)
+                   || '|' || '42'), 1, 12)) AS BIGINT) % 8 AS INT) AS part
+        FROM e JOIN ind ON ind.d = e.d
+    """,
+    }
+)

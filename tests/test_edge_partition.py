@@ -78,3 +78,47 @@ def test_validation(spark):
     g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
     with pytest.raises(ValueError):
         dbh_edge_partition(g, 0)
+
+
+def _replay_hybrid(edges, p, threshold, salt=42):
+    dedges = {e for e in edges if e[0] != e[1]}
+    ind = {}
+    for _, d in dedges:
+        ind[d] = ind.get(d, 0) + 1
+    return {
+        (s, d): _h(d if ind[d] <= threshold else s, p, salt)
+        for s, d in dedges
+    }
+
+
+def _run_hybrid(spark, edges, p, threshold):
+    from linkgraph import hybrid_edge_partition
+
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    return {
+        (r["src"], r["dst"]): r["part"]
+        for r in hybrid_edge_partition(g, p, threshold=threshold).collect()
+    }
+
+
+def test_hybrid_matches_python_replay(spark):
+    import random
+
+    random.seed(23)
+    nodes = [f"v{i}" for i in range(25)]
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a != b and random.random() < 0.12}
+    )
+    for thr in (0, 2, 100):
+        assert _run_hybrid(spark, edges, 5, thr) == _replay_hybrid(edges, 5, thr)
+
+
+def test_hybrid_low_cut_colocates_high_cut_spreads(spark):
+    # 40 sources → one hub target
+    edges = [(f"s{i}", "hub") for i in range(40)]
+    # threshold above 40: in-edges co-located at H(hub) → ONE partition
+    low = _run_hybrid(spark, edges, 8, 100)
+    assert len(set(low.values())) == 1
+    # threshold below 40: hub is "high" → spread by source
+    high = _run_hybrid(spark, edges, 8, 10)
+    assert len(set(high.values())) > 1
