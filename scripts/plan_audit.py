@@ -197,6 +197,30 @@ def main():
             "SCC quotient: two node-id hash joins + distinct on the short "
             "(src_scc, dst_scc) pair — no windows, no driver loop",
         ),
+        (
+            "tfidf_cosine_pairs_documents",
+            "sparse TF-IDF cosine: tf/df aggregates (df broadcast) → "
+            "inverted-index term join → ONE dot aggregate per pair — "
+            "no windows, no Python",
+        ),
+        # (clique5_nation_coregion returns a driver-side scalar row, so its
+        # audited plan would be a LocalTableScan — the real kClist listing
+        # plan is asserted in tests/test_plans.py instead)
+        (
+            "kmeans_clusters_embeddings",
+            "Lloyd assignment: one scan with literal-centroid HOF distance "
+            "math — no join, no shuffle, no Python in the returned plan",
+        ),
+        (
+            "dbh_partition_events",
+            "DBH placement: one degree aggregate + node-keyed joins + JVM "
+            "md5 projection; hubs cut deterministically",
+        ),
+        (
+            "cms_event_type_counts",
+            "count-min: explode scan → ONE aggregate over a depth×width-"
+            "bounded key space; lookup broadcasts the sketch",
+        ),
     ]
 
     out = io.StringIO()
