@@ -329,6 +329,36 @@ def main():
 
     timed("tfidf_corpus", _tfidf_corpus)
 
+    def _dbh_corpus():
+        # DBH vertex-cut placement of the full 2.3M-edge graph at 64 parts:
+        # one degree aggregate + two node-keyed joins + md5 projection,
+        # then the two metric aggregates — the placement-layer wall
+        from linkgraph import dbh_edge_partition, partition_stats
+
+        st = partition_stats(dbh_edge_partition(g, 64)).collect()[0]
+        extra["dbh_replication_factor"] = round(st["replication_factor"], 3)
+        extra["dbh_balance"] = round(st["balance"], 3)
+
+    timed("dbh_partition_corpus", _dbh_corpus)
+
+    def _cms_corpus():
+        # count-min over the ~15M-token stream (width 4096 x depth 4):
+        # explode scan + ONE aggregate whose key space is 16k cells
+        # regardless of token count, then a 20-token lookup
+        from linkgraph.pipeline.sketches import cms_lookup, count_min_sketch
+
+        toks = corpus.select(
+            F.explode(F.split("content", "\\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+        sk = count_min_sketch(toks, "tok", width=4096, depth=4).persist()
+        extra["cms_cells"] = sk.count()
+        probes = toks.limit(20).distinct()
+        est = cms_lookup(sk, probes, "tok", width=4096, depth=4)
+        extra["cms_probe_est_sum"] = est.agg(F.sum("est")).collect()[0][0]
+        sk.unpersist()
+
+    timed("cms_corpus_tokens", _cms_corpus)
+
     def _dupspan_corpus():
         # cross-doc duplicate-span signal over the 300k-file corpus: one
         # distinct-docs-per-span aggregate on 8-byte span hashes + one
