@@ -5852,3 +5852,53 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_streaming_cms_event_types(spark, sf_dir):
+    """count_min_sketch applied unchanged to a FILE STREAM of the events
+    table: the sketch is a streaming aggregation whose state is bounded by
+    depth×width cells no matter how long the stream runs — the property
+    that makes CMS the streaming frequency story. Update mode + monotone
+    cell counts → max(cnt) per cell over the update log equals the batch
+    sketch, so the same SQL cell replay hash-checks the streamed result."""
+    import tempfile
+    import uuid
+
+    from linkgraph.pipeline.sketches import count_min_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="lg_stream_cms_")
+    ev.write.mode("overwrite").parquet(stage)
+    es = spark.readStream.schema(ev.schema).parquet(stage)
+    name = "cms_" + uuid.uuid4().hex[:8]
+    q = (
+        count_min_sketch(es, "event_type", width=4, depth=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stream did not drain in 300s")
+    return (
+        spark.table(name)
+        .groupBy("row", "col")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+
+
+QUERIES.update({"streaming_cms_event_types": q_streaming_cms_event_types})
+ORACLE_SQL.update(
+    {
+        "streaming_cms_event_types": """
+        SELECT j AS row,
+               CAST(('0x' || substr(md5(event_type || '|' || j || '|' || '42'),
+                   1, 12)) AS BIGINT) % 4 AS col,
+               count(*) AS cnt
+        FROM events CROSS JOIN (SELECT unnest(range(3)) AS j)
+        GROUP BY 1, 2
+    """,
+    }
+)
