@@ -5902,3 +5902,56 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_profile_columns_orders(spark, sf_dir):
+    """Single-pass column profile of the orders table (numeric, string,
+    and timestamp columns): exact row/null/distinct counts for every
+    column, mean + exact interpolated median for the numeric ones — the
+    oracle recomputes each column's row independently. Thousandths scaling
+    keeps the hash above double sum-order noise on the 15k-row mean."""
+    from linkgraph.pipeline.profiling import profile_columns
+
+    p = profile_columns(_t(spark, sf_dir, "orders"))
+    return p.select(
+        F.col("column").alias("col_name"),
+        F.col("n_rows").cast("long"),
+        F.col("n_null").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.round(F.col("mean") * 1e3).cast("long").alias("mean_thousandths"),
+        F.round(F.col("p50") * 1e3).cast("long").alias("p50_thousandths"),
+    )
+
+
+def _profile_orders_oracle() -> str:
+    num = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    selects = []
+    for c in cols:
+        if c in num:
+            mean = (
+                f"CAST(round(avg(CAST({c} AS DOUBLE)) * 1000) AS BIGINT)"
+            )
+            p50 = (
+                f"CAST(round(quantile_cont(CAST({c} AS DOUBLE), 0.5) * 1000)"
+                " AS BIGINT)"
+            )
+        else:
+            mean = p50 = "CAST(NULL AS BIGINT)"
+        selects.append(
+            f"""SELECT '{c}' AS col_name,
+                   count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {mean} AS mean_thousandths,
+                   {p50} AS p50_thousandths
+            FROM orders"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+QUERIES.update({"profile_columns_orders": q_profile_columns_orders})
+ORACLE_SQL.update({"profile_columns_orders": _profile_orders_oracle()})
