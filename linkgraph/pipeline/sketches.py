@@ -119,3 +119,65 @@ def cms_lookup(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+    salt: int = 42,
+) -> DataFrame:
+    """DataFrame[*group_cols, est] — HyperLogLog distinct-count estimate of
+    ``key_col`` (per group when ``group_cols`` given), the cardinality
+    member of the sketch family (count-min = frequency, HLL = distinct).
+
+    Unlike Spark's built-in ``approx_count_distinct`` (opaque binary
+    DataSketches state) every step here is engine-replayable: the md5-48
+    of a key splits into a register index (first ``p`` bits) and a 48-p
+    bit suffix whose leading-zero run (ρ = 49-p-bitlength, ρ = 49-p for a
+    zero suffix) feeds a per-register MAX; the estimate is the classic
+    α_m·m²/Σ2^(−M_j) with empty registers contributing 2⁰ and the
+    small-range linear-counting correction m·ln(m/V) when E ≤ 2.5m and
+    zero registers exist (Flajolet et al. '07). Both the registers AND the
+    arithmetic are pure functions of the key bytes — a DuckDB oracle
+    reproduces the estimate bit-for-bit.
+
+    Plan: one scan + TWO algebraic aggregates (per-register max, then the
+    per-group fold over ≤ 2^p register rows — state is 2^p per group
+    regardless of input size). Relative error ≈ 1.04/√2^p (~3.2% at
+    p=10). No windows, no Python."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = list(group_cols or [])
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", key, F.lit(str(salt)))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    suffix_bits = 48 - p
+    reg = (h / F.lit(1 << suffix_bits)).cast("long")
+    w = h % F.lit(1 << suffix_bits)
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.filter(key.isNotNull())
+        .select(*g, reg.alias("_reg"), rho.alias("_rho"))
+        .groupBy(*g, "_reg")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    folded = regs.groupBy(*g).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_s"),
+        F.count(F.lit(1)).alias("_used"),
+    )
+    zeros = F.lit(m) - F.col("_used")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return folded.select(*g, est.alias("est"))

@@ -5955,3 +5955,53 @@ def _profile_orders_oracle() -> str:
 
 QUERIES.update({"profile_columns_orders": q_profile_columns_orders})
 ORACLE_SQL.update({"profile_columns_orders": _profile_orders_oracle()})
+
+
+def q_hll_distinct_users_events(spark, sf_dir):
+    """Engine-replayable HyperLogLog: distinct users per event type at
+    p=10 (1024 registers) — the oracle rebuilds the md5 register index,
+    the leading-zero runs, the per-register MAX, the harmonic fold, and
+    the raw-vs-linear-counting branch, so the hash pins the entire
+    estimator arithmetic, not just the counts."""
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", group_cols=["event_type"], p=10)
+    return est.select(
+        "event_type",
+        F.round(F.col("est") * 1e6).cast("long").alias("est_millionths"),
+    )
+
+
+QUERIES.update({"hll_distinct_users_events": q_hll_distinct_users_events})
+ORACLE_SQL.update(
+    {
+        "hll_distinct_users_events": """
+        WITH h AS (SELECT event_type,
+                          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                              || '|' || '42'), 1, 12)) AS BIGINT) AS h
+                   FROM events WHERE user_id IS NOT NULL),
+        rw AS (SELECT event_type, h // 274877906944 AS reg,
+                      h % 274877906944 AS w FROM h),
+        regs AS (SELECT event_type, reg,
+                        max(CASE WHEN w = 0 THEN 39
+                            ELSE 39 - length(bin(w)) END) AS M
+                 FROM rw GROUP BY event_type, reg),
+        fold AS (SELECT event_type,
+                        sum(pow(2.0, -M)) AS s,
+                        count(*) AS used
+                 FROM regs GROUP BY event_type),
+        est AS (SELECT event_type,
+                       (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+                           / (s + (1024 - used)) AS raw,
+                       1024 - used AS zeros
+                FROM fold)
+        SELECT event_type,
+               CAST(round((CASE WHEN raw <= 2560.0 AND zeros > 0
+                           THEN 1024.0 * ln(1024.0 / zeros)
+                           ELSE raw END) * 1000000) AS BIGINT)
+                   AS est_millionths
+        FROM est
+    """,
+    }
+)

@@ -546,3 +546,16 @@ def test_cms_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hll_plan_shape(spark):
+    """hll_distinct = one scan + two algebraic aggregates (per-register
+    max, then the per-group fold over at most 2^p rows) — no Python, no
+    windows, no joins."""
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], ["grp", "k"])
+    plan = _plan(hll_distinct(df, "k", group_cols=["grp"], p=8))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan

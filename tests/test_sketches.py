@@ -94,3 +94,68 @@ def test_validation(spark):
         count_min_sketch(df, "k", width=0)
     with pytest.raises(ValueError):
         count_min_sketch(df, "k", depth=0)
+
+
+# ---- HyperLogLog ----------------------------------------------------------
+
+import math
+
+
+def _hll_replay(keys, p=10, salt=42):
+    m = 1 << p
+    sb = 48 - p
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(f"{k}|{salt}".encode()).hexdigest()[:12], 16)
+        reg, w = h >> sb, h % (1 << sb)
+        rho = sb + 1 if w == 0 else sb + 1 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(2.0 ** -v for v in regs.values()) + (m - len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / s
+    zeros = m - len(regs)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def test_hll_matches_python_replay_and_accuracy(spark):
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    keys = [f"key{i % 5000}" for i in range(12000)]  # dups collapse
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    est = hll_distinct(df, "k", p=10).collect()[0]["est"]
+    assert est == pytest.approx(_hll_replay(set(keys)), rel=1e-12)
+    assert abs(est / 5000 - 1) < 0.15  # ~3.2% std error at p=10
+
+
+def test_hll_small_range_linear_counting(spark):
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5)], ["k"])
+    est = hll_distinct(df, "k", p=10).collect()[0]["est"]
+    assert est == pytest.approx(_hll_replay([f"v{i}" for i in range(5)]))
+    assert round(est) == 5  # linear counting is near-exact here
+
+
+def test_hll_grouped_and_null_keys(spark):
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    rows = [("a", f"x{i}") for i in range(30)] + [("b", "one")] + [("b", None)]
+    df = spark.createDataFrame(rows, ["grp", "k"])
+    got = {
+        r["grp"]: r["est"]
+        for r in hll_distinct(df, "k", group_cols=["grp"], p=8).collect()
+    }
+    assert got["a"] == pytest.approx(_hll_replay([f"x{i}" for i in range(30)], p=8))
+    assert got["b"] == pytest.approx(_hll_replay(["one"], p=8))  # null dropped
+
+
+def test_hll_validation(spark):
+    from linkgraph.pipeline.sketches import hll_distinct
+
+    df = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError):
+        hll_distinct(df, "k", p=3)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "k", p=17)
