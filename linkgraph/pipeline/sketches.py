@@ -181,3 +181,85 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return folded.select(*g, est.alias("est"))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 256,
+    salt: int = 42,
+) -> DataFrame:
+    """DataFrame[set_col, ks: array<long>] — the KMV (k-minimum-values)
+    sketch of each set: the k smallest distinct md5-48 hash values of its
+    keys, sorted ascending. The set-operation member of the sketch family
+    (count-min = frequency, HLL = cardinality, KMV = intersections): two
+    sets' sketches estimate their Jaccard overlap — the "how much does
+    corpus shard A overlap shard B" question — without ever joining the
+    raw key sets.
+
+    Plan: distinct (set, key) → hash → per-set k-smallest. The top-k is a
+    rank-filtered window, the one shape this engine otherwise avoids —
+    here Spark rewrites ``rn <= k`` into WindowGroupLimit with a Partial
+    mode BEFORE the exchange, so each map task forwards at most k rows per
+    set (the stratified_sample precedent; a hash tie is broken by key for
+    absolute determinism). No Python anywhere."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("_k"), F.lit(str(salt)))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    pairs = (
+        df.filter(key.isNotNull())
+        .select(F.col(set_col), key.alias("_k"))
+        .distinct()
+        .select(set_col, F.col("_k"), h.alias("_h"))
+    )
+    w = Window.partitionBy(set_col).orderBy(F.asc("_h"), F.asc("_k"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(set_col)
+        .agg(F.array_sort(F.collect_list("_h")).alias("ks"))
+    )
+
+
+def kmv_jaccard(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """DataFrame[set1, set2, est] — KMV Jaccard estimate for every pair of
+    sketched sets (set1 < set2): merge the two sketches, keep the k
+    smallest distinct values of the union, and count how many of those
+    appear in BOTH sketches (Beyer et al., SIGMOD'07). Exact whenever both
+    sets had ≤ k keys (the sketches are then the full hash sets).
+
+    Pure JVM array math on ≤ 2k-element arrays per pair — the pair join is
+    over SKETCH rows (one per set), never over the raw keys."""
+    set_col = sketches.columns[0]
+    a = sketches.select(
+        F.col(set_col).alias("set1"), F.col("ks").alias("_ka")
+    )
+    b = sketches.select(
+        F.col(set_col).alias("set2"), F.col("ks").alias("_kb")
+    )
+    uni = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ka"), F.col("_kb")))),
+        1,
+        k,
+    )
+    both = F.size(
+        F.array_intersect(F.array_intersect(uni, F.col("_ka")), F.col("_kb"))
+    )
+    return (
+        a.join(b, F.col("set1") < F.col("set2"))
+        .select(
+            "set1",
+            "set2",
+            (both.cast("double") / F.size(uni).cast("double")).alias("est"),
+        )
+    )

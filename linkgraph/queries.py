@@ -6005,3 +6005,65 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_kmv_vocab_overlap_langs(spark, sf_dir):
+    """KMV Jaccard estimate of vocabulary overlap between every language
+    pair in the documents table (k=64 minimum hash values per language's
+    word set) — the cross-corpus "how much does shard A overlap shard B"
+    sketch. The oracle rebuilds the per-language k-minima, the k smallest
+    distinct union values, and the both-sets membership count in SQL."""
+    from linkgraph.pipeline.sketches import kmv_jaccard, kmv_sketch
+    from linkgraph.pipeline.text import _words_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(_words_col("text")).alias("word")
+    )
+    sk = kmv_sketch(d, "lang", "word", k=64)
+    return kmv_jaccard(sk, k=64).select(
+        F.col("set1").alias("lang1"),
+        F.col("set2").alias("lang2"),
+        F.round(F.col("est") * 1e6).cast("long").alias("jaccard_millionths"),
+    )
+
+
+QUERIES.update({"kmv_vocab_overlap_langs": q_kmv_vocab_overlap_langs})
+ORACLE_SQL.update(
+    {
+        "kmv_vocab_overlap_langs": f"""
+        WITH {_WORDS_CTE},
+        lw AS (SELECT DISTINCT d.lang, u.word
+               FROM w JOIN documents d USING (doc_id),
+                    unnest(w.words) AS u(word)),
+        h AS (SELECT lang, word,
+                     CAST(('0x' || substr(md5(word || '|' || '42'), 1, 12))
+                         AS BIGINT) AS h
+              FROM lw),
+        topk AS (SELECT lang, h FROM (
+                     SELECT lang, h,
+                            row_number() OVER (PARTITION BY lang
+                                               ORDER BY h, word) AS rn
+                     FROM h) WHERE rn <= 64),
+        lp AS (SELECT a.lang AS lang1, b.lang AS lang2
+               FROM (SELECT DISTINCT lang FROM topk) a
+               JOIN (SELECT DISTINCT lang FROM topk) b ON a.lang < b.lang),
+        uh AS (SELECT DISTINCT lp.lang1, lp.lang2, t.h
+               FROM lp JOIN topk t ON t.lang IN (lp.lang1, lp.lang2)),
+        uni0 AS (SELECT lang1, lang2, h,
+                        row_number() OVER (PARTITION BY lang1, lang2
+                                           ORDER BY h) AS rn
+                 FROM uh),
+        uni AS (SELECT u.lang1, u.lang2,
+                       CASE WHEN t1.h IS NOT NULL AND t2.h IS NOT NULL
+                            THEN 1 ELSE 0 END AS inboth
+                FROM uni0 u
+                LEFT JOIN topk t1 ON t1.lang = u.lang1 AND t1.h = u.h
+                LEFT JOIN topk t2 ON t2.lang = u.lang2 AND t2.h = u.h
+                WHERE u.rn <= 64)
+        SELECT lang1, lang2,
+               CAST(round(CAST(sum(inboth) AS DOUBLE)
+                   / count(*) * 1000000) AS BIGINT) AS jaccard_millionths
+        FROM uni GROUP BY lang1, lang2
+    """,
+    }
+)

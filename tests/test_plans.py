@@ -559,3 +559,18 @@ def test_hll_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_kmv_plan_shape(spark):
+    """kmv_sketch's per-set top-k compiles to WindowGroupLimit (bounded
+    per-task forwarding, the stratified_sample precedent); kmv_jaccard is
+    pure array math over sketch rows — no Python anywhere."""
+    from linkgraph.pipeline.sketches import kmv_jaccard, kmv_sketch
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("b", "x")], ["g", "k"])
+    sk = kmv_sketch(df, "g", "k", k=4)
+    plan = _plan(sk)
+    assert "EvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    plan = _plan(kmv_jaccard(sk, k=4))
+    assert "EvalPython" not in plan

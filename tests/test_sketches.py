@@ -159,3 +159,70 @@ def test_hll_validation(spark):
         hll_distinct(df, "k", p=3)
     with pytest.raises(ValueError):
         hll_distinct(df, "k", p=17)
+
+
+# ---- KMV -------------------------------------------------------------------
+
+
+def _kmv_h(key, salt=42):
+    return int(hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:12], 16)
+
+
+def _kmv_replay(sets, k):
+    sk = {s: sorted(_kmv_h(x) for x in xs)[:k] for s, xs in sets.items()}
+    out = {}
+    for s1 in sorted(sk):
+        for s2 in sorted(sk):
+            if s1 >= s2:
+                continue
+            uni = sorted(set(sk[s1]) | set(sk[s2]))[:k]
+            both = sum(1 for h in uni if h in set(sk[s1]) and h in set(sk[s2]))
+            out[(s1, s2)] = both / len(uni)
+    return out
+
+
+def _kmv_run(spark, sets, k):
+    from linkgraph.pipeline.sketches import kmv_jaccard, kmv_sketch
+
+    rows = [(s, x) for s, xs in sets.items() for x in xs]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sk = kmv_sketch(df, "grp", "key", k=k)
+    return {
+        (r["set1"], r["set2"]): r["est"] for r in kmv_jaccard(sk, k=k).collect()
+    }
+
+
+def test_kmv_exact_when_sets_fit(spark):
+    sets = {
+        "A": [f"x{i}" for i in range(30)],
+        "B": [f"x{i}" for i in range(15, 45)],  # true J = 15/45
+        "C": [f"y{i}" for i in range(10)],      # disjoint from A
+    }
+    got = _kmv_run(spark, sets, k=256)  # k > |A∪B| → exact
+    assert got[("A", "B")] == pytest.approx(15 / 45)
+    assert got[("A", "C")] == 0.0
+    assert got == pytest.approx(_kmv_replay(sets, 256))
+
+
+def test_kmv_estimates_match_replay_and_truth(spark):
+    sets = {
+        "A": [f"k{i}" for i in range(2000)],
+        "B": [f"k{i}" for i in range(1000, 3000)],  # true J = 1000/3000
+    }
+    got = _kmv_run(spark, sets, k=128)
+    assert got == pytest.approx(_kmv_replay(sets, 128))
+    assert abs(got[("A", "B")] - 1 / 3) < 0.12  # ~1/sqrt(k) noise
+
+
+def test_kmv_duplicates_collapse(spark):
+    sets = {"A": ["x", "x", "y"], "B": ["y", "y", "z"]}
+    got = _kmv_run(spark, sets, k=16)
+    assert got[("A", "B")] == pytest.approx(1 / 3)
+
+
+def test_kmv_validation(spark):
+    from linkgraph.pipeline.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("a", "x")], ["grp", "key"])
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "grp", "key", k=0)
