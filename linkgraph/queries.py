@@ -6067,3 +6067,48 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bloom_prefilter_parts(spark, sf_dir):
+    """Bloom join pre-filter: build the filter over the SELECTIVE member
+    set (parts seen with quantity > 45 — a strict subset, so real
+    non-members exist and any false positives that survive prove the
+    maybe-contains semantics), then keep only the part rows the filter
+    admits. Deterministic md5 bits → the oracle replays build AND probe,
+    reproducing the exact survivor set, false positives included."""
+    from linkgraph.pipeline.sketches import bloom_build, bloom_contains
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+        .distinct()
+    )
+    bloom = bloom_build(li, "l_partkey", m=4096, n_hashes=3)
+    cand = _t(spark, sf_dir, "part").select("p_partkey")
+    return bloom_contains(bloom, cand, "p_partkey", m=4096, n_hashes=3)
+
+
+QUERIES.update({"bloom_prefilter_parts": q_bloom_prefilter_parts})
+ORACLE_SQL.update(
+    {
+        "bloom_prefilter_parts": """
+        WITH js AS (SELECT unnest(range(3)) AS j),
+        bits AS (SELECT DISTINCT
+                     CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)
+                         || '|' || j || '|' || '42'), 1, 12)) AS BIGINT)
+                         % 4096 AS pos
+                 FROM (SELECT DISTINCT l_partkey FROM lineitem
+                       WHERE l_quantity > 45) CROSS JOIN js),
+        probe AS (SELECT p_partkey,
+                      CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)
+                          || '|' || j || '|' || '42'), 1, 12)) AS BIGINT)
+                          % 4096 AS pos
+                  FROM part CROSS JOIN js)
+        SELECT p.p_partkey
+        FROM probe p LEFT JOIN bits b USING (pos)
+        GROUP BY p.p_partkey
+        HAVING sum(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) = 0
+    """,
+    }
+)

@@ -574,3 +574,20 @@ def test_kmv_plan_shape(spark):
     assert "WindowGroupLimit" in plan
     plan = _plan(kmv_jaccard(sk, k=4))
     assert "EvalPython" not in plan
+
+
+def test_bloom_plan_shape(spark):
+    """bloom_build = one explode scan + one distinct over ≤ m positions;
+    bloom_contains broadcasts the filter and match-counts per candidate —
+    no Python, no windows."""
+    from linkgraph.pipeline.sketches import bloom_build, bloom_contains
+
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    bloom = bloom_build(df, "k", m=64, n_hashes=3)
+    for d in (bloom, bloom_contains(bloom, df, "k", m=64, n_hashes=3)):
+        plan = _plan(d)
+        assert "EvalPython" not in plan
+        assert "Window" not in plan
+    assert "BroadcastHashJoin" in _plan(
+        bloom_contains(bloom, df, "k", m=64, n_hashes=3)
+    )

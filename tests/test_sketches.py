@@ -226,3 +226,53 @@ def test_kmv_validation(spark):
     df = spark.createDataFrame([("a", "x")], ["grp", "key"])
     with pytest.raises(ValueError):
         kmv_sketch(df, "grp", "key", k=0)
+
+
+# ---- Bloom filter ----------------------------------------------------------
+
+
+def _bloom_pos(key, j, m, salt=42):
+    return int(
+        hashlib.md5(f"{key}|{j}|{salt}".encode()).hexdigest()[:12], 16
+    ) % m
+
+
+def test_bloom_positions_match_replay(spark):
+    from linkgraph.pipeline.sketches import bloom_build
+
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["pos"] for r in bloom_build(df, "k", m=512, n_hashes=3).collect()}
+    exp = {_bloom_pos(k, j, 512) for k in keys for j in range(3)}
+    assert got == exp
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from linkgraph.pipeline.sketches import bloom_build, bloom_contains
+
+    members = [f"m{i}" for i in range(500)]
+    bloom = bloom_build(
+        spark.createDataFrame([(k,) for k in members], ["k"]),
+        "k", m=1 << 14, n_hashes=5,
+    )
+    cand = spark.createDataFrame(
+        [(k, "member") for k in members]
+        + [(f"n{i}", "non") for i in range(2000)],
+        ["k", "tag"],
+    )
+    kept = bloom_contains(bloom, cand, "k", m=1 << 14, n_hashes=5).collect()
+    kept_members = {r["k"] for r in kept if r["tag"] == "member"}
+    assert kept_members == set(members)  # NEVER a false negative
+    fp = sum(1 for r in kept if r["tag"] == "non") / 2000
+    assert fp < 0.05  # ~0.9% expected at these parameters
+
+
+def test_bloom_null_keys_and_validation(spark):
+    from linkgraph.pipeline.sketches import bloom_build
+
+    df = spark.createDataFrame([("a",), (None,)], ["k"])
+    assert bloom_build(df, "k", m=64, n_hashes=2).count() <= 2
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", m=0)
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", n_hashes=0)
