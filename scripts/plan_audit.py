@@ -221,6 +221,21 @@ def main():
             "count-min: explode scan → ONE aggregate over a depth×width-"
             "bounded key space; lookup broadcasts the sketch",
         ),
+        (
+            "hll_distinct_users_events",
+            "HyperLogLog: one scan + two algebraic aggregates, state "
+            "≤ 2^p register rows per group — no join, no window",
+        ),
+        (
+            "kmv_vocab_overlap_langs",
+            "KMV: per-set top-k as WindowGroupLimit, pairwise Jaccard as "
+            "array math over sketch rows (never the raw key sets)",
+        ),
+        (
+            "bloom_prefilter_parts",
+            "Bloom: build = explode + distinct over ≤ m positions; probe "
+            "broadcasts the filter and match-counts per candidate",
+        ),
     ]
 
     out = io.StringIO()
