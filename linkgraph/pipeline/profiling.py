@@ -57,3 +57,54 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "(column, n_rows, n_null, n_distinct, mean, p50)"
     )
     return one.selectExpr(stack)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """DataFrame[bin, lo, hi, n] — equal-width histogram of a numeric
+    column: bin i covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/bins,
+    except the LAST bin which also includes hi itself (the numpy
+    convention, so the range max is never dropped). Values outside
+    [lo, hi] and nulls are excluded; empty bins are emitted with n = 0 so
+    the output is always exactly ``bins`` rows.
+
+    When lo/hi are omitted they come from one min/max aggregate (a second
+    scan — pass them explicitly to keep the single-pass shape, e.g. from
+    :func:`profile_columns`). The histogram itself is ONE scan + ONE
+    algebraic aggregate over at most ``bins`` keys, joined against a
+    driver-built bins table (``bins`` rows — broadcast). No windows, no
+    Python."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    spark = df.sparkSession
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:
+            raise ValueError(f"column {col!r} has no non-null values")
+    lo, hi = float(lo), float(hi)
+    if not hi >= lo:
+        raise ValueError(f"hi must be >= lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins if hi > lo else 1.0
+    b = F.floor((x - F.lit(lo)) / F.lit(w)).cast("int")
+    b = F.when(b == bins, F.lit(bins - 1)).otherwise(b)  # hi joins last bin
+    counts = (
+        df.filter(x.isNotNull() & (x >= lo) & (x <= hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = spark.createDataFrame(
+        [(i, lo + i * w, lo + (i + 1) * w) for i in range(bins)],
+        "bin int, lo double, hi double",
+    )
+    return (
+        edges.join(counts, "bin", "left")
+        .select("bin", "lo", "hi", F.coalesce("n", F.lit(0)).alias("n"))
+    )

@@ -6112,3 +6112,50 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_histogram_totalprice_orders(spark, sf_dir):
+    """16-bin equal-width histogram of order totalprice over the explicit
+    range [0, 500000] — pins the bin arithmetic (floor((x−lo)/w), numpy
+    hi-inclusive last bin), the out-of-range filter, and the zero-filled
+    empty bins. Edges emitted as thousandths-cast longs so the hash is
+    float-format-independent."""
+    from linkgraph.pipeline.profiling import histogram
+
+    h = histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 16, lo=0.0, hi=500_000.0
+    )
+    return h.select(
+        "bin",
+        F.round(F.col("lo") * 1e3).cast("long").alias("lo_thousandths"),
+        F.round(F.col("hi") * 1e3).cast("long").alias("hi_thousandths"),
+        F.col("n").cast("long"),
+    )
+
+
+QUERIES.update({"histogram_totalprice_orders": q_histogram_totalprice_orders})
+ORACLE_SQL.update(
+    {
+        "histogram_totalprice_orders": """
+        WITH p AS (SELECT 0.0 AS lo, 500000.0 AS hi, 16 AS bins,
+                          (500000.0 - 0.0) / 16 AS w),
+        binned AS (SELECT CASE WHEN b = bins THEN bins - 1 ELSE b END AS bin
+                   FROM (SELECT CAST(floor((o_totalprice - p.lo) / p.w)
+                                AS INT) AS b, p.bins
+                         FROM orders CROSS JOIN p
+                         WHERE o_totalprice IS NOT NULL
+                           AND o_totalprice >= p.lo
+                           AND o_totalprice <= p.hi)),
+        edges AS (SELECT i AS bin,
+                         p.lo + i * p.w AS lo_e,
+                         p.lo + (i + 1) * p.w AS hi_e
+                  FROM (SELECT unnest(range(16)) AS i) CROSS JOIN p)
+        SELECT e.bin,
+               CAST(round(e.lo_e * 1000) AS BIGINT) AS lo_thousandths,
+               CAST(round(e.hi_e * 1000) AS BIGINT) AS hi_thousandths,
+               count(b.bin) AS n
+        FROM edges e LEFT JOIN binned b ON b.bin = e.bin
+        GROUP BY e.bin, e.lo_e, e.hi_e
+    """,
+    }
+)

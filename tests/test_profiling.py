@@ -54,3 +54,49 @@ def test_single_aggregate_plan(spark):
     assert "Window" not in plan
     # exactness cost is the documented Expand, not a per-column re-scan
     assert plan.count("Scan ExistingRDD") <= 1 or plan.count("Scan") <= 2
+
+
+# ---- histogram -------------------------------------------------------------
+
+
+def test_histogram_matches_numpy(spark):
+    import numpy as np
+
+    from linkgraph.pipeline.profiling import histogram
+
+    vals = [0.0, 0.1, 2.5, 2.5, 4.9, 5.0, 3.3, 1.7, 4.999]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["bin"]: r["n"] for r in histogram(df, "x", 5, lo=0.0, hi=5.0).collect()}
+    exp, _ = np.histogram(vals, bins=5, range=(0.0, 5.0))
+    assert got == {i: int(c) for i, c in enumerate(exp)}
+
+
+def test_histogram_auto_range_nulls_outliers(spark):
+    from linkgraph.pipeline.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "x double"
+    )
+    rows = histogram(df, "x", 2).collect()
+    assert [(r["bin"], r["n"]) for r in sorted(rows, key=lambda r: r["bin"])] == [
+        (0, 1), (1, 2)  # [1,2) → {1}; [2,3] → {2,3}
+    ]
+    # explicit range excludes outliers
+    df2 = spark.createDataFrame([(0.5,), (1.5,), (99.0,)], "x double")
+    rows2 = histogram(df2, "x", 2, lo=0.0, hi=2.0).collect()
+    assert sum(r["n"] for r in rows2) == 2
+
+
+def test_histogram_validation(spark):
+    import pytest as _pt
+
+    from linkgraph.pipeline.profiling import histogram
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError):
+        histogram(df, "x", 0)
+    with _pt.raises(ValueError):
+        histogram(df, "x", 2, lo=5.0, hi=1.0)
+    empty = spark.createDataFrame([(None,)], "x double")
+    with _pt.raises(ValueError):
+        histogram(empty, "x", 2)
