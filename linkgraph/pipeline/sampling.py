@@ -120,6 +120,75 @@ def stratified_sample(
     )
 
 
+_WSCALE = 1 << 20
+
+
+def temperature_sample(
+    df: DataFrame,
+    n_rows: int,
+    group_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based group rebalancing: sample ~``n_rows`` rows total,
+    allocating each group a quota ∝ count^alpha — the standard multilingual
+    / multi-source mix correction (alpha=1 keeps natural proportions,
+    alpha=0 allocates every group the same quota, alpha≈0.3–0.7 upsamples
+    the tail the way multilingual-corpus recipes do).
+
+    Selection is Bernoulli by key hash at rate quota/count per group —
+    expected (not exact) quotas, but the plan is ONE count aggregate over
+    group-sized partials + a broadcast threshold join + a scan filter: no
+    per-group sort, no window, no row_number, so a 10-billion-row group
+    costs the same per row as a 10-row group. For exact-k-per-group
+    semantics use :func:`stratified_sample`.
+
+    Determinism: group weights count^alpha are quantized to integers
+    (floor(·2^20)) so their sum — and therefore every group's rate — is
+    exact integer math plus a fixed sequence of IEEE double ops: the same
+    rows are selected on every run, every partitioning, and every engine
+    (DuckDB oracles replay the thresholds bit-for-bit; alpha=0.5 uses
+    sqrt, which IEEE requires correctly rounded, so even the weight
+    quantization is engine-portable). Groups whose rate rounds to zero
+    are dropped entirely; rates cap at 1 (a group never exceeds its own
+    count)."""
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0, got {n_rows}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    c = F.col("_c").cast("double")
+    wexpr = F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(float(alpha)))
+    wts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_w", F.floor(wexpr * F.lit(float(_WSCALE))).cast("long"))
+    )
+    tot = wts.agg(F.sum("_w").alias("_W"))
+    th = wts.alias("g").crossJoin(F.broadcast(tot).alias("t")).select(
+        F.col("g." + group_col).alias(group_col),
+        F.least(
+            F.lit(_SPACE).cast("long"),
+            F.floor(
+                F.lit(float(n_rows))
+                * F.col("g._w").cast("double")
+                / F.col("t._W").cast("double")
+                / F.col("g._c").cast("double")
+                * F.lit(float(_SPACE))
+            ).cast("long"),
+        ).alias("_th"),
+    )
+    u = F.conv(_bucket(key_cols, seed), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(th), group_col)
+        .filter(u < F.col("_th"))
+        .drop("_th")
+        .select(*df.columns)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

@@ -6159,3 +6159,41 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_temperature_sample_documents(spark, sf_dir):
+    """Temperature-rebalanced (alpha=0.5) language sample of the documents
+    table: per-group Bernoulli rates ∝ sqrt(count), thresholds from
+    integer-quantized weights so the SQL replays every rate bit-for-bit —
+    pins the count aggregate, the weight quantization, the threshold
+    arithmetic order, and the md5 selection in one hash."""
+    from linkgraph.pipeline.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, 600, "lang", ["doc_id"], alpha=0.5, seed=3)
+
+
+QUERIES.update({"temperature_sample_documents": q_temperature_sample_documents})
+ORACLE_SQL.update(
+    {
+        "temperature_sample_documents": """
+        WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        w AS (SELECT lang, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT)
+                     AS w
+              FROM c),
+        t AS (SELECT lang,
+                     least(CAST(4294967296 AS BIGINT),
+                           CAST(floor(600.0 * CAST(w AS DOUBLE)
+                                      / CAST((SELECT sum(w) FROM w) AS DOUBLE)
+                                      / CAST(c AS DOUBLE)
+                                      * 4294967296.0) AS BIGINT)) AS th
+              FROM w),
+        u AS (SELECT doc_id, lang,
+                     CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                              || chr(31) || '3'), 1, 8) AS BIGINT) AS u
+              FROM documents)
+        SELECT u.doc_id, u.lang FROM u JOIN t USING (lang) WHERE u.u < t.th
+    """,
+    }
+)

@@ -591,3 +591,20 @@ def test_bloom_plan_shape(spark):
     assert "BroadcastHashJoin" in _plan(
         bloom_contains(bloom, df, "k", m=64, n_hashes=3)
     )
+
+
+def test_temperature_sample_plan_is_scan_plus_broadcast(spark):
+    """temperature_sample must be one count aggregate + a broadcast
+    threshold join + a scan filter: no Window, no Python eval, no
+    sort-merge join on the data side — a 10-billion-row group costs the
+    same per row as a 10-row group."""
+    from linkgraph.pipeline.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(30)], ["doc_id", "lang"]
+    )
+    plan = _plan(temperature_sample(df, 10, "lang", ["doc_id"]))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -170,6 +170,79 @@ def test_weighted_sample_replay_and_bias(spark):
     assert [r["doc_id"] for r in weighted_sample(z, 3, "w", ["doc_id"]).collect()] == [3]
 
 
+def test_temperature_sample_replay_and_rebalance(spark):
+    import math
+
+    from linkgraph.pipeline.sampling import temperature_sample
+
+    # 180 en / 18 fr / 2 de: a skewed "language" mix
+    rows = (
+        [(i, "en") for i in range(180)]
+        + [(1000 + i, "fr") for i in range(18)]
+        + [(2000, "de"), (2001, "de")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(df, 60, "lang", ["doc_id"], alpha=0.5, seed=3)
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    # exact python replay: quantized sqrt weights -> per-group thresholds
+    counts = {}
+    for _, l in rows:
+        counts[l] = counts.get(l, 0) + 1
+    w = {l: math.floor(math.sqrt(float(c)) * (1 << 20)) for l, c in counts.items()}
+    W = sum(w.values())
+    th = {
+        l: min(
+            2**32,
+            math.floor(60.0 * float(w[l]) / float(W) / float(counts[l]) * float(2**32)),
+        )
+        for l in counts
+    }
+    expect = {
+        (i, l) for i, l in rows if int(_md5_bucket(str(i), "3"), 16) < th[l]
+    }
+    assert got == expect and got  # non-empty
+
+    # partitioning-independent
+    got2 = {
+        (r["doc_id"], r["lang"])
+        for r in temperature_sample(
+            df.repartition(7), 60, "lang", ["doc_id"], alpha=0.5, seed=3
+        ).collect()
+    }
+    assert got2 == got
+
+    # rebalance direction: at alpha=0.5 the tail's share of the sample
+    # budget exceeds its natural share (fr is 9% of rows, but its expected
+    # rate n*w_fr/W/c_fr is ~3x the proportional rate)
+    nat_fr = counts["fr"] / len(rows)
+    quota_share_fr = (th["fr"] / 2**32) * counts["fr"] / 60.0
+    assert quota_share_fr > nat_fr
+
+    # alpha=1 ~ proportional: every group gets (near-)identical rate
+    out1 = temperature_sample(df, 60, "lang", ["doc_id"], alpha=1.0, seed=3)
+    w1 = {l: math.floor(float(c) * (1 << 20)) for l, c in counts.items()}
+    W1 = sum(w1.values())
+    th1 = {
+        l: min(
+            2**32,
+            math.floor(
+                60.0 * float(w1[l]) / float(W1) / float(counts[l]) * float(2**32)
+            ),
+        )
+        for l in counts
+    }
+    expect1 = {(i, l) for i, l in rows if int(_md5_bucket(str(i), "3"), 16) < th1[l]}
+    assert {(r["doc_id"], r["lang"]) for r in out1.collect()} == expect1
+    rates1 = {l: th1[l] / 2**32 for l in counts}
+    assert max(rates1.values()) - min(rates1.values()) < 1e-6
+
+    # n_rows >= total saturates every rate at 1: everything kept
+    assert temperature_sample(df, 10_000, "lang", ["doc_id"]).count() == len(rows)
+    # n_rows = 0 drops everything
+    assert temperature_sample(df, 0, "lang", ["doc_id"]).count() == 0
+
+
 def test_trailing_whitespace_no_phantom_tokens(spark):
     # review regression: F.trim strips only spaces, so a newline-terminated
     # doc used to grow a phantom '' token (n_words=3, bogus ' '-grams)
