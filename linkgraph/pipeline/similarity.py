@@ -435,6 +435,133 @@ def tfidf_cosine_pairs(
     return out
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    n_planes: int = 16,
+    band_planes: int = 4,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    mutual: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over an embedding column: DataFrame
+    [src, dst, cosine] with up to k out-edges per vector — the semantic
+    near-duplicate primitive (feed the edges into connected_components or
+    louvain_communities to get duplicate/topic clusters), and the ANN-join
+    counterpart of the single-query searches (cosine_topk / lsh / IVF).
+
+    ``method="brute"``: exact — normalize once, all-pairs dot of unit
+    vectors. O(n²) comparisons: the correctness baseline and the oracle
+    path, fine to ~10⁵ vectors.
+
+    ``method="lsh"``: hyperplane-banded — candidates are pairs sharing at
+    least one of n_planes/band_planes band buckets (recall < 1, grows with
+    bands), reranked by exact cosine. Pathological buckets (near-duplicate
+    floods) are capped at ``max_bucket`` members by the same order-free
+    hash-mod filter as the minhash join — bucket sizes from an algebraic
+    aggregate, no sort, no single-task concentration — so the within-bucket
+    join is bounded: this is the 100 TB path.
+
+    Per-src top-k runs as row_number ≤ k, which Spark executes as a
+    Partial WindowGroupLimit: every map task forwards at most k rows per
+    src before the shuffle, so hub sources never materialize their full
+    candidate set in one task. Ties break by ascending dst (deterministic).
+    Zero-norm vectors are dropped (cosine undefined). ``mutual=True``
+    keeps only edges whose reverse also survived — the symmetric kNN graph
+    most clustering recipes want."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if method not in ("brute", "lsh"):
+        raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+    from pyspark.sql import Window
+
+    nrm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    unit = emb.filter(nrm > 0).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("_u"),
+    )
+    if method == "brute":
+        a, b = unit.alias("a"), unit.alias("b")
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a._id") != F.col("b._id"))
+            .select(
+                F.col("a._id").alias("src"),
+                F.col("b._id").alias("dst"),
+                F.col("a._u").alias("_ua"),
+                F.col("b._u").alias("_ub"),
+            )
+        )
+    else:
+        assert n_planes % band_planes == 0
+        bands = n_planes // band_planes
+        sig = hyperplane_signature(emb, id_col, vec_col, n_planes, seed)
+        banded = sig.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.xxhash64(
+                        F.slice(F.col("bits"), bnd * band_planes + 1, band_planes),
+                        bnd,
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        capped = (
+            banded.join(sizes, ["band", "bucket"])
+            .filter(
+                (F.col("_bsz") <= max_bucket)
+                | (F.pmod(F.xxhash64("_id", "band"), F.col("_bsz")) < max_bucket)
+            )
+            .drop("_bsz")
+        )
+        ca, cb = capped.alias("ca"), capped.alias("cb")
+        cand = (
+            ca.join(
+                cb,
+                (F.col("ca.band") == F.col("cb.band"))
+                & (F.col("ca.bucket") == F.col("cb.bucket"))
+                & (F.col("ca._id") != F.col("cb._id")),
+            )
+            .select(F.col("ca._id").alias("_s"), F.col("cb._id").alias("_d"))
+            .distinct()
+        )
+        a = unit.select(F.col("_id").alias("_s"), F.col("_u").alias("_ua"))
+        b = unit.select(F.col("_id").alias("_d"), F.col("_u").alias("_ub"))
+        pairs = (
+            cand.join(a, "_s")
+            .join(b, "_d")
+            .select(
+                F.col("_s").alias("src"),
+                F.col("_d").alias("dst"),
+                "_ua",
+                "_ub",
+            )
+        )
+    scored = pairs.select(
+        "src", "dst", _dot(F.col("_ua"), F.col("_ub")).alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    out = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    if mutual:
+        rev = out.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        out = out.join(rev, ["src", "dst"], "leftsemi")
+    return out
+
+
 def kmeans_clusters(
     emb: DataFrame,
     k: int,

@@ -6197,3 +6197,45 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_knn_graph_embeddings(spark, sf_dir):
+    """Brute kNN graph (k=5) over the first 300 embedding vectors: pins the
+    unit normalization, the all-pairs dot, and the per-src top-k selection
+    (WindowGroupLimit, desc cosine / asc dst ties) in one hash. The SQL
+    replays the exact selection and rounds only the reported cosine."""
+    from linkgraph.pipeline.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = knn_graph(e, k=5)
+    return out.select(
+        "src", "dst", F.round(F.col("cosine") * 1e5).cast("long").alias("cos5")
+    )
+
+
+QUERIES.update({"knn_graph_embeddings": q_knn_graph_embeddings})
+ORACLE_SQL.update(
+    {
+        "knn_graph_embeddings": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        n AS (SELECT vec_id,
+                     sqrt(list_sum(list_transform(embedding,
+                                                  y -> y::DOUBLE * y::DOUBLE)))
+                     AS nrm
+              FROM e),
+        u AS (SELECT e.vec_id,
+                     list_transform(e.embedding, x -> x::DOUBLE / n.nrm) AS u
+              FROM e JOIN n USING (vec_id) WHERE n.nrm > 0),
+        p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                     list_sum(list_transform(list_zip(a.u, b.u),
+                                             x -> x[1] * x[2])) AS cos
+              FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+        r AS (SELECT src, dst, cos,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY cos DESC, dst) AS rk
+              FROM p)
+        SELECT src, dst, CAST(round(cos * 100000) AS BIGINT) AS cos5
+        FROM r WHERE rk <= 5
+    """,
+    }
+)

@@ -608,3 +608,17 @@ def test_temperature_sample_plan_is_scan_plus_broadcast(spark):
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_graph_topk_is_window_group_limit(spark):
+    """knn_graph's per-src top-k must run as a Partial WindowGroupLimit
+    (each map task forwards <= k rows per src before the shuffle) and the
+    brute scoring path must stay JVM-side — no Python eval anywhere."""
+    from linkgraph.pipeline.similarity import knn_graph
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    plan = _plan(knn_graph(df, k=2))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "EvalPython" not in plan
