@@ -76,6 +76,7 @@ from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
 from linkgraph.algorithms.projection import bipartite_projection
 from linkgraph.algorithms.sampling import sample_neighborhood, sample_neighbors
 from linkgraph.algorithms.katz import eigenvector_centrality, hits, katz_centrality
+from linkgraph.algorithms.voterank import voterank
 from linkgraph.algorithms.matching import maximal_matching
 from linkgraph.algorithms.mis import greedy_coloring, maximal_independent_set
 from linkgraph.algorithms.mst import (
@@ -176,6 +177,7 @@ __all__ = [
     "closeness_centrality",
     "harmonic_centrality",
     "katz_centrality",
+    "voterank",
     "hits",
     "eigenvector_centrality",
     "topological_layers",

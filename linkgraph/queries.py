@@ -6239,3 +6239,70 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_voterank_events_2(spark, sf_dir):
+    """Two VoteRank elections on the undirected user↔event-type graph —
+    the SQL unrolls both rounds (round-1 scores are exact integer degrees;
+    round-2 scores mix the 1−δ decremented abilities of the first winner's
+    neighborhood), pinning the vote sum, the (desc score, asc id) argmax,
+    the δ = 1/⟨k⟩ arithmetic order, and the ability clamp in one hash."""
+    from linkgraph.algorithms.voterank import voterank
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    g = LinkGraph(
+        e.select(
+            _tag("user_id", "u").alias("src"),
+            _tag("event_type", "e").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    out = voterank(g, 2)
+    return out.select(
+        "rank",
+        "id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_millionths"),
+    )
+
+
+QUERIES.update({"voterank_events_2": q_voterank_events_2})
+ORACLE_SQL.update(
+    {
+        "voterank_events_2": """
+        WITH ue AS (SELECT DISTINCT 'u' || user_id AS u,
+                                    'e' || event_type AS e FROM events),
+        ed AS (SELECT u AS src, e AS dst FROM ue
+               UNION ALL
+               SELECT e AS src, u AS dst FROM ue),
+        nodes AS (SELECT DISTINCT src AS id FROM ed),
+        params AS (SELECT 1.0 / (CAST((SELECT count(*) FROM ed) AS DOUBLE)
+                                 / CAST((SELECT count(*) FROM nodes)
+                                        AS DOUBLE)) AS delta),
+        s1 AS (SELECT src, CAST(count(*) AS DOUBLE) AS score
+               FROM ed GROUP BY src),
+        w1 AS (SELECT src AS id, score FROM s1
+               ORDER BY score DESC, src LIMIT 1),
+        a2 AS (SELECT n.id,
+                      CASE WHEN n.id = (SELECT id FROM w1) THEN 0.0
+                           WHEN n.id IN (SELECT dst FROM ed
+                                         WHERE src = (SELECT id FROM w1))
+                                THEN greatest(0.0,
+                                              1.0 - (SELECT delta FROM params))
+                           ELSE 1.0 END AS a
+               FROM nodes n),
+        s2 AS (SELECT ed.src, sum(a2.a) AS score
+               FROM ed JOIN a2 ON ed.dst = a2.id
+               WHERE ed.src <> (SELECT id FROM w1)
+               GROUP BY ed.src),
+        w2 AS (SELECT src AS id, score FROM s2
+               ORDER BY score DESC, src LIMIT 1)
+        SELECT 1 AS rank, id,
+               CAST(round(score * 1000000) AS BIGINT) AS score_millionths
+        FROM w1
+        UNION ALL
+        SELECT 2 AS rank, id,
+               CAST(round(score * 1000000) AS BIGINT) AS score_millionths
+        FROM w2
+    """,
+    }
+)

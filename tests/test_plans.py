@@ -622,3 +622,28 @@ def test_knn_graph_topk_is_window_group_limit(spark):
     plan = _plan(knn_graph(df, k=2))
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "EvalPython" not in plan
+
+
+def test_voterank_round_is_algebraic(spark):
+    """A VoteRank round's score job must be one join + one algebraic sum
+    aggregate — no Window, no Python eval (the top-1 is a limit-1 collect,
+    the same budget class as a convergence check)."""
+    from linkgraph import LinkGraph
+    from linkgraph.graph import DST, SRC
+    from pyspark.sql import functions as F
+
+    g = LinkGraph(
+        spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"]),
+        keys={"directed": False},
+    )
+    edges = g.edges.select(SRC, DST).distinct()
+    abilities = g.nodes.select(F.col("id"), F.lit(1.0).alias("_a"))
+    scores = (
+        edges.join(abilities.select(F.col("id").alias(DST), "_a"), DST)
+        .groupBy(SRC)
+        .agg(F.sum("_a").alias("_score"))
+    )
+    plan = _plan(scores)
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
