@@ -32,7 +32,7 @@ from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
 )
-from linkgraph.algorithms.assortativity import degree_assortativity
+from linkgraph.algorithms.assortativity import degree_assortativity, rich_club_coefficient
 from linkgraph.algorithms.edge_partition import (
     dbh_edge_partition,
     hybrid_edge_partition,
@@ -148,6 +148,7 @@ __all__ = [
     "partition_stats",
     "densest_subgraph",
     "degree_assortativity",
+    "rich_club_coefficient",
     "k_truss",
     "eccentricity",
     "diameter_lower_bound",

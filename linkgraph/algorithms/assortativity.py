@@ -65,3 +65,92 @@ def degree_assortativity(graph: LinkGraph) -> float:
             return float("nan")
         raise
     return float("nan") if row["r"] is None else float(row["r"])
+
+
+def rich_club_coefficient(graph: LinkGraph):
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for every
+    k with N_k ≥ 2, where N_k counts nodes of degree > k and E_k counts
+    edges whose BOTH endpoints have degree > k (Zhou & Mondragón 2004) —
+    DataFrame [k, n_nodes, n_edges, rc], matching
+    ``networkx.rich_club_coefficient(G, normalized=False)``.
+
+    Plan: degree aggregate → per-edge min-endpoint-degree → TWO histograms
+    (node-degree, edge-min-degree). All suffix sums and the k-interval
+    expansion run over the merged histogram, which has one row per
+    DISTINCT degree value (≤ O(√m) under any realistic tail) — the only
+    window in the plan orders that metadata-sized table, never the nodes
+    or edges. φ is a step function changing only at present degree
+    values, so each histogram interval explodes into its constant run of
+    k rows; output size is max-degree rows, computed linearly."""
+    if graph.is_directed:
+        raise ValueError("rich_club_coefficient is undirected-only (as networkx)")
+    from pyspark.sql import Window
+
+    edges = (
+        graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_d"))
+    canon = edges.filter(F.col(SRC) < F.col(DST))
+    emin = (
+        canon.join(deg.select(F.col(SRC), F.col("_d").alias("_ds")), SRC)
+        .join(
+            deg.select(F.col(SRC).alias(DST), F.col("_d").alias("_dd")), DST
+        )
+        .select(F.least("_ds", "_dd").alias("_d"))
+    )
+    nh = deg.groupBy("_d").agg(F.count(F.lit(1)).alias("_nd"))
+    eh = emin.groupBy("_d").agg(F.count(F.lit(1)).alias("_ed"))
+    hist = (
+        nh.join(eh, "_d", "full")
+        .select(
+            "_d",
+            F.coalesce("_nd", F.lit(0)).alias("_nd"),
+            F.coalesce("_ed", F.lit(0)).alias("_ed"),
+        )
+    )
+    asc = Window.orderBy(F.asc("_d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.asc("_d")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nxt = Window.orderBy(F.asc("_d"))
+    cum = hist.select(
+        "_d",
+        (F.sum("_nd").over(tot) - F.sum("_nd").over(asc)).alias("_n_gt"),
+        (F.sum("_ed").over(tot) - F.sum("_ed").over(asc)).alias("_e_gt"),
+        F.lead("_d").over(nxt).alias("_next"),
+    )
+    # k runs over [boundary, next boundary) — inject the leading [0, first)
+    # interval (N_k there = ALL positive-degree nodes = suffix at a
+    # sentinel below every real degree)
+    first = hist.select(
+        F.lit(-1).alias("_d"),
+        F.sum("_nd").alias("_n_gt"),
+        F.sum("_ed").alias("_e_gt"),
+        F.min("_d").alias("_next"),
+    )
+    lo = F.when(F.col("_d") < 0, F.lit(0)).otherwise(F.col("_d"))
+    hi = F.col("_next") - 1  # always present on surviving rows: the max
+    # present degree's row has _n_gt = 0 and is filtered out below
+    ks = (
+        cum.unionByName(first)
+        .filter(F.col("_n_gt") >= 2)
+        .select(
+            F.explode(
+                F.when(lo <= hi, F.sequence(lo, hi)).cast("array<int>")
+            ).alias("k"),
+            F.col("_n_gt").alias("n_nodes"),
+            F.col("_e_gt").alias("n_edges"),
+        )
+    )
+    return ks.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        (
+            F.lit(2.0)
+            * F.col("n_edges").cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double")
+        ).alias("rc"),
+    )

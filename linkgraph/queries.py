@@ -6306,3 +6306,75 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_rich_club_events(spark, sf_dir):
+    """Rich-club coefficient curve of the undirected user↔event-type
+    graph — the SQL replays the whole pipeline generically (degree
+    histogram, edge-min-degree histogram, suffix sums, interval
+    expansion), pinning N_k, E_k, and φ(k) for every defined k."""
+    from linkgraph.algorithms.assortativity import rich_club_coefficient
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    g = LinkGraph(
+        e.select(
+            _tag("user_id", "u").alias("src"),
+            _tag("event_type", "e").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    out = rich_club_coefficient(g)
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.round(F.col("rc") * 1e6).cast("long").alias("rc_millionths"),
+    )
+
+
+QUERIES.update({"rich_club_events": q_rich_club_events})
+ORACLE_SQL.update(
+    {
+        "rich_club_events": """
+        WITH ue AS (SELECT DISTINCT 'u' || user_id AS u,
+                                    'e' || event_type AS e FROM events),
+        ed AS (SELECT u AS src, e AS dst FROM ue
+               UNION ALL SELECT e AS src, u AS dst FROM ue),
+        deg AS (SELECT src AS id, count(*) AS d FROM ed GROUP BY src),
+        canon AS (SELECT src, dst FROM ed WHERE src < dst),
+        em AS (SELECT least(d1.d, d2.d) AS d
+               FROM canon c JOIN deg d1 ON c.src = d1.id
+                            JOIN deg d2 ON c.dst = d2.id),
+        nh AS (SELECT d, count(*) AS nd FROM deg GROUP BY d),
+        ehh AS (SELECT d, count(*) AS edc FROM em GROUP BY d),
+        hist AS (SELECT COALESCE(nh.d, ehh.d) AS d,
+                        COALESCE(nd, 0) AS nd, COALESCE(edc, 0) AS edc
+                 FROM nh FULL JOIN ehh ON nh.d = ehh.d),
+        cum AS (SELECT d,
+                       (SELECT sum(nd) FROM hist)
+                           - sum(nd) OVER (ORDER BY d) AS n_gt,
+                       (SELECT sum(edc) FROM hist)
+                           - sum(edc) OVER (ORDER BY d) AS e_gt,
+                       lead(d) OVER (ORDER BY d) AS nxt
+                FROM hist),
+        sent AS (SELECT -1 AS d,
+                        (SELECT sum(nd) FROM hist) AS n_gt,
+                        (SELECT sum(edc) FROM hist) AS e_gt,
+                        (SELECT min(d) FROM hist) AS nxt),
+        rows_ AS (SELECT * FROM cum UNION ALL SELECT * FROM sent),
+        ks AS (SELECT unnest(range(CASE WHEN d < 0 THEN 0 ELSE d END,
+                                   nxt)) AS k,
+                      n_gt, e_gt
+               FROM rows_
+               WHERE n_gt >= 2
+                 AND (CASE WHEN d < 0 THEN 0 ELSE d END) < nxt)
+        SELECT CAST(k AS INT) AS k,
+               CAST(n_gt AS BIGINT) AS n_nodes,
+               CAST(e_gt AS BIGINT) AS n_edges,
+               CAST(round(2.0 * CAST(e_gt AS DOUBLE)
+                          / CAST(n_gt * (n_gt - 1) AS DOUBLE)
+                          * 1000000) AS BIGINT) AS rc_millionths
+        FROM ks
+    """,
+    }
+)

@@ -98,3 +98,63 @@ def test_voterank_early_stop_and_validation(spark):
     assert nx.voterank(nx.Graph(pairs), 5) == ["a"]
     with pytest.raises(ValueError):
         voterank(g, 0)
+
+
+# ------------------------------------------------------------- rich club
+
+
+def _nx_rc(pairs):
+    G = nx.Graph(pairs)
+    return nx.rich_club_coefficient(G, normalized=False)
+
+
+def _got_rc(spark, pairs):
+    from linkgraph import rich_club_coefficient
+
+    g = LinkGraph(
+        spark.createDataFrame(pairs, ["src", "dst"]), keys={"directed": False}
+    )
+    return {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["rc"])
+        for r in rich_club_coefficient(g).collect()
+    }
+
+
+def test_rich_club_networkx_parity(spark):
+    # core K4 + peripheral spokes: a genuine rich club
+    pairs = (
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        + [("a", f"p{i}") for i in range(4)]
+        + [("b", "p0"), ("p0", "p1")]
+    )
+    got = _got_rc(spark, pairs)
+    exp = _nx_rc(pairs)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][2] == exp[k], (k, got[k], exp[k])
+
+
+def test_rich_club_gapped_degrees_and_star(spark):
+    # star: hub degree n, leaves degree 1 -> big k gap exercises the
+    # interval expansion (constant runs of k between present degrees)
+    pairs = [("h", f"l{i}") for i in range(9)]
+    got = _got_rc(spark, pairs)
+    exp = _nx_rc(pairs)
+    assert got.keys() == exp.keys()  # k = 0..? (N_k >= 2 cutoff)
+    for k in exp:
+        assert got[k][2] == exp[k]
+    # path graph: all degrees <= 2
+    pairs2 = [("x0", "x1"), ("x1", "x2"), ("x2", "x3")]
+    got2 = _got_rc(spark, pairs2)
+    exp2 = _nx_rc(pairs2)
+    assert got2.keys() == exp2.keys()
+    for k in exp2:
+        assert got2[k][2] == exp2[k]
+
+
+def test_rich_club_directed_raises(spark):
+    from linkgraph import rich_club_coefficient
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with pytest.raises(ValueError):
+        rich_club_coefficient(g)
