@@ -513,3 +513,88 @@ def duplicate_span_fraction(
             .alias("dup_fraction"),
         )
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT word-set Jaccard similarity join with prefix filtering
+    (SSJoin/PPJoin family): [a, b, jaccard] with a < b for every pair
+    with J(A, B) ≥ threshold — lossless, unlike the frequency-CAPPED
+    shingle join above (which trades recall for hub safety).
+
+    The hub problem is solved by ORDER, not by dropping data: tokens are
+    globally ranked rarest-first (doc-frequency asc, token asc), each
+    document keeps only its first |x| − ⌈t·|x|⌉ + 1 ranked tokens as its
+    join prefix, and the prefix-filter lemma guarantees any pair at or
+    above the threshold shares a PREFIX token. Stop-word-grade tokens
+    land at the END of every ranking, so they never enter the join —
+    the quadratic boilerplate blowup disappears with zero recall loss.
+    Survivors verify with exact set intersection on the (doc-bounded)
+    full token arrays.
+
+    Per-doc state: one sorted token array per document (collect_list
+    bounded by the document's own vocabulary, same budget as the
+    tfidf_top_terms aggregate) — no corpus-sized window, no Python."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from linkgraph.pipeline.text import _words_col
+
+    tok = (
+        df.select(F.col(id_col).alias("_id"), _words_col(text_col).alias("_ws"))
+        .select("_id", F.explode(F.array_distinct("_ws")).alias("_t"))
+    )
+    freq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        tok.join(freq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_f", "_t"))).alias("_r"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "_id",
+            "_n",
+            F.transform("_r", lambda x: x["_t"]).alias("_toks"),
+        )
+    )
+    plen = (F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1).cast(
+        "int"
+    )
+    pfx = ranked.select(
+        "_id", F.explode(F.slice("_toks", 1, plen)).alias("_t")
+    )
+    pa, pb = pfx.alias("pa"), pfx.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa._t") == F.col("pb._t"))
+            & (F.col("pa._id") < F.col("pb._id")),
+        )
+        .select(F.col("pa._id").alias("a"), F.col("pb._id").alias("b"))
+        .distinct()
+    )
+    sa = ranked.select(
+        F.col("_id").alias("a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    sb = ranked.select(
+        F.col("_id").alias("b"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+    )
+    ix = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                ix.cast("double")
+                / (F.col("_na") + F.col("_nb") - ix).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -6378,3 +6378,42 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_prefix_jaccard_documents(spark, sf_dir):
+    """Exact prefix-filtered word-set Jaccard join at t=0.6 over the
+    documents table. The oracle replays only the DEFINITION (brute-force
+    distinct-token self-join) — prefix filtering is lossless, so the
+    engine must reproduce the brute result bit-for-bit."""
+    from linkgraph.pipeline.dedup import prefix_jaccard_join
+
+    out = prefix_jaccard_join(_t(spark, sf_dir, "documents"), 0.6)
+    return out.select(
+        "a",
+        "b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_millionths"),
+    )
+
+
+QUERIES.update({"prefix_jaccard_documents": q_prefix_jaccard_documents})
+ORACLE_SQL.update(
+    {
+        "prefix_jaccard_documents": f"""
+        WITH {_WORDS_CTE},
+        tk AS (SELECT doc_id AS id, unnest(list_distinct(words)) AS tok
+               FROM w),
+        sz AS (SELECT id, count(*) AS n FROM tk GROUP BY id),
+        ix AS (SELECT a.id AS a, b.id AS b, count(*) AS ix
+               FROM tk a JOIN tk b ON a.tok = b.tok AND a.id < b.id
+               GROUP BY a.id, b.id),
+        j AS (SELECT a, b,
+                     CAST(ix AS DOUBLE) / CAST(na.n + nb.n - ix AS DOUBLE)
+                     AS jac
+              FROM ix JOIN sz na ON ix.a = na.id
+                      JOIN sz nb ON ix.b = nb.id)
+        SELECT a, b, CAST(round(jac * 1000000) AS BIGINT)
+               AS jaccard_millionths
+        FROM j WHERE jac >= 0.6
+    """,
+    }
+)

@@ -647,3 +647,18 @@ def test_voterank_round_is_algebraic(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_prefix_jaccard_plan_shape(spark):
+    """prefix_jaccard_join must stay window-free and JVM-side: the ranked
+    token arrays come from a doc-bounded collect_list aggregate, the
+    candidate join keys on prefix tokens, verification is array built-ins."""
+    from linkgraph.pipeline.dedup import prefix_jaccard_join
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], ["doc_id", "text"]
+    )
+    plan = _plan(prefix_jaccard_join(df, 0.5))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
