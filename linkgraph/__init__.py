@@ -71,6 +71,7 @@ from linkgraph.algorithms.reciprocity import reciprocity
 from linkgraph.algorithms.betweenness import (
     betweenness_centrality,
     betweenness_sampled,
+    edge_betweenness_sampled,
 )
 from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
 from linkgraph.algorithms.projection import bipartite_projection
@@ -198,6 +199,7 @@ __all__ = [
     "weighted_closeness_centrality",
     "betweenness_centrality",
     "betweenness_sampled",
+    "edge_betweenness_sampled",
     "Embeddings",
     "GraphEmbedding",
     "LouvainCommunities",

@@ -61,22 +61,35 @@ def _forward_level(frontier: DataFrame, fwd: DataFrame, seen: DataFrame) -> Data
     )
 
 
-def _backward_level(w: DataFrame, rev: DataFrame, prev: DataFrame) -> DataFrame:
-    """One backward-sweep superstep: push dependencies from level-L nodes
-    ``w`` (s, id, sigma, delta) to their BFS-DAG predecessors in ``prev``."""
+def _backward_contribs(w: DataFrame, rev: DataFrame, prev: DataFrame) -> DataFrame:
+    """Per-DAG-edge dependency terms for one backward superstep:
+    [s, u, v, _c] with _c = σ_u · (1 + δ_v) / σ_v for every BFS-DAG edge
+    u→v from level L−1 into level L — the quantity Brandes accumulates
+    onto both the edge (edge betweenness) and the predecessor u (node
+    betweenness), so both sweeps share this join."""
     return (
         w.join(rev, w[ID] == rev["v"])
         .select(
             "s",
-            F.col("u").alias("_p"),
+            "u",
+            "v",
             ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_r"),
         )
         .join(
-            prev.select("s", F.col(ID).alias("_p"), F.col("sigma").alias("_sp")),
-            ["s", "_p"],
+            prev.select("s", F.col(ID).alias("u"), F.col("sigma").alias("_sp")),
+            ["s", "u"],
         )
-        .groupBy("s", F.col("_p").alias(ID))
-        .agg(F.sum(F.col("_sp") * F.col("_r")).alias("delta"))
+        .select("s", "u", "v", (F.col("_sp") * F.col("_r")).alias("_c"))
+    )
+
+
+def _backward_level(w: DataFrame, rev: DataFrame, prev: DataFrame) -> DataFrame:
+    """One backward-sweep superstep: push dependencies from level-L nodes
+    ``w`` (s, id, sigma, delta) to their BFS-DAG predecessors in ``prev``."""
+    return (
+        _backward_contribs(w, rev, prev)
+        .groupBy("s", F.col("u").alias(ID))
+        .agg(F.sum("_c").alias("delta"))
     )
 
 
@@ -85,6 +98,7 @@ def betweenness_sampled(
     sources: DataFrame | list | int | None = None,
     max_hops: int = 50,
     normalized: bool = True,
+    _edges: bool = False,
 ) -> DataFrame:
     """DataFrame[id, betweenness] — source-sampled Brandes estimator.
 
@@ -189,6 +203,7 @@ def betweenness_sampled(
         # In unweighted BFS every DAG successor of a level-(L-1) node sits at
         # level L, so each node's dependency is complete after one sweep step.
         parts: list[DataFrame] = []
+        edge_parts: list[DataFrame] = []
         delta_cur: DataFrame | None = None  # deltas of levels[L] while at L
         for lvl in range(len(levels) - 1, 0, -1):
             w = levels[lvl]
@@ -202,7 +217,66 @@ def betweenness_sampled(
             w = w.localCheckpoint(eager=True)
             parts.append(w.select("s", ID, "delta"))
             prev = levels[lvl - 1]
-            delta_cur = _backward_level(w, rev, prev).localCheckpoint(eager=True)
+            if _edges:
+                contribs = _backward_contribs(w, rev, prev).localCheckpoint(
+                    eager=True
+                )
+                edge_parts.append(
+                    contribs.groupBy("u", "v").agg(F.sum("_c").alias("_be"))
+                )
+                delta_cur = (
+                    contribs.groupBy("s", F.col("u").alias(ID))
+                    .agg(F.sum("_c").alias("delta"))
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                delta_cur = _backward_level(w, rev, prev).localCheckpoint(
+                    eager=True
+                )
+
+        if _edges:
+            t = graph.nodes.schema[ID].dataType.simpleString()
+            if edge_parts:
+                raw_e = edge_parts[0]
+                for p in edge_parts[1:]:
+                    raw_e = raw_e.unionByName(p)
+                if not graph.is_directed:
+                    # accumulate both orientations onto the canonical
+                    # unordered edge, as networkx does on its Graph keys
+                    raw_e = raw_e.select(
+                        F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"),
+                        "_be",
+                    )
+                eb = raw_e.groupBy("u", "v").agg(F.sum("_be").alias("_b"))
+            else:
+                eb = spark.createDataFrame([], f"u {t}, v {t}, _b double")
+            edge_list = fwd if graph.is_directed else fwd.filter(
+                F.col("u") < F.col("v")
+            )
+            # networkx _rescale_e parity: normalized → 1/(n(n-1)) (None if
+            # n ≤ 1); unnormalized undirected → 0.5; sampled → ×(n/k)
+            # (applied for every flag combination, keeping the estimator
+            # unbiased where networkx's directed+unnormalized path skips it)
+            e_scale = None
+            if normalized:
+                if n > 1:
+                    e_scale = 1.0 / (n * (n - 1))
+            elif not graph.is_directed:
+                e_scale = 0.5
+            if k < n:
+                e_scale = (1.0 if e_scale is None else e_scale) * (float(n) / k)
+            e_val = F.coalesce(F.col("_b"), F.lit(0.0))
+            if e_scale is not None:
+                e_val = e_val * F.lit(e_scale)
+            return (
+                edge_list.join(eb, ["u", "v"], "left")
+                .select(
+                    F.col("u").alias(SRC),
+                    F.col("v").alias(DST),
+                    e_val.alias("betweenness"),
+                )
+            )
 
         if parts:
             raw = parts[0]
@@ -231,4 +305,28 @@ def betweenness_sampled(
         graph.nodes.select(ID)
         .join(bc, ID, "left")
         .select(ID, val.alias("betweenness"))
+    )
+
+
+def edge_betweenness_sampled(
+    graph: LinkGraph,
+    sources: DataFrame | list | int | None = None,
+    max_hops: int = 50,
+    normalized: bool = True,
+) -> DataFrame:
+    """DataFrame[src, dst, betweenness] — source-sampled Brandes EDGE
+    betweenness, sharing the node estimator's forward/backward supersteps
+    (the backward sweep's per-DAG-edge term σ_u·(1+δ_v)/σ_v is exactly
+    the quantity Brandes accumulates onto edges, so the edge variant costs
+    one extra algebraic aggregate per level, nothing more). ``sources``
+    semantics, hop-count distances, and the sampling estimator match
+    :func:`betweenness_sampled`; scaling matches
+    ``networkx.edge_betweenness_centrality``: normalized → 1/(n(n−1)),
+    unnormalized undirected → 0.5, sampled → ×(n/k). Undirected graphs
+    report each edge once (src < dst) with both orientations' dependency
+    mass accumulated, as networkx does; edges on no shortest path report
+    0.0."""
+    return betweenness_sampled(
+        graph, sources=sources, max_hops=max_hops, normalized=normalized,
+        _edges=True,
     )

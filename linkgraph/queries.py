@@ -6417,3 +6417,54 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_edge_betweenness_star_cycle(spark, sf_dir):
+    """Exact (all-sources) edge betweenness on nation→region star edges
+    plus a directed 5-cycle over the regions — closed form: every path
+    source is unique (σ≡1), each nation edge carries its nation's 5
+    region-paths (raw 5), each cycle edge carries 10 region-pair paths +
+    50 nation paths (raw 60); normalized scale 1/(n(n−1)) with n=30.
+    Pins the shared Brandes sweep's edge accumulation + scaling."""
+    from linkgraph.algorithms.betweenness import edge_betweenness_sampled
+
+    nr = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"),
+        _tag("n_regionkey", "r").alias("dst"),
+    )
+    cyc = _t(spark, sf_dir, "region").select(
+        _tag("r_regionkey", "r").alias("src"),
+        F.concat(F.lit("r"), ((F.col("r_regionkey") + 1) % 5).cast("string")).alias(
+            "dst"
+        ),
+    )
+    g = LinkGraph(nr.unionByName(cyc))
+    out = edge_betweenness_sampled(g)
+    return out.select(
+        "src",
+        "dst",
+        F.round(F.col("betweenness") * 1e6)
+        .cast("long")
+        .alias("betweenness_millionths"),
+    )
+
+
+QUERIES.update({"edge_betweenness_star_cycle": q_edge_betweenness_star_cycle})
+ORACLE_SQL.update(
+    {
+        "edge_betweenness_star_cycle": """
+        WITH nr AS (SELECT 'n' || n_nationkey AS src,
+                           'r' || n_regionkey AS dst,
+                           5.0 AS raw
+                    FROM nation),
+        cyc AS (SELECT 'r' || r_regionkey AS src,
+                       'r' || ((r_regionkey + 1) % 5) AS dst,
+                       60.0 AS raw
+                FROM region)
+        SELECT src, dst,
+               CAST(round(raw * (1.0 / 870.0) * 1000000) AS BIGINT)
+               AS betweenness_millionths
+        FROM (SELECT * FROM nr UNION ALL SELECT * FROM cyc)
+    """,
+    }
+)
