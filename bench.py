@@ -407,6 +407,41 @@ def main():
 
     timed("bm25_documents", _bm25_docs)
 
+    def _voterank_corpus():
+        # 3 vote-then-weaken elections over the full corpus graph: each
+        # round is one ability join + one algebraic sum + a top-1 collect
+        from linkgraph import voterank
+
+        voterank(g, 3).collect()
+
+    timed("voterank_corpus", _voterank_corpus)
+
+    def _prefix_jaccard_docs():
+        # lossless prefix-filtered set-similarity self-join. The synthetic
+        # documents share a 31-word vocabulary, so MOST pairs pass any
+        # realistic threshold (57% at t=0.6) — prefix filtering can't beat
+        # an output that is inherently quadratic in this degenerate data;
+        # bound the bench slice so the wall measures the operator, not the
+        # testdata's degeneracy
+        from linkgraph.pipeline.dedup import prefix_jaccard_join
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") < 1500
+        )
+        prefix_jaccard_join(docs, 0.9).count()
+
+    timed("prefix_jaccard_docs", _prefix_jaccard_docs)
+
+    def _knn_lsh_embeddings():
+        # hyperplane-banded kNN graph over the embedding table (the 100 TB
+        # candidate path: bucket join + exact rerank + WindowGroupLimit)
+        from linkgraph.pipeline.similarity import knn_graph
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        knn_graph(emb, k=10, method="lsh").count()
+
+    timed("knn_lsh_embeddings", _knn_lsh_embeddings)
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- large-corpus section: 10x the headline graph -------------------
