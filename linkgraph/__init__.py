@@ -49,7 +49,7 @@ from linkgraph.algorithms.triangles import (
     triangle_count,
     triangle_counts_per_vertex,
 )
-from linkgraph.algorithms.louvain import louvain_communities
+from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation
 from linkgraph.algorithms.transition import transition_matrix, transition_power
 from linkgraph.algorithms.random_walker import random_walks
@@ -155,6 +155,7 @@ __all__ = [
     "diameter_lower_bound",
     "reciprocity",
     "louvain_communities",
+    "split_disconnected_communities",
     "modularity",
     "cut_metrics",
     "quotient_graph",

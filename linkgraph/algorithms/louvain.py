@@ -357,3 +357,39 @@ def _louvain_loop(
     if checkpoint is not None:
         _save(done=True)
     return _finish(ret, modularity0, n_pass, all_partitions)
+
+
+def split_disconnected_communities(graph, labels, id_col="id", label_col="label"):
+    """Leiden-motivated connectivity repair (Traag, Waltman & van Eck 2019,
+    "From Louvain to Leiden"): Louvain's local-moving phase can leave a
+    community whose induced subgraph is DISCONNECTED — the defect the Leiden
+    refinement phase exists to fix. This post-pass splits every such
+    community into its connected components, which is always
+    modularity-INCREASING (splitting C = A ⊎ B with no A–B edges changes Q
+    by +2·γ·vol(A)·vol(B)/(2m)² > 0) and yields Leiden's connectivity
+    guarantee for any input partition.
+
+    Returns DataFrame[id, label] with label = the component's min node id
+    within its original community (globally unique: components are
+    disjoint node sets). Nodes isolated inside their community become
+    singletons. The heavy pass is one intra-community edge filter (two
+    broadcastable label joins) followed by the engine's distributed
+    two-star connected components on that subgraph — no window, no Python.
+    """
+    from linkgraph.algorithms.components import connected_components
+    from linkgraph.graph import DST, ID, SRC, LinkGraph
+
+    lab = labels.select(F.col(id_col).alias(ID), F.col(label_col).alias("_lab"))
+    intra = (
+        graph.edges.select(SRC, DST)
+        .join(lab.select(F.col(ID).alias(SRC), F.col("_lab").alias("_ls")), SRC)
+        .join(lab.select(F.col(ID).alias(DST), F.col("_lab").alias("_ld")), DST)
+        .filter(F.col("_ls") == F.col("_ld"))
+        .select(SRC, DST)
+    )
+    sub = LinkGraph(intra, keys={"directed": False})
+    cc = connected_components(sub, with_sizes=False)
+    return (
+        lab.join(cc, ID, "left")
+        .select(ID, F.coalesce(F.col("component"), F.col(ID)).alias("label"))
+    )

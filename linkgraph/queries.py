@@ -6468,3 +6468,39 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_split_communities_nation_region(spark, sf_dir):
+    """Leiden-style connectivity repair of the cross-cutting parity
+    partition on the nation↔region star graph: a parity community's
+    induced subgraph is one star per region (the region + its same-parity
+    nations) plus isolated parity-mismatched nations — closed form: star
+    members take min('n'||k) of the same-parity nations, mismatched
+    nations become singletons."""
+    from linkgraph.algorithms.louvain import split_disconnected_communities
+
+    g = nation_region_graph(spark, sf_dir)
+    labels = _parity_labels(spark, sf_dir)
+    return split_disconnected_communities(g, labels)
+
+
+QUERIES.update(
+    {"split_communities_nation_region": q_split_communities_nation_region}
+)
+ORACLE_SQL.update(
+    {
+        "split_communities_nation_region": """
+        WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+        good AS (SELECT k, r FROM n WHERE k % 2 = r % 2),
+        rep AS (SELECT r, min('n' || k) AS rep FROM good GROUP BY r)
+        SELECT 'n' || k AS id, rep.rep AS label
+        FROM good JOIN rep USING (r)
+        UNION ALL
+        SELECT 'n' || k AS id, 'n' || k AS label
+        FROM n WHERE k % 2 <> r % 2
+        UNION ALL
+        SELECT 'r' || r_regionkey AS id, rep.rep AS label
+        FROM region JOIN rep ON rep.r = r_regionkey
+    """,
+    }
+)
