@@ -85,7 +85,7 @@ from linkgraph.algorithms.mst import (
     minimum_spanning_weight,
 )
 from linkgraph.algorithms.toposort import topological_layers
-from linkgraph.algorithms.kcore import core_number, k_core
+from linkgraph.algorithms.kcore import core_number, k_core, onion_layers
 from linkgraph.algorithms.ktruss import k_truss
 from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
@@ -131,6 +131,7 @@ __all__ = [
     "seeded_label_propagation",
     "k_core",
     "core_number",
+    "onion_layers",
     "link_prediction_scores",
     "link_prediction_top_k",
     "write_edges_bucketed",

@@ -6504,3 +6504,25 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_onion_layers_nation_region(spark, sf_dir):
+    """Onion decomposition of the nation↔region star forest — closed form:
+    degree-1 nations peel in layer 1; the regions, left isolated, peel in
+    layer 2. Pins the batch-peel semantics, the degree-0 cascade handling,
+    and the layer numbering."""
+    from linkgraph.algorithms.kcore import onion_layers
+
+    return onion_layers(nation_region_graph(spark, sf_dir))
+
+
+QUERIES.update({"onion_layers_nation_region": q_onion_layers_nation_region})
+ORACLE_SQL.update(
+    {
+        "onion_layers_nation_region": """
+        SELECT 'n' || n_nationkey AS id, 1 AS layer FROM nation
+        UNION ALL
+        SELECT 'r' || r_regionkey AS id, 2 AS layer FROM region
+    """,
+    }
+)

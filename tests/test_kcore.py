@@ -104,3 +104,43 @@ def test_ktruss_bad_k_raises(spark):
     g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
     with pytest.raises(ValueError):
         k_truss(g, 1)
+
+
+# ----------------------------------------------------------- onion layers
+
+
+def test_onion_layers_networkx_parity(spark):
+    import networkx as nx
+
+    from linkgraph import onion_layers
+
+    # K4 core + spokes + a chain + an isolated node: isolates, chain
+    # cascades (degree hits 0 mid-peel), and a ratcheting core bound
+    pairs = (
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+        + [("a", "s1"), ("b", "s2")]
+        + [("p0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    )
+    nodes = sorted({v for e in pairs for v in e} | {"iso"})
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["id"])
+    g = LinkGraph(df, nodes=ndf, keys={"directed": False})
+    got = {r["id"]: r["layer"] for r in onion_layers(g).collect()}
+    G = nx.Graph(pairs)
+    G.add_node("iso")
+    assert got == nx.onion_layers(G)
+
+
+def test_onion_layers_star_and_cycle(spark):
+    import networkx as nx
+
+    from linkgraph import onion_layers
+
+    pairs = [("h", f"l{i}") for i in range(6)]
+    g = LinkGraph(spark.createDataFrame(pairs, ["src", "dst"]), keys={"directed": False})
+    got = {r["id"]: r["layer"] for r in onion_layers(g).collect()}
+    assert got == nx.onion_layers(nx.Graph(pairs))
+    cyc = [(f"c{i}", f"c{(i+1) % 5}") for i in range(5)]
+    g2 = LinkGraph(spark.createDataFrame(cyc, ["src", "dst"]), keys={"directed": False})
+    got2 = {r["id"]: r["layer"] for r in onion_layers(g2).collect()}
+    assert got2 == nx.onion_layers(nx.Graph(cyc))
