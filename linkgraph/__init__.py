@@ -32,7 +32,11 @@ from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
 )
-from linkgraph.algorithms.assortativity import degree_assortativity, rich_club_coefficient
+from linkgraph.algorithms.assortativity import (
+    attribute_assortativity,
+    degree_assortativity,
+    rich_club_coefficient,
+)
 from linkgraph.algorithms.edge_partition import (
     dbh_edge_partition,
     hybrid_edge_partition,
@@ -149,6 +153,7 @@ __all__ = [
     "hybrid_edge_partition",
     "partition_stats",
     "densest_subgraph",
+    "attribute_assortativity",
     "degree_assortativity",
     "rich_club_coefficient",
     "k_truss",

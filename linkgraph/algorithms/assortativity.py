@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from linkgraph.graph import DST, SRC, LinkGraph
+from linkgraph.graph import DST, ID, SRC, LinkGraph
 
 
 def degree_assortativity(graph: LinkGraph) -> float:
@@ -154,3 +154,47 @@ def rich_club_coefficient(graph: LinkGraph):
             / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))).cast("double")
         ).alias("rc"),
     )
+
+
+def attribute_assortativity(
+    graph: LinkGraph,
+    attrs,
+    id_col: str = "id",
+    attr_col: str = "attr",
+) -> float:
+    """Newman's attribute (categorical) assortativity coefficient —
+    ``networkx.attribute_assortativity_coefficient`` parity: with the
+    edge-endpoint category mixing matrix e, r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ) /
+    (1 − Σᵢaᵢbᵢ); r = 1 iff every edge joins like with like, 0 at random
+    mixing, negative when categories repel. Undirected graphs count both
+    orientations (the symmetric edge table maps 1:1 onto networkx's
+    symmetrized mixing dict); edges touching a node with no attribute row
+    are excluded (inner-join semantics); self-loops count like networkx's
+    (u, u) edges. NaN on degenerate inputs (no attributed edges, or a
+    single category — Σab = 1).
+
+    Plan: two broadcastable attribute joins + ONE algebraic (ca, cb)
+    count aggregate; the mixing matrix (|categories|² rows — metadata)
+    is collected and the scalar formula runs driver-side, the same
+    budget class as degree_assortativity's corr scalar."""
+    lab = attrs.select(F.col(id_col).alias(ID), F.col(attr_col).alias("_c"))
+    edges = graph.edges.select(SRC, DST).distinct()
+    mix = (
+        edges.join(lab.select(F.col(ID).alias(SRC), F.col("_c").alias("_ca")), SRC)
+        .join(lab.select(F.col(ID).alias(DST), F.col("_c").alias("_cb")), DST)
+        .groupBy("_ca", "_cb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    total = float(sum(r["_n"] for r in mix))
+    if total == 0:
+        return float("nan")
+    cats = sorted({r["_ca"] for r in mix} | {r["_cb"] for r in mix})
+    e = {(r["_ca"], r["_cb"]): r["_n"] / total for r in mix}
+    tr = sum(e.get((c, c), 0.0) for c in cats)
+    a = {c: sum(e.get((c, d), 0.0) for d in cats) for c in cats}
+    b = {c: sum(e.get((d, c), 0.0) for d in cats) for c in cats}
+    sab = sum(a[c] * b[c] for c in cats)
+    if sab == 1.0:
+        return float("nan")
+    return (tr - sab) / (1.0 - sab)

@@ -6526,3 +6526,52 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_attr_assortativity_parity(spark, sf_dir):
+    """Categorical assortativity of the nation↔region graph under the
+    cross-cutting parity attribute — the SQL replays the mixing matrix
+    and Newman's r generically, pinning both joins, the normalization,
+    and the (tr − Σab)/(1 − Σab) arithmetic."""
+    from linkgraph.algorithms.assortativity import attribute_assortativity
+
+    g = nation_region_graph(spark, sf_dir)
+    labels = _parity_labels(spark, sf_dir).select(
+        "id", F.col("label").alias("attr")
+    )
+    r = attribute_assortativity(g, labels)
+    return spark.createDataFrame(
+        [(int(round(r * 1e6)),)], "r_millionths bigint"
+    )
+
+
+QUERIES.update({"attr_assortativity_parity": q_attr_assortativity_parity})
+ORACLE_SQL.update(
+    {
+        "attr_assortativity_parity": """
+        WITH lab AS (SELECT 'n' || n_nationkey AS id,
+                            n_nationkey % 2 AS c FROM nation
+                     UNION ALL
+                     SELECT 'r' || r_regionkey, r_regionkey % 2 FROM region),
+        ed AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst
+               FROM nation
+               UNION ALL
+               SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation),
+        mix AS (SELECT la.c AS ca, lb.c AS cb, count(*) AS n
+                FROM ed JOIN lab la ON ed.src = la.id
+                        JOIN lab lb ON ed.dst = lb.id
+                GROUP BY la.c, lb.c),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM mix),
+        e AS (SELECT ca, cb, CAST(n AS DOUBLE) / t.tot AS v
+              FROM mix CROSS JOIN t),
+        tr AS (SELECT COALESCE(sum(v), 0) AS tr FROM e WHERE ca = cb),
+        ab AS (SELECT sum(av * bv) AS sab
+               FROM (SELECT ca AS c, sum(v) AS av FROM e GROUP BY ca) aa
+               JOIN (SELECT cb AS c, sum(v) AS bv FROM e GROUP BY cb) bb
+                    USING (c))
+        SELECT CAST(round((tr.tr - ab.sab) / (1.0 - ab.sab) * 1000000)
+                    AS BIGINT) AS r_millionths
+        FROM tr CROSS JOIN ab
+    """,
+    }
+)

@@ -64,3 +64,50 @@ def test_split_isolated_member_becomes_singleton(spark):
     fixed = {r["id"]: r["label"] for r in split_disconnected_communities(g, labels).collect()}
     assert fixed["a"] == fixed["b"] != fixed["s"]
     assert fixed["s"] == "s" and fixed["t"] == "t"
+
+
+# ------------------------------------------------- attribute assortativity
+
+
+def test_attribute_assortativity_networkx_parity(spark):
+    import math
+
+    import networkx as nx
+
+    from linkgraph import attribute_assortativity
+
+    pairs = (
+        [("a", "b"), ("b", "c"), ("c", "a")]          # red triangle
+        + [("x", "y"), ("y", "z")]                     # blue path
+        + [("a", "x"), ("c", "z")]                     # cross edges
+    )
+    attr = {"a": "red", "b": "red", "c": "red", "x": "blue", "y": "blue", "z": "blue"}
+    g = LinkGraph(spark.createDataFrame(pairs, ["src", "dst"]), keys={"directed": False})
+    adf = spark.createDataFrame(list(attr.items()), ["id", "attr"])
+    got = attribute_assortativity(g, adf)
+    G = nx.Graph(pairs)
+    nx.set_node_attributes(G, attr, "color")
+    exp = nx.attribute_assortativity_coefficient(G, "color")
+    assert got == pytest.approx(exp, abs=1e-12)
+
+    # directed
+    gd = LinkGraph(spark.createDataFrame(pairs, ["src", "dst"]))
+    Gd = nx.DiGraph(pairs)
+    nx.set_node_attributes(Gd, attr, "color")
+    assert attribute_assortativity(gd, adf) == pytest.approx(
+        nx.attribute_assortativity_coefficient(Gd, "color"), abs=1e-12
+    )
+
+    # perfectly assortative / degenerate single-category
+    g1 = LinkGraph(
+        spark.createDataFrame([("a", "b"), ("x", "y")], ["src", "dst"]),
+        keys={"directed": False},
+    )
+    a_same = spark.createDataFrame(
+        [("a", "r"), ("b", "r"), ("x", "u"), ("y", "u")], ["id", "attr"]
+    )
+    assert attribute_assortativity(g1, a_same) == pytest.approx(1.0, abs=1e-12)
+    a_one = spark.createDataFrame(
+        [("a", "r"), ("b", "r"), ("x", "r"), ("y", "r")], ["id", "attr"]
+    )
+    assert math.isnan(attribute_assortativity(g1, a_one))
