@@ -34,8 +34,11 @@ from linkgraph.algorithms.label_propagation import (
 )
 from linkgraph.algorithms.assortativity import (
     attribute_assortativity,
+    average_degree_connectivity,
+    average_neighbor_degree,
     degree_assortativity,
     rich_club_coefficient,
+    s_metric,
 )
 from linkgraph.algorithms.edge_partition import (
     dbh_edge_partition,
@@ -154,8 +157,11 @@ __all__ = [
     "partition_stats",
     "densest_subgraph",
     "attribute_assortativity",
+    "average_degree_connectivity",
+    "average_neighbor_degree",
     "degree_assortativity",
     "rich_club_coefficient",
+    "s_metric",
     "k_truss",
     "eccentricity",
     "diameter_lower_bound",

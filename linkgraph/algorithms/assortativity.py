@@ -198,3 +198,75 @@ def attribute_assortativity(
     if sab == 1.0:
         return float("nan")
     return (tr - sab) / (1.0 - sab)
+
+
+def average_neighbor_degree(graph: LinkGraph):
+    """Per-node average degree of neighbors — DataFrame [id, avg_nbr_deg],
+    ``networkx.average_neighbor_degree`` parity on undirected simple
+    graphs (parallel edges collapsed, self-loops dropped; isolated nodes
+    are absent from the edge list and therefore from the result, matching
+    networkx's 0-free dict only up to nodes that HAVE neighbors — callers
+    wanting zeros left-join against graph.nodes).
+
+    Plan: one degree aggregate, one broadcast-sized join of the symmetric
+    edge list against it, one avg aggregate — no window, no iteration.
+    """
+    if graph.is_directed:
+        raise ValueError("average_neighbor_degree is undirected-only here")
+    edges = (
+        graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        edges.join(
+            deg.select(F.col(SRC).alias(DST), F.col("_d").alias("_dn")), DST
+        )
+        .groupBy(SRC)
+        .agg(F.avg("_dn").alias("avg_nbr_deg"))
+        .select(F.col(SRC).alias(ID), "avg_nbr_deg")
+    )
+
+
+def average_degree_connectivity(graph: LinkGraph):
+    """Degree-correlation function knn(k) (Barrat et al. 2004) —
+    DataFrame [degree, knn]: for each present degree k, the mean degree
+    of neighbors over all edge endpoints whose node has degree k.
+    ``networkx.average_degree_connectivity`` parity: because every node
+    in the class has the same degree k, averaging per-node means equals
+    averaging over incident (v,u) pairs, which is the single aggregate
+    computed here. Output is histogram-sized (one row per distinct
+    degree, ≤ O(√m) under any realistic tail)."""
+    if graph.is_directed:
+        raise ValueError("average_degree_connectivity is undirected-only here")
+    edges = (
+        graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_d"))
+    return (
+        edges.join(deg.select(SRC, F.col("_d").alias("_dv")), SRC)
+        .join(deg.select(F.col(SRC).alias(DST), F.col("_d").alias("_dn")), DST)
+        .groupBy(F.col("_dv").alias("degree"))
+        .agg(F.avg("_dn").alias("knn"))
+    )
+
+
+def s_metric(graph: LinkGraph) -> float:
+    """s-metric Σ_{(u,v)∈E} deg(u)·deg(v) (Li, Alderson, Doyle & Willinger
+    2005), each undirected edge counted once — ``networkx.s_metric(G)``
+    parity on the collapsed simple graph. A scalar companion to
+    [[degree_assortativity]]: the same edge×degree join feeding a sum
+    instead of a correlation."""
+    if graph.is_directed:
+        raise ValueError("s_metric is undirected-only (as networkx)")
+    edges = (
+        graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST)).distinct()
+    )
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_d"))
+    canon = edges.filter(F.col(SRC) < F.col(DST))
+    row = (
+        canon.join(deg.select(SRC, F.col("_d").alias("_ds")), SRC)
+        .join(deg.select(F.col(SRC).alias(DST), F.col("_d").alias("_dd")), DST)
+        .agg(F.sum(F.col("_ds").cast("double") * F.col("_dd")).alias("s"))
+        .collect()[0]
+    )
+    return 0.0 if row["s"] is None else float(row["s"])

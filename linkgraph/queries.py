@@ -6575,3 +6575,115 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_avg_neighbor_degree_events(spark, sf_dir):
+    """Per-node average neighbor degree on the undirected user↔event-type
+    graph; the oracle replays the degree join + avg generically."""
+    from linkgraph.algorithms.assortativity import average_neighbor_degree
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    g = LinkGraph(
+        e.select(
+            _tag("user_id", "u").alias("src"),
+            _tag("event_type", "e").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    return average_neighbor_degree(g).select(
+        "id",
+        F.round(F.col("avg_nbr_deg") * 1e6).cast("long").alias("and_millionths"),
+    )
+
+
+QUERIES.update({"avg_neighbor_degree_events": q_avg_neighbor_degree_events})
+ORACLE_SQL.update(
+    {
+        "avg_neighbor_degree_events": """
+        WITH ue AS (SELECT DISTINCT 'u' || user_id AS u,
+                                    'e' || event_type AS e FROM events),
+        ed AS (SELECT u AS src, e AS dst FROM ue
+               UNION ALL SELECT e AS src, u AS dst FROM ue),
+        deg AS (SELECT src AS id, count(*) AS d FROM ed GROUP BY src)
+        SELECT ed.src AS id,
+               CAST(round(avg(CAST(dn.d AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS and_millionths
+        FROM ed JOIN deg dn ON ed.dst = dn.id
+        GROUP BY ed.src
+    """,
+    }
+)
+
+
+def q_degree_connectivity_events(spark, sf_dir):
+    """Degree-correlation function knn(k) on the undirected user↔event-type
+    graph — histogram-sized output, one row per present degree."""
+    from linkgraph.algorithms.assortativity import average_degree_connectivity
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    g = LinkGraph(
+        e.select(
+            _tag("user_id", "u").alias("src"),
+            _tag("event_type", "e").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    return average_degree_connectivity(g).select(
+        "degree",
+        F.round(F.col("knn") * 1e6).cast("long").alias("knn_millionths"),
+    )
+
+
+QUERIES.update({"degree_connectivity_events": q_degree_connectivity_events})
+ORACLE_SQL.update(
+    {
+        "degree_connectivity_events": """
+        WITH ue AS (SELECT DISTINCT 'u' || user_id AS u,
+                                    'e' || event_type AS e FROM events),
+        ed AS (SELECT u AS src, e AS dst FROM ue
+               UNION ALL SELECT e AS src, u AS dst FROM ue),
+        deg AS (SELECT src AS id, count(*) AS d FROM ed GROUP BY src)
+        SELECT dv.d AS degree,
+               CAST(round(avg(CAST(dn.d AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS knn_millionths
+        FROM ed JOIN deg dv ON ed.src = dv.id
+                JOIN deg dn ON ed.dst = dn.id
+        GROUP BY dv.d
+    """,
+    }
+)
+
+
+def q_s_metric_events(spark, sf_dir):
+    """s-metric Σ deg(u)·deg(v) over undirected edges — integer-exact, so
+    the hash pins the full degree join with no rounding slack."""
+    from linkgraph.algorithms.assortativity import s_metric
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    g = LinkGraph(
+        e.select(
+            _tag("user_id", "u").alias("src"),
+            _tag("event_type", "e").alias("dst"),
+        ),
+        keys={"directed": False},
+    )
+    s = s_metric(g)
+    return spark.createDataFrame([(int(round(s)),)], "s_metric long")
+
+
+QUERIES.update({"s_metric_events": q_s_metric_events})
+ORACLE_SQL.update(
+    {
+        "s_metric_events": """
+        WITH ue AS (SELECT DISTINCT 'u' || user_id AS u,
+                                    'e' || event_type AS e FROM events),
+        ed AS (SELECT u AS src, e AS dst FROM ue
+               UNION ALL SELECT e AS src, u AS dst FROM ue),
+        deg AS (SELECT src AS id, count(*) AS d FROM ed GROUP BY src),
+        canon AS (SELECT src, dst FROM ed WHERE src < dst)
+        SELECT CAST(sum(ds.d * dd.d) AS BIGINT) AS s_metric
+        FROM canon c JOIN deg ds ON c.src = ds.id
+                     JOIN deg dd ON c.dst = dd.id
+    """,
+    }
+)
