@@ -27,7 +27,7 @@ from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
-from linkgraph.generators import gnm_graph, rmat_graph
+from linkgraph.generators import gnm_graph, rmat_graph, watts_strogatz_graph
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -175,6 +175,7 @@ __all__ = [
     "scan_clustering",
     "structural_similarity",
     "rmat_graph",
+    "watts_strogatz_graph",
     "gnm_graph",
     "find_pattern",
     "temporal_reachability",

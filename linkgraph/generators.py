@@ -102,3 +102,45 @@ def gnm_graph(
         F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("s")), F.lit(n)).alias("src"),
         F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("d")), F.lit(n)).alias("dst"),
     )
+
+
+def watts_strogatz_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p: float,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[i, src, dst] — Watts–Strogatz small-world graph (Nature
+    1998): n nodes on a ring, each wired to its k/2 clockwise neighbors
+    (the symmetric half is implied — feed ``keys={"directed": False}``),
+    then each lattice edge i is rewired with probability p to a uniform
+    random target.
+
+    Determinism (same contract as :func:`rmat_graph`): edge i rewires iff
+    the 60-bit md5 hash of (seed, i, "r") is below ⌊p·2^60⌋, and its new
+    target is hash(seed, i, "t") mod n — no RNG state, zero shuffle, the
+    oracle replays every digit. Divergence from networkx's sequential
+    sampler (documented, deliberate — theirs is inherently serial): a
+    rewired target equal to the source keeps the lattice edge instead of
+    resampling, and duplicate targets are allowed (multigraph convention,
+    as :func:`gnm_graph`; downstream canonicalization dedups)."""
+    if k < 2 or k % 2 != 0:
+        raise ValueError(f"k must be a positive even integer, got {k}")
+    if k >= n:
+        raise ValueError(f"need k < n, got k={k} n={n}")
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    half = k // 2
+    thresh = int(p * _B60)
+    df = spark.range(
+        0, n * half, 1, num_partitions or spark.sparkContext.defaultParallelism
+    )
+    u = (F.col("id") / half).cast("long")
+    j = F.pmod(F.col("id"), F.lit(half)) + 1
+    lattice = F.pmod(u + j, F.lit(n))
+    rnd = F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("t")), F.lit(n))
+    rewire = _h60(F.lit(str(seed)), F.col("id"), F.lit("r")) < F.lit(thresh)
+    dst = F.when(rewire & (rnd != u), rnd).otherwise(lattice)
+    return df.select(F.col("id").alias("i"), u.alias("src"), dst.alias("dst"))

@@ -6687,3 +6687,40 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_ws_edges(spark, sf_dir):
+    """Watts–Strogatz generator, digit-exact: the full 360-edge list at
+    n=120, k=6, p=0.2 — the oracle replays the md5 rewire decision and
+    target arithmetic, so the hash pins every edge."""
+    from linkgraph import watts_strogatz_graph
+
+    return watts_strogatz_graph(spark, n=120, k=6, p=0.2, seed=7)
+
+
+QUERIES.update({"ws_edges": q_ws_edges})
+_WS_H = (
+    "list_sum(list_transform(range(1, 16), p -> "
+    "CAST(strpos('0123456789abcdef', "
+    "substr(md5('7:' || i || ':' || {tag}), p, 1)) - 1 AS BIGINT) "
+    "* (1::BIGINT << (4 * (15 - p)))))"
+)
+_WS_THRESH = int(0.2 * (1 << 60))
+ORACLE_SQL.update(
+    {
+        "ws_edges": f"""
+        WITH e AS (SELECT i,
+                          i // 3 AS u,
+                          i % 3 + 1 AS j,
+                          {_WS_H.format(tag="'r'")} AS hr,
+                          {_WS_H.format(tag="'t'")} AS ht
+                   FROM range(0, 360) t(i))
+        SELECT CAST(i AS BIGINT) AS i,
+               CAST(u AS BIGINT) AS src,
+               CAST(CASE WHEN hr < {_WS_THRESH} AND ht % 120 <> u
+                         THEN ht % 120 ELSE (u + j) % 120 END
+                    AS BIGINT) AS dst
+        FROM e
+    """,
+    }
+)

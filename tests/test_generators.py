@@ -49,3 +49,60 @@ def test_generators_feed_linkgraph(spark):
     res = pagerank(g, tol=1e-8, max_iter=200)
     total = res.ranks.agg(F.sum("pagerank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_ws_deterministic_partition_invariant(spark):
+    from linkgraph import watts_strogatz_graph
+
+    a = watts_strogatz_graph(spark, n=60, k=4, p=0.3, seed=9, num_partitions=2)
+    b = watts_strogatz_graph(spark, n=60, k=4, p=0.3, seed=9, num_partitions=11)
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 60 * 2
+    assert sorted(map(tuple, watts_strogatz_graph(spark, 60, 4, 0.3, seed=10).collect())) != ra
+
+
+def test_ws_p_zero_is_ring_lattice(spark):
+    from linkgraph import watts_strogatz_graph
+
+    e = watts_strogatz_graph(spark, n=10, k=4, p=0.0, seed=1)
+    got = sorted((r["src"], r["dst"]) for r in e.collect())
+    want = sorted((u, (u + j) % 10) for u in range(10) for j in (1, 2))
+    assert got == want
+
+
+def test_ws_p_one_rewires_most_edges(spark):
+    from linkgraph import watts_strogatz_graph
+    from pyspark.sql import functions as F
+
+    e = watts_strogatz_graph(spark, n=200, k=4, p=1.0, seed=2)
+    # every edge rewires except hash-collides-with-source fallbacks; no loop
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    lattice = e.filter(
+        F.pmod(F.col("dst") - F.col("src") + F.lit(200), F.lit(200)).isin(1, 2)
+    ).count()
+    assert lattice < 0.10 * 400  # ~2/200 chance per edge of landing on lattice
+
+
+def test_ws_small_world_clustering(spark):
+    # at small p the graph keeps high clustering vs the p=1 random rewire
+    import networkx as nx
+
+    from linkgraph import watts_strogatz_graph
+
+    def cc(p):
+        rows = watts_strogatz_graph(spark, n=100, k=6, p=p, seed=4).collect()
+        g = nx.Graph()
+        g.add_nodes_from(range(100))
+        g.add_edges_from((r["src"], r["dst"]) for r in rows)
+        return nx.average_clustering(g)
+
+    assert cc(0.05) > 2 * cc(1.0)
+
+
+def test_ws_guards(spark):
+    from linkgraph import watts_strogatz_graph
+
+    for bad in (dict(n=10, k=3, p=0.1), dict(n=10, k=0, p=0.1),
+                dict(n=4, k=4, p=0.1), dict(n=10, k=4, p=1.5)):
+        with pytest.raises(ValueError):
+            watts_strogatz_graph(spark, **bad)
