@@ -6724,3 +6724,59 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Full upper-triangular population covariance of the 64-dim embedding
+    column — the oracle replays Σxy/N − mᵢmⱼ from scratch via an unnest
+    self-join, pinning the Arrow Gram fold digit-for-digit (to 1e-6)."""
+    from linkgraph.pipeline.pca import embedding_covariance
+
+    cov = embedding_covariance(_t(spark, sf_dir, "embeddings"))
+    return cov.select(
+        "i",
+        "j",
+        F.round(F.col("cov") * 1e6).cast("long").alias("cov_millionths"),
+    )
+
+
+QUERIES.update({"embedding_covariance": q_embedding_covariance})
+ORACLE_SQL.update(
+    {
+        "embedding_covariance": """
+        WITH x AS (SELECT vec_id, k AS i,
+                          CAST(embedding[k + 1] AS DOUBLE) AS v
+                   FROM embeddings, range(0, 64) t(k)),
+        m AS (SELECT i, avg(v) AS mv FROM x GROUP BY i),
+        g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy,
+                     count(*) AS n
+              FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY a.i, b.i)
+        SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+               CAST(round((g.sxy / g.n - mi.mv * mj.mv) * 1000000)
+                    AS BIGINT) AS cov_millionths
+        FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
+    """,
+    }
+)
+
+
+def q_pca_embeddings_k4(spark, sf_dir):
+    """Top-4 PCA projection of the embeddings table (rows-only by
+    protocol: the eigenbasis is not SQL-expressible — DuckDB has no eigh;
+    the covariance feeding it IS hash-verified by `embedding_covariance`,
+    and tests pin projection parity vs numpy + captured-variance ≡
+    eigenvalues)."""
+    from linkgraph.pipeline.pca import pca_project
+
+    out = pca_project(_t(spark, sf_dir, "embeddings"), k=4)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", c + 1), 6).alias(f"pc{c + 1}")
+            for c in range(4)
+        ],
+    )
+
+
+QUERIES.update({"pca_embeddings_k4": q_pca_embeddings_k4})

@@ -662,3 +662,19 @@ def test_prefix_jaccard_plan_shape(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pca_covariance_plan_shape(spark):
+    """The covariance plan's data-sized stage is the single Arrow fold
+    (MapInPandas, metadata-sized output); no Window, no row-wise Python,
+    no vector-sized shuffle (the aggregates run over d² rows)."""
+    from linkgraph.pipeline.pca import embedding_covariance
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i, 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _plan(embedding_covariance(df, dim=3))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+    assert plan.count("MapInPandas") == 1  # exactly the one Gram fold
