@@ -32,6 +32,10 @@ from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
 )
+from linkgraph.algorithms.hitting import (
+    absorption_probabilities,
+    hitting_times,
+)
 from linkgraph.algorithms.assortativity import (
     attribute_assortativity,
     average_degree_connectivity,
@@ -156,6 +160,7 @@ __all__ = [
     "hybrid_edge_partition",
     "partition_stats",
     "densest_subgraph",
+    "absorption_probabilities",
     "attribute_assortativity",
     "average_degree_connectivity",
     "average_neighbor_degree",
@@ -192,6 +197,7 @@ __all__ = [
     "spectral_clustering",
     "closeness_centrality",
     "harmonic_centrality",
+    "hitting_times",
     "katz_centrality",
     "voterank",
     "hits",

@@ -6780,3 +6780,94 @@ def q_pca_embeddings_k4(spark, sf_dir):
 
 
 QUERIES.update({"pca_embeddings_k4": q_pca_embeddings_k4})
+
+
+_FP_TM = """
+        ue AS (SELECT DISTINCT 'u' || user_id AS src,
+                               'e' || event_type AS dst FROM events),
+        nodes AS (SELECT src AS id FROM ue UNION SELECT dst FROM ue),
+        outdeg AS (SELECT src, count(*) AS d FROM ue GROUP BY src),
+        tm AS (SELECT ue.src, ue.dst, 1.0 / d AS prob
+               FROM ue JOIN outdeg USING (src)
+               UNION ALL
+               SELECT id, id, 1.0 FROM nodes
+               WHERE id NOT IN (SELECT src FROM ue))
+"""
+
+
+def _fp_step(prev: str, nxt: str, target_pred: str, base: str, tval: str) -> str:
+    return f"""
+        {nxt} AS (
+          SELECT n.id,
+                 CASE WHEN {target_pred} THEN {tval}
+                      ELSE {base} + COALESCE(s.m, 0.0) END AS v
+          FROM nodes n LEFT JOIN (
+            SELECT tm.src AS id, sum(tm.prob * h.v) AS m
+            FROM tm JOIN {prev} h ON tm.dst = h.id GROUP BY tm.src
+          ) s USING (id))"""
+
+
+def q_hitting_time_events_3(spark, sf_dir):
+    """Truncated hitting time E[min(T_purchase, 3)] on the user↔event-type
+    chain — tol=0.0 runs exactly 3 supersteps, replayed by the unrolled
+    SQL recursion (targets pinned to 0, dangling event self-loops make
+    non-target events drift +1/step, users mix over 1/outdeg)."""
+    from linkgraph import hitting_times
+
+    g = events_graph(spark, sf_dir)
+    res = hitting_times(g, ["epurchase"], max_iter=3, tol=0.0)
+    return res.values.select(
+        "id",
+        F.round(F.col("hitting_time") * 1e6).cast("long").alias("h_millionths"),
+    )
+
+
+QUERIES.update({"hitting_time_events_3": q_hitting_time_events_3})
+_FP_TP = "n.id = 'epurchase'"
+ORACLE_SQL.update(
+    {
+        "hitting_time_events_3": f"""
+        WITH {_FP_TM},
+        h0 AS (SELECT id, 0.0 AS v FROM nodes),
+        {_fp_step("h0", "h1", _FP_TP, "1.0", "0.0").lstrip()},
+        {_fp_step("h1", "h2", _FP_TP, "1.0", "0.0").lstrip()},
+        {_fp_step("h2", "h3", _FP_TP, "1.0", "0.0").lstrip()}
+        SELECT id, CAST(round(v * 1000000) AS BIGINT) AS h_millionths
+        FROM h3
+    """,
+    }
+)
+
+
+def q_absorption_events_3(spark, sf_dir):
+    """Absorption probability into {click, signup} after exactly 3
+    supersteps (the fixpoint for this 2-layer chain — users mix once,
+    non-target events sit on recurrent self-loops at 0)."""
+    from linkgraph import absorption_probabilities
+
+    g = events_graph(spark, sf_dir)
+    res = absorption_probabilities(g, ["eclick", "esignup"], max_iter=3, tol=0.0)
+    return res.values.select(
+        "id",
+        F.round(F.col("absorption_prob") * 1e6).cast("long").alias("a_millionths"),
+    )
+
+
+QUERIES.update({"absorption_events_3": q_absorption_events_3})
+_FP_TA = "n.id IN ('eclick', 'esignup')"
+ORACLE_SQL.update(
+    {
+        "absorption_events_3": f"""
+        WITH {_FP_TM},
+        h0 AS (SELECT id,
+                      CASE WHEN id IN ('eclick', 'esignup')
+                           THEN 1.0 ELSE 0.0 END AS v
+               FROM nodes),
+        {_fp_step("h0", "h1", _FP_TA, "0.0", "1.0").lstrip()},
+        {_fp_step("h1", "h2", _FP_TA, "0.0", "1.0").lstrip()},
+        {_fp_step("h2", "h3", _FP_TA, "0.0", "1.0").lstrip()}
+        SELECT id, CAST(round(v * 1000000) AS BIGINT) AS a_millionths
+        FROM h3
+    """,
+    }
+)
