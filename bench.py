@@ -442,6 +442,46 @@ def main():
 
     timed("knn_lsh_embeddings", _knn_lsh_embeddings)
 
+    def _pca_embeddings():
+        # one Arrow Gram fold over the vectors + driver eigh + map-only
+        # projection — two data passes total
+        from linkgraph.pipeline.pca import pca_project
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pca_project(emb, k=16).count()
+
+    timed("pca_embeddings_k16", _pca_embeddings)
+
+    def _avg_nbr_deg_corpus():
+        # one degree aggregate + one edge×degree join + one avg — the
+        # cheapest whole-graph statistic family (knn(k)/s-metric share it).
+        # The corpus graph is directed; the statistic is undirected, so
+        # symmetrize the already-encoded edge list
+        from linkgraph import average_neighbor_degree
+
+        gu = LinkGraph(g.edges.select("src", "dst"), keys={"directed": False})
+        average_neighbor_degree(gu).count()
+
+    timed("avg_neighbor_degree_corpus", _avg_nbr_deg_corpus)
+
+    def _hitting_corpus():
+        # 5 first-passage supersteps toward the 100 lowest node ids over
+        # the full corpus graph — per-superstep budget equals pagerank's
+        from linkgraph import hitting_times
+
+        targets = [r["id"] for r in g.nodes.orderBy("id").limit(100).collect()]
+        hitting_times(g, targets, max_iter=5, tol=0.0).values.count()
+
+    timed("hitting_5step_corpus", _hitting_corpus)
+
+    def _ws_generate():
+        # generator throughput: 10M-edge small-world ring, pure projection
+        from linkgraph import watts_strogatz_graph
+
+        watts_strogatz_graph(spark, n=2_000_000, k=10, p=0.1).count()
+
+    timed("ws_generate_10m_edges", _ws_generate)
+
     shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- large-corpus section: 10x the headline graph -------------------

@@ -146,13 +146,20 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     center: bool = True,
+    whiten: bool = False,
     dim: int | None = None,
 ) -> DataFrame:
     """Project every row onto the top-k principal axes — DataFrame
     [id_col, pca: array<double>]. Two passes total: the covariance fold,
     then a map-only Arrow matmul against the broadcast (d×k) component
-    matrix — no shuffle in the projection stage."""
-    comps, _, mean = pca_components(df, k, vec_col, dim=dim)
+    matrix — no shuffle in the projection stage. ``whiten=True`` scales
+    each axis by 1/√eigenvalue so the output has unit variance per
+    component (axes with eigenvalue ≤ 1e-12 are left unscaled rather than
+    exploded)."""
+    comps, eigs, mean = pca_components(df, k, vec_col, dim=dim)
+    if whiten:
+        scale = np.where(eigs > 1e-12, 1.0 / np.sqrt(np.maximum(eigs, 1e-300)), 1.0)
+        comps = comps * scale
     mu = mean if center else np.zeros_like(mean)
 
     def fn(it):

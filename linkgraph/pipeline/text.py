@@ -844,3 +844,42 @@ def hashed_features(
     return tok.select(id_col, bucket).groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("value")
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade level, with the
+    heuristic syllable counter standard in corpus filtering (vowel-group
+    runs ``[aeiouy]+`` per word — no dictionary; deterministic and
+    SQL-replayable, which a lexicon-based counter is not).
+
+    Adds columns: r_words, r_sentences, r_syllables, r_flesch, r_fk_grade.
+    Sentences = runs split by [.!?]+ that contain a letter or digit;
+    degenerate inputs (no words / no sentences) score 0.0. Pure JVM column
+    expressions — scan-shaped, shuffle-free, same budget as
+    :func:`quality_scores`."""
+    t = F.lower(F.col(text_col))
+    words = F.filter(F.split(t, r"[^a-z0-9']+"), lambda w: w != "")
+    n_words = F.size(words)
+    syl = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)), F.lit(1)),
+    )
+    sentences = F.filter(
+        F.split(t, r"[.!?]+"), lambda s: s.rlike("[a-z0-9]")
+    )
+    n_sent = F.size(sentences)
+    ok = (n_words > 0) & (n_sent > 0)
+    wps = n_words.cast("double") / n_sent
+    spw = syl.cast("double") / n_words
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        "*",
+        F.when(ok, n_words).otherwise(0).cast("long").alias("r_words"),
+        F.when(ok, n_sent).otherwise(0).cast("long").alias("r_sentences"),
+        F.when(ok, syl).otherwise(0).cast("long").alias("r_syllables"),
+        F.when(ok, flesch).otherwise(0.0).alias("r_flesch"),
+        F.when(ok, fk).otherwise(0.0).alias("r_fk_grade"),
+    )

@@ -6871,3 +6871,60 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_readability_documents(spark, sf_dir):
+    """Flesch reading-ease + FK grade over the documents table — the
+    oracle replays words/sentences/vowel-group syllables and the exact
+    formula arithmetic in DuckDB regex functions."""
+    from linkgraph.pipeline.text import readability_scores
+
+    out = readability_scores(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "r_words",
+        "r_sentences",
+        "r_syllables",
+        F.round(F.col("r_flesch") * 1e6).cast("long").alias("flesch_millionths"),
+        F.round(F.col("r_fk_grade") * 1e6).cast("long").alias("fk_millionths"),
+    )
+
+
+QUERIES.update({"readability_documents": q_readability_documents})
+ORACLE_SQL.update(
+    {
+        "readability_documents": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                             w -> w <> '') AS words,
+                 list_filter(string_split_regex(lower(text), '[.!?]+'),
+                             s -> regexp_matches(s, '[a-z0-9]')) AS sents
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(words) AS w,
+                 len(sents) AS s,
+                 COALESCE(list_sum(list_transform(words, x ->
+                     greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))),
+                   0) AS sy
+          FROM base)
+        SELECT doc_id,
+               CAST(CASE WHEN w > 0 AND s > 0 THEN w ELSE 0 END AS BIGINT)
+                   AS r_words,
+               CAST(CASE WHEN w > 0 AND s > 0 THEN s ELSE 0 END AS BIGINT)
+                   AS r_sentences,
+               CAST(CASE WHEN w > 0 AND s > 0 THEN sy ELSE 0 END AS BIGINT)
+                   AS r_syllables,
+               CAST(round(CASE WHEN w > 0 AND s > 0
+                    THEN (206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                                  - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1000000
+                    ELSE 0.0 END) AS BIGINT) AS flesch_millionths,
+               CAST(round(CASE WHEN w > 0 AND s > 0
+                    THEN (0.39 * (CAST(w AS DOUBLE) / s)
+                          + 11.8 * (CAST(sy AS DOUBLE) / w) - 15.59) * 1000000
+                    ELSE 0.0 END) AS BIGINT) AS fk_millionths
+        FROM m
+    """,
+    }
+)

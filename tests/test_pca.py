@@ -89,3 +89,13 @@ def test_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         embedding_covariance(empty)
+
+
+def test_whitening_unit_variance(spark):
+    arr = _rand(300, 6, seed=7)
+    out = pca_project(_emb_df(spark, arr), k=3, whiten=True).collect()
+    got = np.array([r["pca"] for r in out])
+    np.testing.assert_allclose(got.var(axis=0), np.ones(3), atol=1e-8)
+    # whitened components are decorrelated too
+    c = np.cov(got, rowvar=False, bias=True)
+    np.testing.assert_allclose(c, np.eye(3), atol=1e-8)
