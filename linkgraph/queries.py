@@ -6928,3 +6928,106 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_funnel_events(spark, sf_dir):
+    """First-touch view→click→purchase funnel over the event log — the
+    oracle replays each stage's strictly-after min-join."""
+    from linkgraph.pipeline.events import funnel
+
+    out = funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+    return out.select(
+        "step",
+        "step_name",
+        "users",
+        F.round(F.col("conv_from_prev") * 1e6).cast("long").alias("cp_millionths"),
+        F.round(F.col("conv_overall") * 1e6).cast("long").alias("co_millionths"),
+    )
+
+
+QUERIES.update({"funnel_events": q_funnel_events})
+ORACLE_SQL.update(
+    {
+        "funnel_events": """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS c FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS c
+               FROM events e JOIN s1 ON e.user_id = s1.u
+               WHERE e.event_type = 'click' AND e.ts > s1.c
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS c
+               FROM events e JOIN s2 ON e.user_id = s2.u
+               WHERE e.event_type = 'purchase' AND e.ts > s2.c
+               GROUP BY e.user_id),
+        n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                     (SELECT count(*) FROM s2) AS n2,
+                     (SELECT count(*) FROM s3) AS n3)
+        SELECT 1 AS step, 'view' AS step_name, CAST(n1 AS BIGINT) AS users,
+               CAST(CASE WHEN n1 > 0 THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS cp_millionths,
+               CAST(CASE WHEN n1 > 0 THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS co_millionths
+        FROM n
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               CAST(CASE WHEN n1 > 0
+                    THEN round(CAST(n2 AS DOUBLE) / n1 * 1000000)
+                    ELSE 0 END AS BIGINT),
+               CAST(CASE WHEN n1 > 0
+                    THEN round(CAST(n2 AS DOUBLE) / n1 * 1000000)
+                    ELSE 0 END AS BIGINT)
+        FROM n
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               CAST(CASE WHEN n2 > 0
+                    THEN round(CAST(n3 AS DOUBLE) / n2 * 1000000)
+                    ELSE 0 END AS BIGINT),
+               CAST(CASE WHEN n1 > 0
+                    THEN round(CAST(n3 AS DOUBLE) / n1 * 1000000)
+                    ELSE 0 END AS BIGINT)
+        FROM n
+    """,
+    }
+)
+
+
+def q_retention_events_weekly(spark, sf_dir):
+    """Weekly cohort retention over the event log; cohorts keyed by ISO
+    week start date, offsets in whole weeks — two groupBys and a join,
+    no window."""
+    from linkgraph.pipeline.events import retention
+
+    out = retention(_t(spark, sf_dir, "events"), period="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("retention") * 1e6).cast("long").alias("ret_millionths"),
+    )
+
+
+QUERIES.update({"retention_events_weekly": q_retention_events_weekly})
+ORACLE_SQL.update(
+    {
+        "retention_events_weekly": """
+        WITH ev AS (SELECT DISTINCT user_id AS u,
+                           date_trunc('week', ts) AS p FROM events),
+        f AS (SELECT u, min(p) AS c FROM ev GROUP BY u),
+        sizes AS (SELECT c, count(*) AS cohort_size FROM f GROUP BY c),
+        act AS (SELECT f.c,
+                       CAST(floor(date_diff('day', f.c, e.p) / 7.0) AS INT)
+                           AS off_w,
+                       count(*) AS active_users
+                FROM ev e JOIN f ON e.u = f.u
+                GROUP BY f.c, off_w)
+        SELECT strftime(act.c, '%Y-%m-%d') AS cohort_week,
+               off_w AS "offset",
+               CAST(active_users AS BIGINT) AS active_users,
+               CAST(cohort_size AS BIGINT) AS cohort_size,
+               CAST(round(CAST(active_users AS DOUBLE) / cohort_size
+                          * 1000000) AS BIGINT) AS ret_millionths
+        FROM act JOIN sizes ON act.c = sizes.c
+    """,
+    }
+)
