@@ -7031,3 +7031,108 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_assoc_rules_brands(spark, sf_dir):
+    """Association rules over order baskets of part brands (25-item
+    domain keeps pair support dense at small SF); uncapped self-join
+    path, doubles pinned to millionths."""
+    from linkgraph.pipeline.rules import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    out = association_rules(
+        baskets, "basket", "item", min_support=0.01, cap=None
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_baskets",
+        F.round(F.col("support") * 1e6).cast("long").alias("sup_millionths"),
+        F.round(F.col("confidence") * 1e6).cast("long").alias("conf_millionths"),
+        F.round(F.col("lift") * 1e6).cast("long").alias("lift_millionths"),
+    )
+
+
+def q_assoc_rules_brands_cap2(spark, sf_dir):
+    """Cap-binding variant: only each basket's 2 lexicographically-first
+    brands pair up — oracle replays the row_number cap exactly."""
+    from linkgraph.pipeline.rules import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    out = association_rules(
+        baskets, "basket", "item", min_support=0.005, cap=2
+    )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_baskets",
+        F.round(F.col("support") * 1e6).cast("long").alias("sup_millionths"),
+        F.round(F.col("confidence") * 1e6).cast("long").alias("conf_millionths"),
+        F.round(F.col("lift") * 1e6).cast("long").alias("lift_millionths"),
+    )
+
+
+QUERIES.update(
+    {
+        "assoc_rules_brands": q_assoc_rules_brands,
+        "assoc_rules_brands_cap2": q_assoc_rules_brands_cap2,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "assoc_rules_brands": """
+        WITH gi AS (SELECT DISTINCT l_orderkey AS g, p_brand AS i
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT count(DISTINCT g) AS n FROM gi),
+        item AS (SELECT i, count(*) AS ib FROM gi GROUP BY i),
+        pc AS (SELECT a.i AS x, b.i AS y, count(*) AS pb
+               FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+               GROUP BY a.i, b.i),
+        kept AS (SELECT * FROM pc, nb WHERE pb >= 0.01 * n),
+        bi AS (SELECT x, y, pb, n FROM kept
+               UNION ALL SELECT y, x, pb, n FROM kept)
+        SELECT bi.x AS antecedent, bi.y AS consequent,
+               CAST(pb AS BIGINT) AS pair_baskets,
+               CAST(round(CAST(pb AS DOUBLE) / n * 1000000) AS BIGINT)
+                   AS sup_millionths,
+               CAST(round(CAST(pb AS DOUBLE) / ia.ib * 1000000) AS BIGINT)
+                   AS conf_millionths,
+               CAST(round(CAST(pb AS DOUBLE) * n / (ia.ib * ic.ib) * 1000000)
+                   AS BIGINT) AS lift_millionths
+        FROM bi JOIN item ia ON bi.x = ia.i JOIN item ic ON bi.y = ic.i
+    """,
+        "assoc_rules_brands_cap2": """
+        WITH gi AS (SELECT DISTINCT l_orderkey AS g, p_brand AS i
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        nb AS (SELECT count(DISTINCT g) AS n FROM gi),
+        item AS (SELECT i, count(*) AS ib FROM gi GROUP BY i),
+        capped AS (SELECT g, i,
+                          row_number() OVER (PARTITION BY g ORDER BY i) AS rn
+                   FROM gi),
+        pc AS (SELECT a.i AS x, b.i AS y, count(*) AS pb
+               FROM capped a JOIN capped b
+                 ON a.g = b.g AND a.rn < b.rn AND a.rn <= 2 AND b.rn <= 2
+               GROUP BY a.i, b.i),
+        kept AS (SELECT * FROM pc, nb WHERE pb >= 0.005 * n),
+        bi AS (SELECT x, y, pb, n FROM kept
+               UNION ALL SELECT y, x, pb, n FROM kept)
+        SELECT bi.x AS antecedent, bi.y AS consequent,
+               CAST(pb AS BIGINT) AS pair_baskets,
+               CAST(round(CAST(pb AS DOUBLE) / n * 1000000) AS BIGINT)
+                   AS sup_millionths,
+               CAST(round(CAST(pb AS DOUBLE) / ia.ib * 1000000) AS BIGINT)
+                   AS conf_millionths,
+               CAST(round(CAST(pb AS DOUBLE) * n / (ia.ib * ic.ib) * 1000000)
+                   AS BIGINT) AS lift_millionths
+        FROM bi JOIN item ia ON bi.x = ia.i JOIN item ic ON bi.y = ic.i
+    """,
+    }
+)
