@@ -27,7 +27,12 @@ from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
 from linkgraph.algorithms.pattern import find_pattern
-from linkgraph.generators import gnm_graph, rmat_graph, watts_strogatz_graph
+from linkgraph.generators import (
+    gnm_graph,
+    rmat_graph,
+    watts_strogatz_graph,
+    zipf_graph,
+)
 from linkgraph.algorithms.label_propagation import (
     label_propagation,
     seeded_label_propagation,
@@ -41,6 +46,7 @@ from linkgraph.algorithms.assortativity import (
     average_degree_connectivity,
     average_neighbor_degree,
     degree_assortativity,
+    powerlaw_alpha,
     rich_club_coefficient,
     s_metric,
 )
@@ -165,6 +171,7 @@ __all__ = [
     "average_degree_connectivity",
     "average_neighbor_degree",
     "degree_assortativity",
+    "powerlaw_alpha",
     "rich_club_coefficient",
     "s_metric",
     "k_truss",
@@ -182,6 +189,7 @@ __all__ = [
     "rmat_graph",
     "watts_strogatz_graph",
     "gnm_graph",
+    "zipf_graph",
     "find_pattern",
     "temporal_reachability",
     "aggregate_messages",

@@ -22,6 +22,8 @@ output is a multigraph with possible self-loops; ``.distinct()`` or
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,6 +103,68 @@ def gnm_graph(
         F.col("id").alias("i"),
         F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("s")), F.lit(n)).alias("src"),
         F.pmod(_h60(F.lit(str(seed)), F.col("id"), F.lit("d")), F.lit(n)).alias("dst"),
+    )
+
+
+def zipf_graph(
+    spark: SparkSession,
+    n: int,
+    m: int,
+    s: float = 1.0,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[i, src, dst] — scale-free random multigraph: each of the
+    ``m`` edges draws both endpoints independently from a Zipf-like rank
+    distribution P(node = v) ≈ (v+1)^(−s) over ranks 0..n−1, giving heavy
+    hub nodes at low ranks (the edge-skeleton Chung–Lu construction with
+    analytic weights — no weight table, no CDF broadcast).
+
+    Sampling is the continuous bounded-Pareto inverse CDF, taken as the
+    DEFINITION of the distribution (exactly proportional in the continuum
+    limit, off by O(s/v) per rank at the head — documented, deliberate:
+    the closed form keeps the generator a pure projection over
+    ``spark.range(m)`` with zero shuffle and zero driver state at ANY n):
+
+        s ≠ 1:  node = ⌊(u·((n+1)^(1−s) − 1) + 1)^(1/(1−s))⌋ − 1
+        s = 1:  node = ⌊exp(u·ln(n+1))⌋ − 1
+
+    with u = (h60+0.5)/2^60 from ``md5(seed:i:tag)`` (tag "s"/"d") — the
+    same engine-portable primitive as :func:`rmat_graph`, so the oracle
+    replays every edge. The only cross-engine hazard is a pow/ln result
+    landing within 1 ulp of an integer boundary (probability ~2⁻⁴⁸ per
+    edge); s=0 degenerates to uniform endpoints (a G(n, m) control).
+    Multigraph with self-loops, as all the generators here.
+
+    At s=1 the expected rank-degree profile is ∝ 1/(v+1), whose degree
+    distribution has CCDF exponent ≈ 1+1/s = 2 — pair with
+    :func:`linkgraph.algorithms.assortativity.powerlaw_alpha` to close
+    the loop."""
+    if n < 1:
+        raise ValueError(f"need n >= 1, got {n}")
+    if m < 0:
+        raise ValueError(f"need m >= 0, got {m}")
+    if s < 0:
+        raise ValueError(f"s must be >= 0, got {s}")
+    df = spark.range(
+        0, m, 1, num_partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def node(tag: str) -> F.Column:
+        h = _h60(F.lit(str(seed)), F.col("id"), F.lit(tag)).cast("double")
+        u = (h + F.lit(0.5)) / F.lit(float(_B60))
+        if s == 1.0:
+            x = F.exp(u * F.lit(float(math.log(n + 1.0))))
+        else:
+            top = float((n + 1.0) ** (1.0 - s))
+            x = F.pow(
+                u * F.lit(top - 1.0) + F.lit(1.0), F.lit(1.0 / (1.0 - s))
+            )
+        # clamp guards the u→1 edge where floor(x) could reach n+… in float
+        return F.least(F.floor(x).cast("long") - 1, F.lit(n - 1))
+
+    return df.select(
+        F.col("id").alias("i"), node("s").alias("src"), node("d").alias("dst")
     )
 
 

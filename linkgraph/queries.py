@@ -7136,3 +7136,88 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_zipf_edges(spark, sf_dir):
+    """Zipf scale-free generator, digit-exact: the full 2,000-edge list at
+    n=300, s=1 (rank profile ∝ 1/(v+1)) — the oracle replays the md5-u
+    draw and the bounded-Pareto inverse CDF ⌊exp(u·ln(n+1))⌋−1 for both
+    endpoints, so the hash pins every edge (the exp/floor boundary hazard
+    is ~2⁻⁴⁸/edge and the input is fixed, so one green run pins it
+    forever)."""
+    from linkgraph import zipf_graph
+
+    return zipf_graph(spark, n=300, m=2000, s=1.0, seed=13)
+
+
+def _zipf_h(seed: int, tag: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 16), p -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr(md5('{seed}:' || i || ':' || {tag}), p, 1)) - 1 AS BIGINT) "
+        "* (1::BIGINT << (4 * (15 - p)))))"
+    )
+
+
+def _zipf_node_sql(h: str, n: int) -> str:
+    import math as _m
+
+    ln = repr(_m.log(n + 1.0))
+    return (
+        f"least(CAST(floor(exp((CAST({h} AS DOUBLE) + 0.5) / "
+        f"CAST(1152921504606846976 AS DOUBLE) * {ln})) AS BIGINT) - 1, "
+        f"{n - 1})"
+    )
+
+
+QUERIES.update({"zipf_edges": q_zipf_edges})
+ORACLE_SQL.update(
+    {
+        "zipf_edges": f"""
+        SELECT CAST(i AS BIGINT) AS i,
+               {_zipf_node_sql(_zipf_h(13, "'s'"), 300)} AS src,
+               {_zipf_node_sql(_zipf_h(13, "'d'"), 300)} AS dst
+        FROM range(0, 2000) t(i)
+    """,
+    }
+)
+
+
+def q_powerlaw_alpha_zipf(spark, sf_dir):
+    """Generator → estimator loop closure: fit the CSN/Hill degree-exponent
+    MLE on a zipf_graph(s=1) whose degree CCDF exponent is ≈ 2 by
+    construction — the oracle replays the generator edge list AND the
+    alpha = 1 + n/Σln(d/(xmin−½)) aggregate from scratch, pinning both to
+    millionths."""
+    from linkgraph import LinkGraph, powerlaw_alpha, zipf_graph
+
+    e = zipf_graph(spark, n=400, m=6000, s=1.0, seed=17)
+    g = LinkGraph(e.select("src", "dst"))
+    alpha, sigma, n_tail = powerlaw_alpha(g, xmin=3)
+    return spark.createDataFrame(
+        [(int(round(alpha * 1e6)), int(round(sigma * 1e6)), n_tail)],
+        "alpha_millionths long, sigma_millionths long, n_tail long",
+    )
+
+
+QUERIES.update({"powerlaw_alpha_zipf": q_powerlaw_alpha_zipf})
+ORACLE_SQL.update(
+    {
+        "powerlaw_alpha_zipf": f"""
+        WITH e AS (SELECT {_zipf_node_sql(_zipf_h(17, "'s'"), 400)} AS src,
+                          {_zipf_node_sql(_zipf_h(17, "'d'"), 400)} AS dst
+                   FROM range(0, 6000) t(i)),
+        ends AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+        deg AS (SELECT id, count(*) AS d FROM ends GROUP BY id),
+        tail AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        sum(ln(d / 2.5)) AS slog
+                 FROM deg WHERE d >= 3)
+        SELECT CAST(round((1.0 + n / slog) * 1000000) AS BIGINT)
+                   AS alpha_millionths,
+               CAST(round(((1.0 + n / slog) - 1.0) / sqrt(n) * 1000000)
+                   AS BIGINT) AS sigma_millionths,
+               n AS n_tail
+        FROM tail
+    """,
+    }
+)

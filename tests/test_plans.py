@@ -678,3 +678,38 @@ def test_pca_covariance_plan_shape(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
     assert plan.count("MapInPandas") == 1  # exactly the one Gram fold
+
+
+def test_zipf_generator_plan_is_pure_projection(spark):
+    """zipf_graph is a single projection over range(m): no shuffle, no
+    Window, no Python — the property that makes it free at any n."""
+    from linkgraph import zipf_graph
+
+    plan = _plan(zipf_graph(spark, n=1000, m=500, s=1.2, seed=1))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_powerlaw_alpha_plan_is_two_aggregates(spark):
+    """powerlaw_alpha's lazy shape: one degree aggregation feeding one
+    algebraic (count, sum-log) aggregate — no window, no join, no Python.
+    Build the un-collected aggregate exactly as the operator does."""
+    from linkgraph.graph import DST, ID, SRC, LinkGraph
+
+    g = LinkGraph(
+        spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    )
+    e = g.edges
+    ends = e.select(F.col(SRC).alias(ID)).unionAll(
+        e.select(F.col(DST).alias(ID))
+    )
+    deg = ends.groupBy(ID).agg(F.count(F.lit(1)).alias("_d"))
+    agg = deg.filter(F.col("_d") >= 2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.log(F.col("_d") / F.lit(1.5))).alias("slog"),
+    )
+    plan = _plan(agg)
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
