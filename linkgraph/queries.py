@@ -6782,6 +6782,49 @@ def q_pca_embeddings_k4(spark, sf_dir):
 QUERIES.update({"pca_embeddings_k4": q_pca_embeddings_k4})
 
 
+def q_pca_eigvals_2d(spark, sf_dir):
+    """Hash-verified eigensolver pin: top-2 PCA eigenvalues of the FIRST TWO
+    embedding dims. Eigenvalues of a symmetric 2x2 are closed-form
+    ((a+c)/2 ± sqrt(((a-c)/2)² + b²)), so DuckDB can replay numpy's eigh
+    digit-for-digit (to 1e-6) with no linear-algebra library — the
+    rotation-invariant companion to the rows-only `pca_embeddings_k4`
+    (whose full-width eigenbasis is not SQL-expressible). The data-sized
+    work is the same distributed Arrow covariance fold."""
+    from linkgraph.pipeline.pca import pca_components
+
+    emb2 = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 2).alias("embedding")
+    )
+    _, eigs, _ = pca_components(emb2, k=2, dim=2)
+    return spark.createDataFrame(
+        [(i + 1, int(round(float(v) * 1e6))) for i, v in enumerate(eigs)],
+        "component int, eig_millionths long",
+    )
+
+
+QUERIES.update({"pca_eigvals_2d": q_pca_eigvals_2d})
+ORACLE_SQL.update(
+    {
+        "pca_eigvals_2d": """
+        WITH x AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+                          CAST(embedding[2] AS DOUBLE) AS x2
+                   FROM embeddings),
+        c AS (SELECT sum(x1 * x1) / count(*) - avg(x1) * avg(x1) AS a,
+                     sum(x1 * x2) / count(*) - avg(x1) * avg(x2) AS b,
+                     sum(x2 * x2) / count(*) - avg(x2) * avg(x2) AS cc
+              FROM x),
+        e AS (SELECT (a + cc) / 2 + sqrt(((a - cc) / 2) ^ 2 + b ^ 2) AS l1,
+                     (a + cc) / 2 - sqrt(((a - cc) / 2) ^ 2 + b ^ 2) AS l2
+              FROM c)
+        SELECT 1 AS component, CAST(round(l1 * 1000000) AS BIGINT)
+                 AS eig_millionths FROM e
+        UNION ALL
+        SELECT 2, CAST(round(l2 * 1000000) AS BIGINT) FROM e
+    """,
+    }
+)
+
+
 _FP_TM = """
         ue AS (SELECT DISTINCT 'u' || user_id AS src,
                                'e' || event_type AS dst FROM events),

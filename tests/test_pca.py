@@ -91,6 +91,19 @@ def test_guards(spark):
         embedding_covariance(empty)
 
 
+def test_eigvals_2d_closed_form(spark):
+    """eigh on a 2x2 covariance equals the closed form
+    (a+c)/2 ± sqrt(((a-c)/2)² + b²) — the identity the
+    `pca_eigvals_2d` DuckDB oracle replays."""
+    arr = _rand(400, 2, seed=11)
+    _, eigs, _ = pca_components(_emb_df(spark, arr), k=2)
+    cov = np.cov(arr, rowvar=False, bias=True)
+    a, b, c = cov[0, 0], cov[0, 1], cov[1, 1]
+    disc = np.sqrt(((a - c) / 2) ** 2 + b**2)
+    np.testing.assert_allclose(eigs, [(a + c) / 2 + disc, (a + c) / 2 - disc],
+                               atol=1e-12)
+
+
 def test_whitening_unit_variance(spark):
     arr = _rand(300, 6, seed=7)
     out = pca_project(_emb_df(spark, arr), k=3, whiten=True).collect()
