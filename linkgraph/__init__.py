@@ -101,7 +101,7 @@ from linkgraph.algorithms.mst import (
     minimum_spanning_forest,
     minimum_spanning_weight,
 )
-from linkgraph.algorithms.toposort import topological_layers
+from linkgraph.algorithms.toposort import critical_path, topological_layers
 from linkgraph.algorithms.kcore import core_number, k_core, onion_layers
 from linkgraph.algorithms.ktruss import k_truss
 from linkgraph.algorithms.linkpred import (
@@ -210,6 +210,7 @@ __all__ = [
     "voterank",
     "hits",
     "eigenvector_centrality",
+    "critical_path",
     "topological_layers",
     "minimum_spanning_forest",
     "minimum_spanning_weight",

@@ -85,3 +85,120 @@ def topological_layers(graph: LinkGraph, max_depth: int | None = None) -> DataFr
         else f"longest path exceeds max_depth={max_depth} (or graph has a "
         "cycle)"
     )
+
+
+def critical_path(
+    graph: LinkGraph,
+    durations: DataFrame,
+    id_col: str = "id",
+    duration_col: str = "duration",
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Critical-path method (CPM) over a DAG with per-node durations —
+    DataFrame[id, earliest_finish, critical_pred].
+
+        ef(v)  = dur(v) + max(ef(u)) over in-edges u→v   (sources: dur(v))
+        critical_pred(v) = the argmax predecessor (max ef, ties → min id;
+                           NULL for sources)
+
+    so max(earliest_finish) is the schedule makespan and following
+    ``critical_pred`` back from the argmax node walks the critical path.
+    The workload this serves on a source-repo link graph: build/stage
+    scheduling — "which dependency chain bounds the total build".
+
+    Same distributed shape as :func:`topological_layers`: max-relaxation
+    supersteps with a frontier of improved nodes only, edges
+    distinct-aggregated once and hash-partitioned by src so each round
+    shuffles only the frontier; round count is bounded by the longest path
+    (cycle ⇒ still improving after N rounds ⇒ raises). Nodes absent from
+    ``durations`` get duration 0; negative durations are rejected (they
+    break the extend-backwards-never-hurts invariant the relaxation — and
+    any CPM — relies on).
+    """
+    if graph.is_directed is False:
+        raise ValueError("critical_path requires a directed acyclic graph")
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = graph.number_of_nodes()
+    budget = max_depth if max_depth is not None else n
+    dur = durations.select(
+        F.col(id_col).alias(ID),
+        F.col(duration_col).cast("double").alias("_dur"),
+    )
+    with static_plans(spark):
+        neg = dur.filter(F.col("_dur") < 0).limit(1).count()
+        if neg:
+            raise ValueError("critical_path requires non-negative durations")
+        edges = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .distinct()
+            .repartition(npart, "u")
+            .localCheckpoint(eager=True)
+        )
+        state = (
+            graph.nodes.select(ID)
+            .join(dur, ID, "left")
+            .select(
+                ID,
+                F.coalesce("_dur", F.lit(0.0)).alias("_dur"),
+                F.coalesce("_dur", F.lit(0.0)).alias("ef"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = state.select(ID, "ef")
+        for _ in range(budget + 1):
+            # best incoming finish per head: algebraic max, no window
+            cand = (
+                frontier.join(edges, frontier[ID] == edges["u"])
+                .groupBy("v")
+                .agg(F.max("ef").alias("_in"))
+            )
+            merged = (
+                state.join(cand, state[ID] == cand["v"], "left")
+                .select(
+                    ID,
+                    "_dur",
+                    F.greatest(
+                        "ef", F.coalesce(F.col("_dur") + F.col("_in"), F.col("ef"))
+                    ).alias("ef"),
+                    (
+                        F.col("_in").isNotNull()
+                        & (F.col("_dur") + F.col("_in") > F.col("ef"))
+                    ).alias("_imp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            n_imp = merged.filter("_imp").count()  # materializes the round
+            state = merged.select(ID, "_dur", "ef")
+            if n_imp == 0:
+                # fixpoint post-pass: critical_pred(v) = min id among
+                # in-neighbors u whose FINAL ef is maximal — defined on the
+                # converged table, so tie-breaks don't depend on which round
+                # a predecessor's value arrived in. min(struct(-ef, u)) is
+                # the windowless argmax-with-min-id-ties top-1.
+                best_in = (
+                    state.select(ID, "ef")
+                    .join(edges, state[ID] == edges["u"])
+                    .groupBy("v")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("ef")).alias("nf"),
+                                F.col("u").alias("p"),
+                            )
+                        ).alias("_b")
+                    )
+                    .select(F.col("v"), F.col("_b.p").alias("_pred"))
+                )
+                return state.join(best_in, state[ID] == best_in["v"], "left").select(
+                    ID,
+                    F.col("ef").alias("earliest_finish"),
+                    F.col("_pred").alias("critical_pred"),
+                )
+            frontier = (
+                merged.filter("_imp").select(ID, "ef").localCheckpoint(eager=False)
+            )
+    raise ValueError(
+        f"graph is not a DAG (earliest finish still improving after "
+        f"{budget + 1} supersteps)"
+    )

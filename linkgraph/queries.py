@@ -2426,6 +2426,68 @@ QUERIES.update({"topo_layers_nation_path": q_topo_layers_nation_path})
 ORACLE_SQL.update(_ROUND4K_ORACLES)
 
 
+def q_critical_path_dag30(spark, sf_dir):
+    """CPM earliest-finish + critical predecessor on a deterministic 30-node
+    DAG (dur(i) = (i·7)%13+1, edges i→i+1 and i→i+3). The skip edges make
+    max-relaxation diverge from hop counting, and integer durations make
+    ef exactly representable — the oracle unrolls the same max-relaxation
+    30 rounds in SQL and derives pred from the fixpoint (min id among
+    argmax in-neighbors), pinning both outputs hash-exactly."""
+    from linkgraph import critical_path
+
+    base = spark.range(30)
+    dur = base.select(
+        "id", ((F.col("id") * 7) % 13 + 1).cast("double").alias("duration")
+    )
+    e1 = base.filter("id < 29").select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    e3 = base.filter("id < 27").select(
+        F.col("id").alias("src"), (F.col("id") + 3).alias("dst")
+    )
+    out = critical_path(LinkGraph(e1.union(e3), nodes=base), dur)
+    return out.select(
+        "id",
+        F.col("earliest_finish").cast("long").alias("ef"),
+        F.col("critical_pred").cast("long").alias("critical_pred"),
+    )
+
+
+def _critical_path_unrolled_sql(rounds: int = 30) -> str:
+    parts = [
+        "WITH nodes AS (SELECT i AS id, CAST((i*7)%13+1 AS DOUBLE) AS dur"
+        " FROM range(0,30) t(i)),",
+        "edges AS (SELECT i AS u, i+1 AS v FROM range(0,29) t(i)"
+        " UNION ALL SELECT i, i+3 FROM range(0,27) t(i)),",
+        "f0 AS MATERIALIZED (SELECT id, dur AS ef FROM nodes),",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT n.id, CASE WHEN m.m IS NULL THEN f.ef"
+            f" ELSE greatest(f.ef, n.dur + m.m) END AS ef"
+            f" FROM nodes n JOIN f{t - 1} f ON f.id = n.id"
+            f" LEFT JOIN (SELECT e.v AS id, max(p.ef) AS m"
+            f" FROM edges e JOIN f{t - 1} p ON p.id = e.u"
+            f" GROUP BY e.v) m ON m.id = n.id),"
+        )
+    parts.append(
+        f"pred AS MATERIALIZED (SELECT e.v AS id, min(e.u) AS p"
+        f" FROM edges e JOIN f{rounds} fu ON fu.id = e.u"
+        f" JOIN (SELECT e2.v, max(f2.ef) AS mx FROM edges e2"
+        f" JOIN f{rounds} f2 ON f2.id = e2.u GROUP BY e2.v) b"
+        f" ON b.v = e.v AND fu.ef = b.mx GROUP BY e.v)"
+        f" SELECT CAST(f.id AS BIGINT) AS id,"
+        f" CAST(round(f.ef) AS BIGINT) AS ef,"
+        f" CAST(p.p AS BIGINT) AS critical_pred"
+        f" FROM f{rounds} f LEFT JOIN pred p ON p.id = f.id"
+    )
+    return "\n".join(parts)
+
+
+QUERIES.update({"critical_path_dag30": q_critical_path_dag30})
+ORACLE_SQL.update({"critical_path_dag30": _critical_path_unrolled_sql(30)})
+
+
 def q_mst_nation_chords(spark, sf_dir):
     """Minimum spanning forest over the 25-nation path (edge i—i+1, weight
     10+i) with chords i—i+2: cheap (w=5) at i % 5 == 0, expensive
