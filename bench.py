@@ -254,6 +254,28 @@ def main():
 
     timed("clique4_imports", _clique4_imports)
 
+    def _critical_path_imports():
+        # CPM earliest-finish over the imports subgraph oriented low→high id
+        # (a DAG by construction — build-scheduling over the import relation);
+        # deterministic per-file durations; rounds = longest dependency chain
+        from linkgraph import critical_path
+
+        dag = LinkGraph(
+            g_imp.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ).filter("src <> dst")
+        )
+        dur = dag.nodes.select(
+            "id", (F.pmod(F.xxhash64("id"), F.lit(10)) + 1).alias("duration")
+        )
+        out = critical_path(dag, dur)
+        extra["critical_path_makespan"] = float(
+            out.agg(F.max("earliest_finish")).collect()[0][0] or 0.0
+        )
+
+    timed("critical_path_imports", _critical_path_imports)
+
     def _pr_cop():
         # default auto strategy: a ~240k-edge graph takes the driver-local
         # plan (the engine's size-based physical choice) — ~100 BSP
