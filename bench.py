@@ -225,6 +225,19 @@ def main():
 
     timed("anf_corpus", _anf_corpus)
 
+    def _hyperball_corpus():
+        # HyperBall per-node harmonic centrality, 6 hops: ANF's join +
+        # hll_union_agg superstep plus a co-partitioned carry join for the
+        # running (est, harmonic) columns — bounded state per node
+        from linkgraph import hyperball_harmonic
+
+        out = hyperball_harmonic(g, max_hops=6, method="hll", lg_k=10)
+        extra["hyperball_harmonic_sum"] = round(
+            out.agg(F.sum("harmonic")).collect()[0][0] or 0.0, 1
+        )
+
+    timed("hyperball_corpus", _hyperball_corpus)
+
     g_imp = LinkGraph(edges.filter("rel = 'imports'").select("src", "dst"))
     tri = timed("triangles_imports", lambda: triangle_count(g_imp))
     extra["triangles_imports"] = tri

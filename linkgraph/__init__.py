@@ -90,7 +90,7 @@ from linkgraph.algorithms.betweenness import (
     betweenness_sampled,
     edge_betweenness_sampled,
 )
-from linkgraph.algorithms.anf import effective_diameter, neighborhood_function
+from linkgraph.algorithms.anf import effective_diameter, hyperball_harmonic, neighborhood_function
 from linkgraph.algorithms.projection import bipartite_projection
 from linkgraph.algorithms.sampling import sample_neighborhood, sample_neighbors
 from linkgraph.algorithms.katz import eigenvector_centrality, hits, katz_centrality
@@ -215,6 +215,7 @@ __all__ = [
     "minimum_spanning_forest",
     "minimum_spanning_weight",
     "neighborhood_function",
+    "hyperball_harmonic",
     "effective_diameter",
     "bipartite_projection",
     "sample_neighbors",

@@ -105,6 +105,135 @@ def neighborhood_function(
     ).repartition(1)
 
 
+def hyperball_harmonic(
+    graph: LinkGraph,
+    max_hops: int = 32,
+    method: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-node harmonic centrality via HyperBall (Boldi & Vigna, "In-core
+    computation of geometric centralities with HyperBall", 2013) —
+    DataFrame[id, harmonic] with
+
+        harmonic(v) = Σ_h (|ball(v, h)| − |ball(v, h−1)|) / h
+                    = Σ_{u reachable from v, u≠v} 1 / dist(v, u)
+
+    the same quantity :func:`linkgraph.algorithms.closeness.harmonic_centrality`
+    computes by landmark BFS — but with O(2^lg_k) state per node regardless
+    of ball size, so it scales to graphs where even landmark distance tables
+    blow up. The superstep is the HyperANF join + ``hll_union_agg`` with the
+    running (est, harmonic) columns carried through a co-partitioned join —
+    one exchange and one action per hop; stops when ΣN(r) stops growing.
+    Estimates are exact while sketches are in sparse mode; beyond that the
+    per-hop delta is clamped at 0 so estimator wobble never subtracts mass.
+
+    ``method="exact"`` runs the same accumulation on materialized
+    (node, reached) pairs — the verification path, equal to
+    ``harmonic_centrality(graph)`` by construction.
+    """
+    if method not in ("hll", "exact"):
+        raise ValueError(f"unknown method {method!r} (hll|exact)")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_plans(spark):
+        edges = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .distinct()
+            .repartition(npart, "v")
+            .localCheckpoint(eager=True)
+        )
+        if method == "hll":
+            state = (
+                graph.nodes.groupBy(ID)
+                .agg(F.hll_sketch_agg(ID, F.lit(lg_k)).alias("sk"))
+                .select(
+                    ID,
+                    "sk",
+                    F.hll_sketch_estimate("sk").alias("est"),
+                    F.lit(0.0).alias("harmonic"),
+                )
+                .repartition(npart, ID)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            state = (
+                graph.nodes.select(F.col(ID), F.col(ID).alias("_u"))
+                .repartition(npart, ID)
+                .localCheckpoint(eager=True)
+            )
+            carry = graph.nodes.select(
+                ID, F.lit(1.0).alias("est"), F.lit(0.0).alias("harmonic")
+            ).repartition(npart, ID).localCheckpoint(eager=True)
+        total = float(
+            (state if method == "hll" else carry).agg(F.sum("est")).first()[0]
+        )
+        for hop in range(1, max_hops + 1):
+            if method == "hll":
+                contrib = state.join(edges, state[ID] == edges["v"]).select(
+                    edges["u"].alias(ID), "sk"
+                )
+                grown = (
+                    state.select(ID, "sk")
+                    .unionByName(contrib)
+                    .groupBy(ID)
+                    .agg(F.hll_union_agg("sk").alias("sk"))
+                    .withColumn("_est", F.hll_sketch_estimate("sk"))
+                )
+                # grown hash(id) ⋈ carried hash(id): co-partitioned join;
+                # per-hop delta clamped at 0 (sketch estimates can wobble)
+                state_n = grown.join(
+                    state.select(ID, "est", "harmonic"), ID
+                ).select(
+                    ID,
+                    "sk",
+                    F.col("_est").alias("est"),
+                    (
+                        F.col("harmonic")
+                        + F.greatest(F.col("_est") - F.col("est"), F.lit(0.0))
+                        / F.lit(float(hop))
+                    ).alias("harmonic"),
+                )
+            else:
+                contrib = state.join(edges, state[ID] == edges["v"]).select(
+                    edges["u"].alias(ID), "_u"
+                )
+                pairs = state.select(ID, "_u").unionByName(contrib).distinct()
+                state_n = pairs.repartition(npart, ID).localCheckpoint(eager=True)
+                cnt = state_n.groupBy(ID).agg(
+                    F.count(F.lit(1)).cast("double").alias("_est")
+                )
+                carry = (
+                    cnt.join(carry, ID)
+                    .select(
+                        ID,
+                        F.col("_est").alias("est"),
+                        (
+                            F.col("harmonic")
+                            + F.greatest(F.col("_est") - F.col("est"), F.lit(0.0))
+                            / F.lit(float(hop))
+                        ).alias("harmonic"),
+                    )
+                    .repartition(npart, ID)
+                    .localCheckpoint(eager=True)
+                )
+            if method == "hll":
+                state_n = state_n.repartition(npart, ID).localCheckpoint(
+                    eager=True
+                )
+                new_total = float(state_n.agg(F.sum("est")).first()[0])
+                state = state_n
+            else:
+                new_total = float(carry.agg(F.sum("est")).first()[0])
+                state = state_n
+            if new_total == total:
+                break
+            total = new_total
+        out = state if method == "hll" else carry
+        return out.select(ID, "harmonic")
+
+
 def effective_diameter(
     graph: LinkGraph,
     fraction: float = 0.9,

@@ -7326,3 +7326,58 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+_HYPERBALL_NATION_SQL = """
+        WITH k AS (SELECT n_regionkey, CAST(count(*) AS DOUBLE) AS kr
+                   FROM nation GROUP BY n_regionkey)
+        SELECT 'n' || n_nationkey AS id,
+               CAST(round((1.0 + (kr - 1.0) / 2.0) * 1000000) AS BIGINT)
+               AS h_millionths
+        FROM nation JOIN k USING (n_regionkey)
+        UNION ALL
+        SELECT 'r' || n_regionkey AS id,
+               CAST(round(kr * 1000000) AS BIGINT) AS h_millionths
+        FROM k
+    """
+
+
+def q_hyperball_harmonic_exact_nation(spark, sf_dir):
+    """HyperBall per-node harmonic centrality, exact verification path, on
+    the 30-node nation-region star forest — must equal the landmark-BFS
+    `harmonic_nation_region` closed form (nation: region at 1 + siblings at
+    2; region: its kr nations at 1), so the two independent harmonic
+    implementations share one oracle."""
+    from linkgraph import hyperball_harmonic
+
+    g = nation_region_graph(spark, sf_dir)
+    return hyperball_harmonic(g, method="exact").select(
+        "id", F.round(F.col("harmonic") * 1e6).cast("long").alias("h_millionths")
+    )
+
+
+def q_hyperball_harmonic_hll_nation(spark, sf_dir):
+    """HyperBall on HLL sketches (the bounded-state scale path): ball sizes
+    here are ≤ 25, far inside sparse mode, so the sketch estimates — and
+    therefore the harmonic sums — are EXACT and hash against the same
+    closed form as the exact path."""
+    from linkgraph import hyperball_harmonic
+
+    g = nation_region_graph(spark, sf_dir)
+    return hyperball_harmonic(g, method="hll", lg_k=12).select(
+        "id", F.round(F.col("harmonic") * 1e6).cast("long").alias("h_millionths")
+    )
+
+
+QUERIES.update(
+    {
+        "hyperball_harmonic_exact_nation": q_hyperball_harmonic_exact_nation,
+        "hyperball_harmonic_hll_nation": q_hyperball_harmonic_hll_nation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "hyperball_harmonic_exact_nation": _HYPERBALL_NATION_SQL,
+        "hyperball_harmonic_hll_nation": _HYPERBALL_NATION_SQL,
+    }
+)

@@ -3,7 +3,8 @@
 import networkx as nx
 import pytest
 
-from linkgraph import LinkGraph, effective_diameter, neighborhood_function
+from linkgraph import (LinkGraph, effective_diameter, hyperball_harmonic,
+                       neighborhood_function)
 from tests.fixtures import random_digraph
 
 
@@ -74,3 +75,72 @@ def test_hop0_and_validation(spark):
         neighborhood_function(g, method="bogus")
     with pytest.raises(ValueError, match="fraction"):
         effective_diameter(g, fraction=0.0)
+
+
+# ------------------------------------------------------------- HyperBall
+
+
+def _nx_harmonic_forward(edges):
+    g = nx.DiGraph(edges)
+    out = {}
+    for v in g:
+        d = nx.single_source_shortest_path_length(g, v)
+        out[v] = sum(1.0 / x for x in d.values() if x > 0)
+    return out
+
+
+def test_hyperball_exact_matches_nx(spark):
+    edges = [(s, d) for s, d, _ in random_digraph(40, 0.08, seed=5)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {
+        r["id"]: r["harmonic"]
+        for r in hyperball_harmonic(g, method="exact").collect()
+    }
+    want = _nx_harmonic_forward(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_hyperball_hll_exact_in_sparse_mode(spark):
+    # small balls keep the sketches in sparse mode -> estimates are exact
+    edges = [(s, d) for s, d, _ in random_digraph(30, 0.08, seed=6)]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {
+        r["id"]: r["harmonic"]
+        for r in hyperball_harmonic(g, method="hll", lg_k=12).collect()
+    }
+    want = _nx_harmonic_forward(edges)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_hyperball_matches_harmonic_centrality(spark):
+    from linkgraph import harmonic_centrality
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    hb = {r["id"]: r["harmonic"]
+          for r in hyperball_harmonic(g, method="exact").collect()}
+    hc = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+    assert set(hb) == set(hc)
+    for k in hc:
+        assert hb[k] == pytest.approx(hc[k], abs=1e-9)
+
+
+def test_hyperball_max_hops_truncates(spark):
+    # path a->b->c->d: with max_hops=1 only the 1/1 terms accumulate
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {r["id"]: r["harmonic"]
+           for r in hyperball_harmonic(g, method="exact", max_hops=1).collect()}
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 0.0}
+
+
+def test_hyperball_bad_args(spark):
+    edges = [("a", "b")]
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    with pytest.raises(ValueError):
+        hyperball_harmonic(g, method="nope")
+    with pytest.raises(ValueError):
+        hyperball_harmonic(g, max_hops=-1)
