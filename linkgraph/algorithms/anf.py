@@ -59,12 +59,18 @@ def neighborhood_function(
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
+        # persist, not localCheckpoint: a cached plan keeps its
+        # repartition(v) partitioning visible to Catalyst (an RDD
+        # checkpoint degrades to unknown partitioning and re-exchanges
+        # the EDGE side every hop — the node-sized state is the only
+        # side that should ever shuffle)
         edges = (
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .distinct()
             .repartition(npart, "v")  # superstep joins state on the DST side
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        edges.count()  # materialize once
         if method == "hll":
             state = (
                 graph.nodes.groupBy(ID)
@@ -100,6 +106,7 @@ def neighborhood_function(
             if n == history[-1]:
                 break  # every ball closed (or estimates stable): converged
             history.append(n)
+        edges.unpersist()
     return spark.createDataFrame(
         [(h, n) for h, n in enumerate(history)], "hop int, pairs long"
     ).repartition(1)
@@ -121,11 +128,19 @@ def hyperball_harmonic(
     the same quantity :func:`linkgraph.algorithms.closeness.harmonic_centrality`
     computes by landmark BFS — but with O(2^lg_k) state per node regardless
     of ball size, so it scales to graphs where even landmark distance tables
-    blow up. The superstep is the HyperANF join + ``hll_union_agg`` with the
-    running (est, harmonic) columns carried through a co-partitioned join —
-    one exchange and one action per hop; stops when ΣN(r) stops growing.
-    Estimates are exact while sketches are in sparse mode; beyond that the
-    per-hop delta is clamped at 0 so estimator wobble never subtracts mass.
+    blow up. Estimates are exact while sketches are in sparse mode; beyond
+    that the per-hop delta is clamped at 0 so estimator wobble never
+    subtracts mass.
+
+    Superstep shape (audited — tests/test_plans.py): the running
+    (est, harmonic) columns ride THROUGH the ``hll_union_agg`` groupBy as
+    null-on-the-contrib-branch max() aggregates, so there is NO carry join;
+    edges are ``persist()``-ed (a cached plan keeps its ``repartition(v)``
+    partitioning visible to Catalyst, where ``localCheckpoint`` would
+    degrade to an unknown-partitioning RDD scan and force an edge-sized
+    exchange EVERY hop) — per hop that leaves exactly two node-sized
+    exchanges (state into the edge join, union into the groupBy) and one
+    action; stops when ΣN(r) stops growing.
 
     ``method="exact"`` runs the same accumulation on materialized
     (node, reached) pairs — the verification path, equal to
@@ -142,9 +157,12 @@ def hyperball_harmonic(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .distinct()
             .repartition(npart, "v")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        edges.count()  # materialize once
         if method == "hll":
+            # groupBy(ID) already leaves the state hash(id)-partitioned —
+            # no explicit repartition needed before the first hop
             state = (
                 graph.nodes.groupBy(ID)
                 .agg(F.hll_sketch_agg(ID, F.lit(lg_k)).alias("sk"))
@@ -154,7 +172,6 @@ def hyperball_harmonic(
                     F.hll_sketch_estimate("sk").alias("est"),
                     F.lit(0.0).alias("harmonic"),
                 )
-                .repartition(npart, ID)
                 .localCheckpoint(eager=True)
             )
         else:
@@ -172,26 +189,33 @@ def hyperball_harmonic(
         for hop in range(1, max_hops + 1):
             if method == "hll":
                 contrib = state.join(edges, state[ID] == edges["v"]).select(
-                    edges["u"].alias(ID), "sk"
+                    edges["u"].alias(ID),
+                    "sk",
+                    F.lit(None).cast("double").alias("est"),
+                    F.lit(None).cast("double").alias("harmonic"),
                 )
+                # carry (est, harmonic) THROUGH the aggregate: each id has
+                # exactly one state row (non-null) and N contrib rows
+                # (null), so max() recovers the carried values — no join.
+                # Per-hop delta clamped at 0 (sketch estimates can wobble).
                 grown = (
-                    state.select(ID, "sk")
+                    state.select(ID, "sk", "est", "harmonic")
                     .unionByName(contrib)
                     .groupBy(ID)
-                    .agg(F.hll_union_agg("sk").alias("sk"))
+                    .agg(
+                        F.hll_union_agg("sk").alias("sk"),
+                        F.max("est").alias("_e0"),
+                        F.max("harmonic").alias("_h0"),
+                    )
                     .withColumn("_est", F.hll_sketch_estimate("sk"))
                 )
-                # grown hash(id) ⋈ carried hash(id): co-partitioned join;
-                # per-hop delta clamped at 0 (sketch estimates can wobble)
-                state_n = grown.join(
-                    state.select(ID, "est", "harmonic"), ID
-                ).select(
+                state_n = grown.select(
                     ID,
                     "sk",
                     F.col("_est").alias("est"),
                     (
-                        F.col("harmonic")
-                        + F.greatest(F.col("_est") - F.col("est"), F.lit(0.0))
+                        F.col("_h0")
+                        + F.greatest(F.col("_est") - F.col("_e0"), F.lit(0.0))
                         / F.lit(float(hop))
                     ).alias("harmonic"),
                 )
@@ -219,9 +243,8 @@ def hyperball_harmonic(
                     .localCheckpoint(eager=True)
                 )
             if method == "hll":
-                state_n = state_n.repartition(npart, ID).localCheckpoint(
-                    eager=True
-                )
+                # join output is already hash(id)-partitioned (see init)
+                state_n = state_n.localCheckpoint(eager=True)
                 new_total = float(state_n.agg(F.sum("est")).first()[0])
                 state = state_n
             else:
@@ -230,6 +253,7 @@ def hyperball_harmonic(
             if new_total == total:
                 break
             total = new_total
+        edges.unpersist()
         out = state if method == "hll" else carry
         return out.select(ID, "harmonic")
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def betweenness_centrality(
@@ -152,14 +152,16 @@ def betweenness_sampled(
 
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        fwd = (
+        # pinned (not checkpointed): keeps each table's hash partitioning
+        # visible to Catalyst so the per-level joins exchange only the
+        # frontier, never the edge tables
+        fwd = pin_partitioned(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
-        rev = fwd.repartition(npart, "v").localCheckpoint(eager=True)
+        rev = pin_partitioned(fwd.repartition(npart, "v"))
 
         # Forward: levels[L] = DataFrame[s, id, sigma] of nodes first reached
         # at hop L, sigma = number of shortest s→id paths (double: path
@@ -193,6 +195,8 @@ def betweenness_sampled(
                 _forward_level(levels[-1], fwd, seen).limit(1).count() > 0
             )
         if truncated and exact:
+            fwd.unpersist()
+            rev.unpersist()
             raise RuntimeError(
                 f"exact betweenness (sources=None) did not exhaust the BFS "
                 f"within max_hops={max_hops}; raise max_hops above the graph "
@@ -234,6 +238,8 @@ def betweenness_sampled(
                     eager=True
                 )
 
+        fwd.unpersist()
+        rev.unpersist()
         if _edges:
             t = graph.nodes.schema[ID].dataType.simpleString()
             if edge_parts:

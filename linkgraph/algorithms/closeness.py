@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def shortest_path_lengths(
@@ -54,10 +54,17 @@ def shortest_path_lengths(
     else:
         lm = landmarks.select(F.col(landmarks.columns[0]).alias("landmark"))
 
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        rev = graph.edges.select(
-            F.col(DST).alias("u"), F.col(SRC).alias("v")
-        ).distinct().localCheckpoint(eager=True)
+        # pre-partition on the frontier-join key and PIN (persist keeps the
+        # partitioning visible to Catalyst — a localCheckpoint degrades to
+        # an unknown-partitioning RDD scan and re-exchanges the edge-sized
+        # table every hop); only the frontier shuffles per hop
+        rev = pin_partitioned(
+            graph.edges.select(F.col(DST).alias("u"), F.col(SRC).alias("v"))
+            .distinct()
+            .repartition(npart, "u")
+        )
 
         settled = lm.select(
             F.col("landmark").alias(ID), F.col("landmark"), F.lit(0).alias("dist")
@@ -75,6 +82,7 @@ def shortest_path_lengths(
                 break
             settled = settled.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
+        rev.unpersist()
         return settled
 
 

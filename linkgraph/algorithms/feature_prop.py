@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def explode_features(
@@ -71,11 +71,12 @@ def feature_propagation(
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        edges = (
+        # pinned (not checkpointed) so hash(u) stays visible to Catalyst:
+        # each round exchanges only the node×dim state, never the edges
+        edges = pin_partitioned(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .distinct()
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         x = explode_features(features, id_col, feat_col).localCheckpoint(
             eager=True
@@ -101,4 +102,8 @@ def feature_propagation(
                 )
                 .localCheckpoint(eager=False)
             )
+        # materialize before releasing the pinned edges (the per-round
+        # checkpoints above are lazy — nothing inside the loop forces them)
+        x = x.localCheckpoint(eager=True)
+        edges.unpersist()
     return assemble_features(x, feat_col) if assemble else x

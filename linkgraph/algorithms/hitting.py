@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 from linkgraph.algorithms.transition import transition_matrix
 
 
@@ -54,7 +54,10 @@ def _first_passage(graph, targets, max_iter, tol, mode):
     spark = graph.edges.sparkSession
     tgt = _targets_df(spark, graph, targets)
     with static_plans(spark):
-        tm = transition_matrix(graph).localCheckpoint(eager=True)
+        # the superstep joins tm on DST: pre-partition + pin so only the
+        # node-sized value table exchanges per round
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tm = pin_partitioned(transition_matrix(graph).repartition(npart, DST))
         init = F.lit(1.0) if mode == "absorb" else F.lit(0.0)
         v = (
             graph.nodes.select(ID)
@@ -99,6 +102,7 @@ def _first_passage(graph, targets, max_iter, tol, mode):
             if tol > 0.0 and delta is not None and delta <= tol:
                 converged = True
                 break
+        tm.unpersist()
         name = "hitting_time" if mode == "hit" else "absorption_prob"
         return FirstPassageResult(v.select(ID, F.col("val").alias(name)), it, converged)
 

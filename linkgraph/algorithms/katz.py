@@ -28,16 +28,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def _adjacency(graph: LinkGraph, key: str) -> DataFrame:
     """(u, v, w) with parallel edges summed (adjacency-matrix semantics,
     matching networkx MultiGraph weight accumulation), hash-partitioned on
-    ``key`` and lineage-truncated for superstep reuse."""
+    ``key`` and PINNED via ``session.pin_partitioned`` so the partitioning
+    stays visible to Catalyst across supersteps (a localCheckpoint would
+    degrade to an unknown-partitioning scan and re-exchange the edge table
+    every round). Caller unpersists."""
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return (
+    return pin_partitioned(
         graph.edges.select(
             F.col(SRC).alias("u"),
             F.col(DST).alias("v"),
@@ -46,7 +49,6 @@ def _adjacency(graph: LinkGraph, key: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
         .repartition(npart, key)
-        .localCheckpoint(eager=True)
     )
 
 
@@ -104,6 +106,7 @@ def katz_centrality(
             if not math.isfinite(err):
                 # overflow to inf/nan: diverging NOW — don't burn the
                 # remaining superstep budget on poisoned floats
+                edges.unpersist()
                 raise RuntimeError(
                     "katz_centrality diverged (non-finite L1 delta); "
                     "alpha exceeds 1/lambda_max(A) — reduce alpha "
@@ -114,11 +117,13 @@ def katz_centrality(
                 break
         else:
             if tol > 0:
+                edges.unpersist()
                 raise RuntimeError(
                     f"katz_centrality did not converge within max_iter="
                     f"{max_iter} (L1 delta {err:.3g} >= {n * tol:.3g}); "
                     "check alpha < 1/lambda_max(A)"
                 )
+        edges.unpersist()
     if normalized:
         s = 1.0 / math.sqrt(sumsq) if sumsq > 0 else 1.0
         x = x.select(ID, (F.col("x") * F.lit(s)).alias("katz"))
@@ -196,9 +201,13 @@ def hits(
                 converged = True
                 break
         if tol > 0 and not converged:
+            fwd.unpersist()
+            rev.unpersist()
             raise RuntimeError(
                 f"hits did not converge within max_iter={max_iter}"
             )
+        fwd.unpersist()
+        rev.unpersist()
         out = (
             graph.nodes.select(ID)
             .join(h, ID, "left")
@@ -267,6 +276,7 @@ def eigenvector_centrality(
             )
             ss = float(raw.agg(F.sum(F.col("x") * F.col("x"))).first()[0])
             if not math.isfinite(ss):
+                edges.unpersist()
                 raise RuntimeError(
                     "eigenvector_centrality overflowed (non-finite L2 norm); "
                     "weights too large for per-step normalization to track"
@@ -285,6 +295,7 @@ def eigenvector_centrality(
                     break
             else:
                 x = newx.localCheckpoint(eager=False)
+        edges.unpersist()
         if not converged:
             raise RuntimeError(
                 f"eigenvector_centrality did not converge within "

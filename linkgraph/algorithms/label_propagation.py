@@ -60,8 +60,18 @@ def label_propagation(
 def _und_edges(graph: LinkGraph, weighted: bool):
     """Symmetrized (u, v, w) edge table shared by both LPA loops: union of
     both directions, self-loops dropped, parallel edges weight-summed.
-    Caller persists/unpersists."""
+    Caller persists/unpersists.
+
+    Repartitioned by ``u`` AFTER the dedup groupBy: the groupBy leaves the
+    table hash(u, v)-partitioned, which does NOT satisfy the per-superstep
+    join's hash(u) requirement — without this one extra build-time exchange
+    the (edge-sized!) table would re-exchange EVERY superstep; with it,
+    only the node-sized label table shuffles per round (same contract as
+    pagerank's edges_norm, pagerank.py)."""
     w = graph.weight_col() if weighted else F.lit(1.0)
+    npart = int(
+        graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w"))
         .union(
@@ -72,6 +82,7 @@ def _und_edges(graph: LinkGraph, weighted: bool):
         .filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
+        .repartition(npart, "u")
     )
 
 

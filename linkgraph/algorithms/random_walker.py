@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def random_walks(
@@ -89,7 +89,12 @@ def _normalized_edges(graph) -> "DataFrame":
 
 
 def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
-    edges = _normalized_edges(graph).localCheckpoint(eager=True)
+    npart = int(
+        graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # pinned + pre-partitioned on src: each epoch's walk-extension join
+    # exchanges only the walk-state side, never the edge table
+    edges = pin_partitioned(_normalized_edges(graph).repartition(npart, SRC))
 
     state = (
         graph.nodes.select(F.col(ID).cast("string").alias(ID))
@@ -125,6 +130,7 @@ def _walk_loop(graph, sources, num_epochs, n_sampling_edges, seed):
             F.col(DST).alias("curr"),  # null freezes dead-ended paths
         ).localCheckpoint(eager=True)
 
+    edges.unpersist()
     return state.select(
         F.col("path").alias("random_walks"), F.col("weights").alias("weights")
     ).filter(F.col("random_walks").isNotNull())

@@ -259,15 +259,23 @@ def _scc_distributed(
     checkpoint_every_steps: int | None = None,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
-    # Edges are kept hash-partitioned by u across supersteps (localCheckpoint
-    # preserves partitioning): the coloring join then shuffles only the
-    # node-sized color table each superstep, never the edge table — the same
-    # rank-side-only-shuffle shape as pagerank's loop (pagerank.py:345-355).
-    # Edges are re-partitioned only when the peel actually filters them.
+    # Edges are kept hash-partitioned by u across supersteps and PINNED
+    # (persist keeps the repartition visible to Catalyst — a localCheckpoint
+    # would degrade to an unknown-partitioning RDD scan and re-exchange the
+    # edge table under every coloring join): only the node-sized color
+    # table shuffles per superstep, the same rank-side-only-shuffle shape
+    # as pagerank's loop. Each peel derives a NEW pinned generation from
+    # the previous (materialized from its cache), then releases the old.
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _pinned: list[DataFrame] = []
 
     def _by_u(e: DataFrame) -> DataFrame:
-        return e.repartition(npart, "u").localCheckpoint(eager=False)
+        df = e.repartition(npart, "u").persist()
+        df.count()  # materialize BEFORE releasing the generation it reads
+        while _pinned:
+            _pinned.pop().unpersist()
+        _pinned.append(df)
+        return df
 
     def _restrict(labels: DataFrame) -> DataFrame:
         # parity with connected_components: outside endpoints shape
@@ -402,8 +410,13 @@ def _scc_distributed(
                 a = _assigned()
                 if a is None:
                     t = graph.nodes.schema[ID].dataType.simpleString()
+                    while _pinned:
+                        _pinned.pop().unpersist()
                     return spark.createDataFrame([], f"{ID} {t}, scc {t}")
-                return _restrict(a)
+                a = _restrict(a).localCheckpoint(eager=True)
+                while _pinned:
+                    _pinned.pop().unpersist()
+                return a
             # ---- 1. trim to fixpoint: no in-edge or no out-edge => singleton
             while True:
                 core = (
@@ -534,8 +547,15 @@ def _scc_distributed(
     out = _assigned()
     if out is None:
         t = graph.nodes.schema[ID].dataType.simpleString()
+        while _pinned:
+            _pinned.pop().unpersist()
         return spark.createDataFrame([], f"{ID} {t}, scc {t}")
-    return _restrict(out)
+    # sever before releasing the pinned edges: some `parts` snapshots are
+    # lazy (eager=False) and may still reference an edge generation
+    out = _restrict(out).localCheckpoint(eager=True)
+    while _pinned:
+        _pinned.pop().unpersist()
+    return out
 
 
 def condensation(graph: LinkGraph, labels: DataFrame | None = None) -> DataFrame:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def spread_activation(
@@ -55,7 +55,12 @@ def _spread_loop(graph, seed_nodes, sf, transfer, steps, influenced_by):
     seeds = seeds.withColumn("influence", F.lit(1.0))
 
     w = graph.weight_col()
-    edges = graph.edges.select(SRC, DST, w.alias("w")).localCheckpoint(eager=True)
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # pinned + pre-partitioned on src: the per-step triple join exchanges
+    # the node-sized state sides, not the edge table
+    edges = pin_partitioned(
+        graph.edges.select(SRC, DST, w.alias("w")).repartition(npart, SRC)
+    )
 
     # degrees, zero-filled (spark_spreadactivation.py:167-198)
     deg = (
@@ -144,5 +149,6 @@ def _spread_loop(graph, seed_nodes, sf, transfer, steps, influenced_by):
             )
         v = new_v.localCheckpoint(eager=True)
 
+    edges.unpersist()
     cols = [ID, "influence"] + (["influenced_by"] if influenced_by else [])
     return v.select(*cols)

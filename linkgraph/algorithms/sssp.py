@@ -14,8 +14,10 @@ superstep join —
 iterated to fixpoint. Frontier-pruned: only nodes whose distance IMPROVED
 last round feed the next relaxation (the textbook queue-based refinement),
 so supersteps touch the active frontier, not all settled state. Edges are
-hash-partitioned by src once and reused every superstep (localCheckpoint
-preserves partitioning) — only the frontier shuffles, the same
+hash-partitioned by src once and PINNED via ``session.pin_partitioned``
+(persist keeps the repartition visible to Catalyst; a localCheckpoint
+would degrade to an unknown-partitioning RDD scan and re-exchange the
+edge table every round) — only the frontier shuffles, the same
 rank-side-only-shuffle shape as pagerank/SCC. Convergence is the improved
 count reaching zero, read from the SAME aggregate that materializes the
 superstep (one action per round).
@@ -31,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def _relax_round(dist: DataFrame, frontier: DataFrame, edges: DataFrame) -> DataFrame:
@@ -80,7 +82,7 @@ def shortest_paths_weighted(
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = graph.weight_col()
     with static_plans(spark):
-        edges = (
+        edges = pin_partitioned(
             graph.edges.select(
                 F.col(SRC).alias("u"), F.col(DST).alias("v"),
                 w.cast("double").alias("w"),
@@ -88,7 +90,6 @@ def shortest_paths_weighted(
             .groupBy("u", "v")
             .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         dist = src_df.select(ID, F.lit(0.0).alias("dist")).distinct()
         dist = dist.localCheckpoint(eager=True)
@@ -104,11 +105,13 @@ def shortest_paths_weighted(
             )
             dist = merged.select(ID, "dist")
         else:
+            edges.unpersist()
             raise RuntimeError(
                 f"shortest_paths_weighted did not converge within "
                 f"max_iter={max_iter} supersteps — negative cycle, or raise "
                 "max_iter (rounds are bounded by the weighted-path hop count)"
             )
+        edges.unpersist()
     # restrict to the caller's node table (parity with scc/cc/closeness:
     # outside endpoints shape reachability but emit no output row)
     return dist.join(graph.nodes.select(ID), ID, "left_semi")
@@ -152,7 +155,7 @@ def shortest_path_lengths_weighted(
     with static_plans(spark):
         # reversed orientation: dist(u → landmark) improves via out-edge
         # (u, v): cand = w(u,v) + dist(v → landmark)
-        rev = (
+        rev = pin_partitioned(
             graph.edges.select(
                 F.col(DST).alias("v"), F.col(SRC).alias("u"),
                 w.cast("double").alias("w"),
@@ -160,7 +163,6 @@ def shortest_path_lengths_weighted(
             .groupBy("v", "u")
             .agg(F.min("w").alias("w"))
             .repartition(npart, "v")
-            .localCheckpoint(eager=True)
         )
         dist = lm.select(
             F.col("landmark").alias(ID), "landmark", F.lit(0.0).alias("dist")
@@ -200,11 +202,13 @@ def shortest_path_lengths_weighted(
             frontier = frontier.localCheckpoint(eager=False)
             dist = merged.select(ID, "landmark", "dist")
         else:
+            rev.unpersist()
             raise RuntimeError(
                 f"shortest_path_lengths_weighted did not converge within "
                 f"max_iter={max_iter} supersteps — negative cycle, or raise "
                 "max_iter"
             )
+        rev.unpersist()
     return dist.join(graph.nodes.select(ID), ID, "left_semi")
 
 

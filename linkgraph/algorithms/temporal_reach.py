@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 _INF = float("inf")
 
@@ -90,14 +90,13 @@ def temporal_reachability(
     src_df = src_df.join(graph.nodes.select(ID), ID, "left_semi")
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        edges = (
+        edges = pin_partitioned(
             graph.edges.select(
                 F.col(SRC).alias("u"), F.col(DST).alias("v"),
                 F.col(ts_col).cast("double").alias("_ts"),
             )
             .distinct()  # parallel same-time edges are one opportunity
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         state = src_df.select(
             ID, F.lit(float(start)).alias("arrival")
@@ -116,9 +115,11 @@ def temporal_reachability(
             )
             state = merged.select(ID, "arrival")
         else:
+            edges.unpersist()
             raise RuntimeError(
                 f"temporal_reachability did not converge within max_iter="
                 f"{max_iter} supersteps — raise max_iter (rounds are bounded "
                 "by the longest chain of strictly improving arrivals)"
             )
+        edges.unpersist()
     return state.join(graph.nodes.select(ID), ID, "left_semi")

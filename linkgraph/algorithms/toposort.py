@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def topological_layers(graph: LinkGraph, max_depth: int | None = None) -> DataFrame:
@@ -47,37 +47,41 @@ def topological_layers(graph: LinkGraph, max_depth: int | None = None) -> DataFr
     n = graph.number_of_nodes()
     budget = max_depth if max_depth is not None else n
     with static_plans(spark):
-        edges = (
+        # pin, don't checkpoint: keeps hash(u) visible so each round
+        # exchanges only the node-sized frontier (session.pin_partitioned)
+        edges = pin_partitioned(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .distinct()
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
-        layer = graph.nodes.select(ID, F.lit(0).alias("layer")).localCheckpoint(
-            eager=True
-        )
-        frontier = layer
-        for _ in range(budget + 1):
-            cand = (
-                frontier.join(edges, frontier[ID] == edges["u"])
-                .select(F.col("v").alias(ID), (F.col("layer") + 1).alias("l"))
-                .groupBy(ID)
-                .agg(F.max("l").alias("l"))
+        try:
+            layer = graph.nodes.select(ID, F.lit(0).alias("layer")).localCheckpoint(
+                eager=True
             )
-            merged = layer.join(cand, ID, "left").select(
-                ID,
-                F.greatest("layer", F.coalesce("l", F.lit(0))).alias("layer"),
-                (
-                    F.col("l").isNotNull() & (F.col("l") > F.col("layer"))
-                ).alias("_imp"),
-            ).localCheckpoint(eager=False)
-            n_imp = merged.filter("_imp").count()  # materializes the round
-            layer = merged.select(ID, "layer")
-            if n_imp == 0:
-                return layer
-            frontier = merged.filter("_imp").select(ID, "layer").localCheckpoint(
-                eager=False
-            )
+            frontier = layer
+            for _ in range(budget + 1):
+                cand = (
+                    frontier.join(edges, frontier[ID] == edges["u"])
+                    .select(F.col("v").alias(ID), (F.col("layer") + 1).alias("l"))
+                    .groupBy(ID)
+                    .agg(F.max("l").alias("l"))
+                )
+                merged = layer.join(cand, ID, "left").select(
+                    ID,
+                    F.greatest("layer", F.coalesce("l", F.lit(0))).alias("layer"),
+                    (
+                        F.col("l").isNotNull() & (F.col("l") > F.col("layer"))
+                    ).alias("_imp"),
+                ).localCheckpoint(eager=False)
+                n_imp = merged.filter("_imp").count()  # materializes the round
+                layer = merged.select(ID, "layer")
+                if n_imp == 0:
+                    return layer
+                frontier = merged.filter("_imp").select(ID, "layer").localCheckpoint(
+                    eager=False
+                )
+        finally:
+            edges.unpersist()
     raise ValueError(
         f"graph is not a DAG (layers still improving after {budget + 1} "
         "supersteps)"
@@ -129,11 +133,12 @@ def critical_path(
         neg = dur.filter(F.col("_dur") < 0).limit(1).count()
         if neg:
             raise ValueError("critical_path requires non-negative durations")
-        edges = (
+        # pin, don't checkpoint: keeps hash(u) visible so each round
+        # exchanges only the node-sized frontier (session.pin_partitioned)
+        edges = pin_partitioned(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .distinct()
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         state = (
             graph.nodes.select(ID)
@@ -190,14 +195,19 @@ def critical_path(
                     )
                     .select(F.col("v"), F.col("_b.p").alias("_pred"))
                 )
-                return state.join(best_in, state[ID] == best_in["v"], "left").select(
+                out = state.join(
+                    best_in, state[ID] == best_in["v"], "left"
+                ).select(
                     ID,
                     F.col("ef").alias("earliest_finish"),
                     F.col("_pred").alias("critical_pred"),
-                )
+                ).localCheckpoint(eager=True)  # sever before edges release
+                edges.unpersist()
+                return out
             frontier = (
                 merged.filter("_imp").select(ID, "ef").localCheckpoint(eager=False)
             )
+    edges.unpersist()
     raise ValueError(
         f"graph is not a DAG (earliest finish still improving after "
         f"{budget + 1} supersteps)"

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 _MOD = (1 << 61) - 1
 
@@ -52,10 +52,9 @@ def wl_colors(
         npart = int(
             graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        edges = (
+        edges = pin_partitioned(
             graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         deg = (
             edges.select(F.col("u").alias(ID))
@@ -101,6 +100,10 @@ def wl_colors(
                 )
                 .localCheckpoint(eager=False)
             )
+        # materialize before releasing the pinned edges (per-round
+        # checkpoints above are lazy)
+        colors = colors.localCheckpoint(eager=True)
+        edges.unpersist()
         return colors.select(ID, F.col("c").alias(out))
 
 

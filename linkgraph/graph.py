@@ -362,6 +362,20 @@ class LinkGraph:
 
         return neighborhood_function(self, **kwargs)
 
+    def hyperball_harmonic(self, **kwargs) -> DataFrame:
+        """HyperBall per-node harmonic centrality (beyond reference);
+        DataFrame[id, harmonic]."""
+        from linkgraph.algorithms.anf import hyperball_harmonic
+
+        return hyperball_harmonic(self, **kwargs)
+
+    def critical_path(self, durations: DataFrame, **kwargs) -> DataFrame:
+        """CPM earliest finish + critical predecessor over a DAG (beyond
+        reference); DataFrame[id, earliest_finish, critical_pred]."""
+        from linkgraph.algorithms.toposort import critical_path
+
+        return critical_path(self, durations, **kwargs)
+
     def effective_diameter(self, **kwargs) -> int:
         """Smallest hop reaching the given mass fraction (beyond
         reference)."""

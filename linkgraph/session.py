@@ -104,3 +104,21 @@ def static_plans(spark: SparkSession):
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def pin_partitioned(df):
+    """Materialize a STATIC table that a superstep loop will scan every
+    round, keeping its partitioning visible to Catalyst.
+
+    ``localCheckpoint`` severs the lineage to a ``Scan ExistingRDD`` whose
+    output partitioning is UNKNOWN — EnsureRequirements then re-exchanges
+    the table under every per-round join, even when it was explicitly
+    ``repartition(k, key)``-ed. ``persist()`` keeps the logical plan (and
+    its partitioning) while caching the blocks, so a pre-partitioned edge
+    table is exchanged ONCE at build and only the node-sized side shuffles
+    per round. Use for build-once scan-many tables only (iterative STATE
+    must still localCheckpoint to truncate plan growth). Caller unpersists.
+    """
+    df = df.persist()
+    df.count()
+    return df

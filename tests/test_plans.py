@@ -713,3 +713,66 @@ def test_powerlaw_alpha_plan_is_two_aggregates(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_hyperball_hop_two_exchanges_no_carry_join(spark):
+    """HyperBall's hop carries (est, harmonic) THROUGH the hll_union_agg
+    groupBy as null-on-contrib max() aggregates — no carry join — and the
+    persisted edge table keeps its repartition(v) partitioning visible to
+    Catalyst, so the hop's only exchanges are node-sized: the state side of
+    the edge join and the union into the groupBy. (A localCheckpoint'ed
+    edge table degrades to an unknown-partitioning RDD scan and would add
+    an EDGE-sized exchange per hop.) Whole hop stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # mirror the at-scale shape: a 100-TB edge table never broadcasts
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nodes = spark.createDataFrame([(f"n{i}",) for i in range(8)], ["id"])
+        e = spark.createDataFrame(
+            [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)], ["u", "v"]
+        )
+        edges = e.distinct().repartition(npart, "v").persist()
+        edges.count()
+        state = (
+            nodes.groupBy("id")
+            .agg(F.hll_sketch_agg("id", F.lit(12)).alias("sk"))
+            .select(
+                "id", "sk",
+                F.hll_sketch_estimate("sk").alias("est"),
+                F.lit(0.0).alias("harmonic"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        contrib = state.join(edges, state["id"] == edges["v"]).select(
+            edges["u"].alias("id"), "sk",
+            F.lit(None).cast("double").alias("est"),
+            F.lit(None).cast("double").alias("harmonic"),
+        )
+        step = (
+            state.select("id", "sk", "est", "harmonic")
+            .unionByName(contrib)
+            .groupBy("id")
+            .agg(
+                F.hll_union_agg("sk").alias("sk"),
+                F.max("est").alias("_e0"),
+                F.max("harmonic").alias("_h0"),
+            )
+            .withColumn("_est", F.hll_sketch_estimate("sk"))
+        )
+        plan = _plan(step)
+        assert "Window" not in plan and "EvalPython" not in plan
+        assert "InMemoryTableScan" in plan  # edges come from the cache
+        # exchanges INSIDE the InMemoryRelation are the cache's one-time
+        # build lineage, not per-hop cost — count only the live ones:
+        # state→edge-join (1) + union→groupBy (1); the persisted edge side
+        # must NOT re-exchange (its cached repartition(v) satisfies the join)
+        live = plan.split("InMemoryRelation")[0]
+        assert live.count("Exchange hashpartitioning") <= 2, plan
+        edges.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
