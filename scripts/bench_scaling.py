@@ -291,8 +291,13 @@ capacity the host physically delivered between the two worker counts.
 Engine-side scaling facts (verified via explain, see README "Scale design"):
 one data exchange per superstep (the contribution groupBy); the cached edge
 table is scanned, never re-shuffled or re-sorted (shuffled-hash build on the
-node-sized rank side); localCheckpoint preserves hash partitioning so the
-convergence-stats join is exchange-free. Shuffle/compute per superstep is
+node-sized rank side); the convergence stats are a pure scan of the
+superstep's own output (no join), so they add no exchange. (Correction,
+r4: localCheckpoint does NOT preserve partitioning for Catalyst — it
+degrades to an unknown-partitioning RDD scan; pagerank's edge table is
+persist()-ed, which is what actually keeps its repartition(src) visible.
+The same fix was rolled out to every other superstep loop this round —
+see session.pin_partitioned and the LPA interleaved A/B.) Shuffle/compute per superstep is
 proportional to edges and nodes respectively — the properties that carry
 scaling to a real multi-executor cluster.
 
