@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import PinnedGenerations, static_plans
 
 _SEP = "\x1f"
 
@@ -37,14 +37,17 @@ def maximal_matching(
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        edges = (
+        # pinned generations: each round's survivor set materializes from
+        # the previous generation's cache, keeping hash(a) visible so the
+        # per-round joins never re-exchange the edge side
+        gens = PinnedGenerations()
+        edges = gens.pin(
             graph.edges.select(
                 F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .repartition(npart, "a")
-            .localCheckpoint(eager=True)
         )
         matched: DataFrame | None = None
         for rnd in range(max_iter):
@@ -82,17 +85,18 @@ def maximal_matching(
             used = winners.select(F.col("a").alias("n")).unionByName(
                 winners.select(F.col("b").alias("n"))
             )
-            edges = (
+            edges = gens.pin(
                 edges.join(used.withColumnRenamed("n", "a"), "a", "left_anti")
                 .join(used.withColumnRenamed("n", "b"), "b", "left_anti")
                 .repartition(npart, "a")
-                .localCheckpoint(eager=True)
             )
         else:
+            gens.release()
             raise RuntimeError(
                 f"maximal_matching did not converge in max_iter={max_iter} "
                 "rounds — expected O(log m) whp; this indicates an engine bug"
             )
+        gens.release()
     if matched is None:
         t = graph.nodes.schema[ID].dataType.simpleString()
         return spark.createDataFrame([], f"{SRC} {t}, {DST} {t}")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import PinnedGenerations, static_plans
 
 _SEP = "\x1f"
 
@@ -56,11 +56,11 @@ def maximal_independent_set(
             e = e.unionByName(
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-        edges = (
+        gens = PinnedGenerations()
+        edges = gens.pin(
             e.filter(F.col("u") != F.col("v"))
             .distinct()
             .repartition(npart, "u")
-            .localCheckpoint(eager=True)
         )
         undecided = graph.nodes.select(ID).localCheckpoint(eager=True)
         chosen: DataFrame | None = None
@@ -97,18 +97,19 @@ def maximal_independent_set(
                 undecided.join(killed, ID, "left_anti")
                 .localCheckpoint(eager=True)
             )
-            edges = (
+            edges = gens.pin(
                 edges.join(undecided.select(F.col(ID).alias("u")), "u", "left_semi")
                 .join(undecided.select(F.col(ID).alias("v")), "v", "left_semi")
                 .repartition(npart, "u")
-                .localCheckpoint(eager=True)
             )
         else:
+            gens.release()
             raise RuntimeError(
                 f"maximal_independent_set did not converge in max_iter="
                 f"{max_iter} rounds — Luby needs O(log n) whp; this "
                 "indicates an engine bug"
             )
+        gens.release()
     if chosen is None:
         return spark.createDataFrame([], graph.nodes.select(ID).schema)
     return chosen.select(ID)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import pin_partitioned, static_plans
 
 
 def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
@@ -65,7 +65,9 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
         # canonical simple edges: a < b, parallel edges -> min weight
-        edges = (
+        # static across rounds (contraction happens in the label table):
+        # pinned so hash(a) stays visible and only labels shuffle per round
+        edges = pin_partitioned(
             graph.edges.select(
                 F.least(SRC, DST).alias("a"),
                 F.greatest(SRC, DST).alias("b"),
@@ -75,7 +77,6 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
             .groupBy("a", "b")
             .agg(F.min("w").alias("w"))
             .repartition(npart, "a")
-            .localCheckpoint(eager=True)
         )
         labels = graph.nodes.select(
             ID, F.col(ID).alias("comp")
@@ -123,11 +124,13 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
         else:
+            edges.unpersist()
             raise RuntimeError(
                 f"minimum_spanning_forest did not contract within max_iter="
                 f"{max_iter} rounds — components must at least halve per "
                 "round; this indicates an engine bug"
             )
+        edges.unpersist()
     if forest is None:
         # edge-free (or all-self-loop) graph: empty forest, typed to the
         # graph's node id type

@@ -122,3 +122,26 @@ def pin_partitioned(df):
     df = df.persist()
     df.count()
     return df
+
+
+class PinnedGenerations:
+    """Generation tracker for a mutating-but-scanned-per-round table
+    (Luby/Borůvka-style peeling): ``pin`` persists + materializes the new
+    generation — reading the previous one from cache — then releases every
+    older generation. Same partitioning rationale as :func:`pin_partitioned`.
+    Call :meth:`release` on every exit path."""
+
+    def __init__(self):
+        self._live = []
+
+    def pin(self, df):
+        df = df.persist()
+        df.count()  # materialize BEFORE releasing what it was built from
+        while self._live:
+            self._live.pop().unpersist()
+        self._live.append(df)
+        return df
+
+    def release(self):
+        while self._live:
+            self._live.pop().unpersist()
