@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import static_plans
+from linkgraph.session import PinnedGenerations, static_plans
 
 
 def _undirected_pairs(graph: LinkGraph) -> DataFrame:
@@ -50,8 +50,19 @@ def _undirected_pairs(graph: LinkGraph) -> DataFrame:
 def _peel(pairs: DataFrame, k: int, max_iter: int) -> DataFrame:
     """Peel nodes with degree < k to fixpoint; returns surviving pairs.
     ``pairs`` must be symmetric (both orientations present) — peeling
-    preserves symmetry, since u and v drop together or not at all."""
-    pairs = pairs.localCheckpoint(eager=False)
+    preserves symmetry, since u and v drop together or not at all.
+
+    Each round's survivor set is a pinned generation hash(u)-partitioned
+    (session.PinnedGenerations): the round's degree groupBy and u-side
+    semi-join then run exchange-free on the cached layout — only the
+    node-sized keep set and the v-side semi-join shuffle. The returned
+    generation stays pinned for the caller's follow-on scans; peeling it
+    again (core_number's phases) releases it via the next pin."""
+    npart = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    gens = PinnedGenerations()
+    pairs = gens.pin(pairs.repartition(npart, "u"))
     n_pairs = pairs.count()
     for _ in range(max_iter):
         if n_pairs == 0:
@@ -62,17 +73,22 @@ def _peel(pairs: DataFrame, k: int, max_iter: int) -> DataFrame:
             .filter(F.col("_d") >= k)
             .select("u")
         )
-        nxt = (
+        nxt = gens.pin(
             pairs.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .repartition(npart, "u")
         )
         n_next = nxt.count()
         if n_next == n_pairs:
             break
         pairs, n_pairs = nxt, n_next
-    return pairs
+    # hand the live generation to the caller WITHOUT releasing it: sever
+    # the result from the cache so the caller can't observe an unpersisted
+    # plan, then release
+    out = pairs.localCheckpoint(eager=True)
+    gens.release()
+    return out
 
 
 def k_core(graph: LinkGraph, k: int, max_iter: int = 10_000) -> DataFrame:
