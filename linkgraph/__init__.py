@@ -57,6 +57,7 @@ from linkgraph.algorithms.edge_partition import (
 )
 from linkgraph.algorithms.triangles import (
     average_clustering,
+    effective_size,
     local_clustering_coefficient,
     clique4_count,
     k_clique_count,
@@ -81,6 +82,7 @@ from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
     eccentricity,
+    global_efficiency,
     harmonic_centrality,
     shortest_path_lengths,
 )
@@ -156,6 +158,7 @@ __all__ = [
     "triangle_count",
     "triangle_counts_per_vertex",
     "local_clustering_coefficient",
+    "effective_size",
     "average_clustering",
     "transitivity",
     "square_count",
@@ -205,6 +208,7 @@ __all__ = [
     "spectral_clustering",
     "closeness_centrality",
     "harmonic_centrality",
+    "global_efficiency",
     "hitting_times",
     "katz_centrality",
     "voterank",

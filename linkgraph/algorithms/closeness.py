@@ -158,3 +158,29 @@ def diameter_lower_bound(
         F.max("ecc").alias("d")
     ).collect()[0]
     return int(row["d"] or 0)
+
+
+def global_efficiency(
+    graph: LinkGraph, landmarks: DataFrame | list | None = None, max_hops: int = 50
+) -> float:
+    """Latora-Marchiori global efficiency: mean of 1/dist over ordered
+    node pairs, Σ_{u≠v} 1/d(u,v) / (n·(n−1)) — unreachable pairs
+    contribute 0 (networkx ``global_efficiency`` parity on undirected
+    graphs, which materialize both directions here). Pure aggregate over
+    the harmonic sums, so it shares the landmark BFS scale profile; with
+    a landmark sample it estimates Σ over the sampled columns scaled by
+    n−1 per node (the standard landmark estimator)."""
+    n = graph.number_of_nodes()
+    if n < 2:
+        return 0.0
+    h = harmonic_centrality(graph, landmarks, max_hops)
+    total = h.agg(F.sum("harmonic")).collect()[0][0] or 0.0
+    if landmarks is None:
+        return float(total) / (n * (n - 1))
+    if isinstance(landmarks, list):
+        k = len(set(landmarks))
+    else:
+        k = landmarks.distinct().count()
+    # sampled columns: each node contributed ≤ k reciprocal distances;
+    # rescale to the full n−1 columns
+    return float(total) * (n - 1) / max(k, 1) / (n * (n - 1))

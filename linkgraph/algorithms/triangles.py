@@ -162,6 +162,55 @@ def local_clustering_coefficient(graph: LinkGraph) -> DataFrame:
     return out
 
 
+def effective_size(graph: LinkGraph) -> DataFrame:
+    """DataFrame[id, effective_size] — Burt's effective size of each ego
+    network on the unweighted undirected simple graph (networkx
+    ``effective_size`` parity via the Borgatti simplification):
+
+        ES(u) = d(u) − 2·T(u) / d(u)
+
+    with d the distinct-neighbor degree and T(u) the triangles through u
+    (each triangle at u is one tie among u's alters — redundancy). The
+    structural-holes primitive: on a collaboration/import graph it ranks
+    brokers whose contacts are NOT otherwise connected.
+
+    Deviation (documented, same convention as closeness): isolated nodes
+    get 0.0 where networkx emits NaN — a NaN column poisons downstream
+    aggregates. Shares the degree-oriented triangle pipeline — one extra
+    algebraic degree aggregate, no new shuffle shape."""
+    tri, e = _triangle_triples(graph)
+    corners = (
+        tri.select(F.col("x").alias(ID))
+        .union(tri.select(F.col("y").alias(ID)))
+        .union(tri.select(F.col("z").alias(ID)))
+    )
+    counts = corners.groupBy(ID).agg(F.count(F.lit(1)).alias("t"))
+    deg = (
+        e.select(F.col("u").alias(ID))
+        .union(e.select(F.col("v").alias(ID)))
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    out = (
+        graph.nodes.select(ID)
+        .join(deg, ID, "left")
+        .join(counts, ID, "left")
+        .select(
+            ID,
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 1,
+                F.col("d")
+                - 2.0 * F.coalesce(F.col("t"), F.lit(0)) / F.col("d"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("effective_size"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 def average_clustering(graph: LinkGraph) -> float:
     """networkx ``average_clustering()`` parity: mean lcc over ALL nodes."""
     lcc = local_clustering_coefficient(graph)

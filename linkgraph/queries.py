@@ -7381,3 +7381,72 @@ ORACLE_SQL.update(
         "hyperball_harmonic_hll_nation": _HYPERBALL_NATION_SQL,
     }
 )
+
+
+def q_effective_size_region_clique(spark, sf_dir):
+    """Burt's effective size on the K5 region clique with nation tails
+    (same fixture as `core_number_region_clique`). Closed form: a region's
+    alters are the 4 other regions (K4 → 6 ties) plus its kn nations (no
+    ties), so ES(r) = (4+kn) − 12/(4+kn); a nation has one alter and no
+    ties: ES(n) = 1."""
+    from linkgraph import effective_size
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    star = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("src"), _tag("n_regionkey", "r").alias("dst")
+    )
+    out = effective_size(LinkGraph(clique.union(star)))
+    return out.select(
+        "id",
+        F.round(F.col("effective_size") * 1e6).cast("long").alias("es_millionths"),
+    )
+
+
+def q_global_efficiency_nation(spark, sf_dir):
+    """Latora-Marchiori global efficiency of the 30-node nation-region
+    star forest — Σ harmonic / (n·(n−1)), with the harmonic sums in the
+    same closed form `harmonic_nation_region` pins (nation: 1+(kr−1)/2;
+    region: kr)."""
+    from linkgraph import global_efficiency
+
+    ge = global_efficiency(nation_region_graph(spark, sf_dir))
+    return spark.createDataFrame(
+        [(int(round(ge * 1e9)),)], "ge_billionths long"
+    )
+
+
+QUERIES.update(
+    {
+        "effective_size_region_clique": q_effective_size_region_clique,
+        "global_efficiency_nation": q_global_efficiency_nation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "effective_size_region_clique": """
+        WITH k AS (SELECT n_regionkey, CAST(count(*) AS DOUBLE) AS kn
+                   FROM nation GROUP BY n_regionkey)
+        SELECT 'r' || n_regionkey AS id,
+               CAST(round(((4 + kn) - 12.0 / (4 + kn)) * 1000000) AS BIGINT)
+                   AS es_millionths
+        FROM k
+        UNION ALL
+        SELECT 'n' || n_nationkey AS id, CAST(1000000 AS BIGINT)
+        FROM nation
+    """,
+        "global_efficiency_nation": """
+        WITH k AS (SELECT CAST(count(*) AS DOUBLE) AS kr
+                   FROM nation GROUP BY n_regionkey),
+        n AS (SELECT sum(kr) + count(*) AS nn FROM k)
+        SELECT CAST(round(
+            (SELECT sum(kr * (1.0 + (kr - 1) / 2)) + sum(kr) FROM k)
+            / ((SELECT nn FROM n) * ((SELECT nn FROM n) - 1)) * 1000000000)
+            AS BIGINT) AS ge_billionths
+    """,
+    }
+)

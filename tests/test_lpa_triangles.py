@@ -168,3 +168,46 @@ def test_assortativity_regular_graph_is_nan(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a")]
     g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
     assert math.isnan(degree_assortativity(g))
+
+
+def test_effective_size_karate(spark):
+    from linkgraph import effective_size
+
+    edges = karate_edges()
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    ref = nx.effective_size(_nx_graph(edges))
+    got = {r["id"]: r["effective_size"] for r in effective_size(g).collect()}
+    for k, v in ref.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_effective_size_star_and_isolate(spark):
+    from linkgraph import effective_size
+
+    # star center: 3 alters, no ties -> ES = 3; leaves -> 1; isolate -> 0.0
+    edges = [("c", "a"), ("c", "b"), ("c", "d")]
+    nodes = spark.createDataFrame([("c",), ("a",), ("b",), ("d",), ("z",)], ["id"])
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]), nodes=nodes)
+    got = {r["id"]: r["effective_size"] for r in effective_size(g).collect()}
+    assert got == {"c": 3.0, "a": 1.0, "b": 1.0, "d": 1.0, "z": 0.0}
+
+
+def test_global_efficiency_matches_networkx(spark):
+    from linkgraph import global_efficiency
+
+    edges = karate_edges()
+    g = LinkGraph(
+        spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False}
+    )
+    want = nx.global_efficiency(_nx_graph(edges))
+    assert global_efficiency(g) == pytest.approx(want, abs=1e-12)
+
+
+def test_global_efficiency_trivial(spark):
+    from linkgraph import global_efficiency
+
+    one = LinkGraph(
+        spark.createDataFrame([("a", "a")], ["src", "dst"]),
+        nodes=spark.createDataFrame([("a",)], ["id"]),
+    )
+    assert global_efficiency(one) == 0.0
