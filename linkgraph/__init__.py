@@ -67,6 +67,7 @@ from linkgraph.algorithms.triangles import (
     triangle_count,
     triangle_counts_per_vertex,
 )
+from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation
 from linkgraph.algorithms.transition import transition_matrix, transition_power
@@ -159,6 +160,7 @@ __all__ = [
     "triangle_counts_per_vertex",
     "local_clustering_coefficient",
     "effective_size",
+    "clique_percolation",
     "average_clustering",
     "transitivity",
     "square_count",

@@ -7450,3 +7450,75 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_clique_percolation_region_nations(spark, sf_dir):
+    """CPM(k=3) on a fixture with REAL community overlap: K5 on the
+    regions (one big community) plus, per region, a triangle on the
+    region node and its two lowest-key nations (five small communities,
+    each overlapping the K5 community at exactly one region node — the
+    shape a min-member-id label would silently merge). Closed form: the
+    K5 community is every 'r' node labeled 'r0,r1,r2' (its lexicographic
+    min clique); each triangle is its own community labeled by its
+    sorted member tags."""
+    from linkgraph import clique_percolation
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(r2, F.col("k1") < F.col("k2")).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+    )
+    # two lowest-key nations per region via two plain algebraic aggs
+    base = _t(spark, sf_dir, "nation").groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("i")
+    )
+    two = (
+        _t(spark, sf_dir, "nation")
+        .join(base, "n_regionkey")
+        .where(F.col("n_nationkey") > F.col("i"))
+        .groupBy("n_regionkey", "i")
+        .agg(F.min("n_nationkey").alias("j"))
+        .select(
+            F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("r"),
+            F.concat(F.lit("n"), F.col("i").cast("string")).alias("ni"),
+            F.concat(F.lit("n"), F.col("j").cast("string")).alias("nj"),
+        )
+    )
+    tri = (
+        two.select(F.col("r").alias("src"), F.col("ni").alias("dst"))
+        .union(two.select(F.col("r").alias("src"), F.col("nj").alias("dst")))
+        .union(two.select(F.col("ni").alias("src"), F.col("nj").alias("dst")))
+    )
+    out = clique_percolation(LinkGraph(clique.union(tri)), k=3)
+    return out.select("id", "community")
+
+
+QUERIES.update(
+    {"clique_percolation_region_nations": q_clique_percolation_region_nations}
+)
+ORACLE_SQL.update(
+    {
+        "clique_percolation_region_nations": """
+        WITH lo AS (SELECT n_regionkey AS rk, min(n_nationkey) AS i
+                    FROM nation GROUP BY n_regionkey),
+        two AS (SELECT n.n_regionkey AS rk, lo.i,
+                       min(n.n_nationkey) AS j
+                FROM nation n JOIN lo ON n.n_regionkey = lo.rk
+                WHERE n.n_nationkey > lo.i
+                GROUP BY n.n_regionkey, lo.i),
+        lab AS (SELECT rk,
+                       array_to_string(list_sort(
+                           ['n' || i, 'n' || j, 'r' || rk]), ',') AS c,
+                       'n' || i AS ni, 'n' || j AS nj, 'r' || rk AS r
+                FROM two)
+        SELECT 'r' || r_regionkey AS id, 'r0,r1,r2' AS community FROM region
+        UNION ALL
+        SELECT r AS id, c AS community FROM lab
+        UNION ALL
+        SELECT ni AS id, c AS community FROM lab
+        UNION ALL
+        SELECT nj AS id, c AS community FROM lab
+    """,
+    }
+)
