@@ -68,6 +68,7 @@ from linkgraph.algorithms.triangles import (
     triangle_counts_per_vertex,
 )
 from linkgraph.algorithms.percolation import clique_percolation
+from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation
 from linkgraph.algorithms.transition import transition_matrix, transition_power

@@ -168,3 +168,85 @@ def quotient_graph(
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
     )
+
+
+def partition_agreement(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    id_col: str = "id",
+    label_col_a: str = "c",
+    label_col_b: str = "c",
+) -> dict:
+    """Agreement between two node labelings — compare a Louvain run to an
+    LPA run, a new run to yesterday's, or either to ground truth.
+
+    Returns ``{"n": int, "mi": float, "nmi": float, "ari": float}``:
+    mutual information (nats), NMI with sqrt normalization
+    (MI / sqrt(H(A)·H(B))), and the adjusted Rand index
+    (Hubert-Arabie). Nodes are matched by inner join on ``id_col`` —
+    only co-labeled nodes are compared. Conventions at the degenerate
+    edges: two single-cluster (or empty) labelings agree perfectly
+    (nmi = ari = 1.0); when exactly one side is trivial the sqrt
+    normalizer is 0 and nmi is 0.0.
+
+    Everything is a contingency-table aggregate — one join + three
+    algebraic groupBys over (label_a, label_b) counts, no windows, no
+    iteration — so the cost at 100 TB is one shuffle on the id join and
+    cluster-pair-sized aggregates after it.
+
+    NOT in the reference (it never scores partitions against each other).
+    """
+    a = labels_a.select(F.col(id_col).alias("id"), F.col(label_col_a).alias("ca"))
+    b = labels_b.select(F.col(id_col).alias("id"), F.col(label_col_b).alias("cb"))
+    cont = (
+        a.join(b, "id")
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .persist()
+    )
+    try:
+        row = cont.agg(
+            F.sum("nij").alias("n"),
+            F.count(F.lit(1)).alias("cells"),
+            F.countDistinct("ca").alias("ka"),
+            F.countDistinct("cb").alias("kb"),
+            F.sum(F.col("nij") * (F.col("nij") - 1) / 2.0).alias("pair_ij"),
+        ).collect()[0]
+        n = int(row["n"] or 0)
+        if n == 0 or (row["ka"] <= 1 and row["kb"] <= 1):
+            return {"n": n, "mi": 0.0, "nmi": 1.0, "ari": 1.0}
+        am = cont.groupBy("ca").agg(F.sum("nij").alias("ai"))
+        bm = cont.groupBy("cb").agg(F.sum("nij").alias("bj"))
+        mi = (
+            cont.join(am, "ca")
+            .join(bm, "cb")
+            .agg(
+                F.sum(
+                    F.col("nij")
+                    / n
+                    * F.log(n * F.col("nij") / (F.col("ai") * F.col("bj")))
+                ).alias("mi")
+            )
+            .collect()[0]["mi"]
+        )
+        ent = lambda m, c: -(
+            m.agg(
+                F.sum(F.col(c) / n * F.log(F.col(c) / n)).alias("h")
+            ).collect()[0]["h"]
+            or 0.0
+        )
+        ha, hb = ent(am, "ai"), ent(bm, "bj")
+        nmi = 0.0 if ha * hb <= 0 else float(mi) / (ha * hb) ** 0.5
+        pa = am.agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1) / 2.0).alias("p")
+        ).collect()[0]["p"]
+        pb = bm.agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1) / 2.0).alias("p")
+        ).collect()[0]["p"]
+        total = n * (n - 1) / 2.0
+        expected = pa * pb / total if total else 0.0
+        denom = (pa + pb) / 2.0 - expected
+        ari = 1.0 if denom == 0 else (float(row["pair_ij"]) - expected) / denom
+        return {"n": n, "mi": float(mi or 0.0), "nmi": float(nmi), "ari": float(ari)}
+    finally:
+        cont.unpersist()

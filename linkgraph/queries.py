@@ -7522,3 +7522,68 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_partition_agreement_nation(spark, sf_dir):
+    """NMI + ARI between two deterministic labelings of the nation
+    table: A = n_regionkey (the true 5-region partition), B =
+    n_nationkey % 5. Exercises `partition_agreement`'s full contingency
+    path (join, marginals, MI, entropies, pair counts) against a
+    closed-form SQL replica of the same math."""
+    from linkgraph import partition_agreement
+
+    nat = _t(spark, sf_dir, "nation")
+    a = nat.select(F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("c"))
+    b = nat.select(
+        F.col("n_nationkey").alias("id"), (F.col("n_nationkey") % 5).alias("c")
+    )
+    res = partition_agreement(a, b)
+    return spark.createDataFrame(
+        [
+            (
+                int(res["n"]),
+                int(round(res["mi"] * 1e6)),
+                int(round(res["nmi"] * 1e6)),
+                int(round(res["ari"] * 1e6)),
+            )
+        ],
+        "n long, mi_millionths long, nmi_millionths long, ari_millionths long",
+    )
+
+
+QUERIES.update({"partition_agreement_nation": q_partition_agreement_nation})
+ORACLE_SQL.update(
+    {
+        "partition_agreement_nation": """
+        WITH j AS (SELECT n_regionkey AS ca, n_nationkey % 5 AS cb FROM nation),
+        cont AS (SELECT ca, cb, CAST(count(*) AS DOUBLE) AS nij
+                 FROM j GROUP BY ca, cb),
+        tot AS (SELECT CAST(sum(nij) AS DOUBLE) AS n FROM cont),
+        am AS (SELECT ca, CAST(sum(nij) AS DOUBLE) AS ai FROM cont GROUP BY ca),
+        bm AS (SELECT cb, CAST(sum(nij) AS DOUBLE) AS bj FROM cont GROUP BY cb),
+        mi AS (SELECT sum(c.nij / t.n * ln(t.n * c.nij / (am.ai * bm.bj))) AS mi
+               FROM cont c
+               JOIN am ON c.ca = am.ca JOIN bm ON c.cb = bm.cb
+               CROSS JOIN tot t),
+        ha AS (SELECT -sum(ai / t.n * ln(ai / t.n)) AS h
+               FROM am CROSS JOIN tot t),
+        hb AS (SELECT -sum(bj / t.n * ln(bj / t.n)) AS h
+               FROM bm CROSS JOIN tot t),
+        pc AS (SELECT
+                 (SELECT sum(nij * (nij - 1) / 2) FROM cont) AS pij,
+                 (SELECT sum(ai * (ai - 1) / 2) FROM am) AS pa,
+                 (SELECT sum(bj * (bj - 1) / 2) FROM bm) AS pb,
+                 (SELECT n * (n - 1) / 2 FROM tot) AS tp)
+        SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+               CAST(round((SELECT mi FROM mi) * 1000000) AS BIGINT)
+                   AS mi_millionths,
+               CAST(round((SELECT mi FROM mi)
+                    / sqrt((SELECT h FROM ha) * (SELECT h FROM hb))
+                    * 1000000) AS BIGINT) AS nmi_millionths,
+               CAST(round(
+                    (pij - pa * pb / tp) / ((pa + pb) / 2 - pa * pb / tp)
+                    * 1000000) AS BIGINT) AS ari_millionths
+        FROM pc
+    """,
+    }
+)

@@ -140,3 +140,92 @@ def test_cut_metrics_ignores_phantom_label_ids(spark):
     part = _labels(spark, {"a": 0, "b": 0, "ghost": 42})
     rows = {r["label"] for r in cut_metrics(g, part).collect()}
     assert rows == {0}
+
+
+def _agreement_reference(pairs_a, pairs_b):
+    """Pure-python NMI (sqrt) + ARI over two id->label dicts."""
+    import math
+    from collections import Counter
+
+    ids = sorted(set(pairs_a) & set(pairs_b))
+    n = len(ids)
+    cont = Counter((pairs_a[i], pairs_b[i]) for i in ids)
+    am = Counter(pairs_a[i] for i in ids)
+    bm = Counter(pairs_b[i] for i in ids)
+    if n == 0 or (len(am) <= 1 and len(bm) <= 1):
+        return {"n": n, "mi": 0.0, "nmi": 1.0, "ari": 1.0}
+    mi = sum(
+        nij / n * math.log(n * nij / (am[a] * bm[b]))
+        for (a, b), nij in cont.items()
+    )
+    ha = -sum(c / n * math.log(c / n) for c in am.values())
+    hb = -sum(c / n * math.log(c / n) for c in bm.values())
+    nmi = 0.0 if ha * hb <= 0 else mi / math.sqrt(ha * hb)
+    pair_ij = sum(c * (c - 1) / 2 for c in cont.values())
+    pa = sum(c * (c - 1) / 2 for c in am.values())
+    pb = sum(c * (c - 1) / 2 for c in bm.values())
+    total = n * (n - 1) / 2
+    expected = pa * pb / total if total else 0.0
+    denom = (pa + pb) / 2 - expected
+    ari = 1.0 if denom == 0 else (pair_ij - expected) / denom
+    return {"n": n, "mi": mi, "nmi": nmi, "ari": ari}
+
+
+def test_partition_agreement_vs_reference(spark):
+    from linkgraph import partition_agreement
+
+    a = {x: l for x, l in zip("abcdef", [0, 0, 0, 1, 1, 1])}
+    b = {x: l for x, l in zip("abcdef", [0, 0, 1, 1, 2, 2])}
+    got = partition_agreement(
+        _labels(spark, a), _labels(spark, b), label_col_a="label", label_col_b="label"
+    )
+    want = _agreement_reference(a, b)
+    assert got["n"] == 6
+    for k in ("mi", "nmi", "ari"):
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_partition_agreement_identical_and_degenerate(spark):
+    from linkgraph import partition_agreement
+
+    a = {x: l for x, l in zip("abcdef", [0, 0, 1, 1, 2, 2])}
+    got = partition_agreement(
+        _labels(spark, a), _labels(spark, a), label_col_a="label", label_col_b="label"
+    )
+    assert got["nmi"] == pytest.approx(1.0, abs=1e-12)
+    assert got["ari"] == pytest.approx(1.0, abs=1e-12)
+
+    # both trivial (single cluster) -> perfect agreement by convention
+    one = {x: 0 for x in "abc"}
+    got = partition_agreement(
+        _labels(spark, one), _labels(spark, one), label_col_a="label", label_col_b="label"
+    )
+    assert got == {"n": 3, "mi": 0.0, "nmi": 1.0, "ari": 1.0}
+
+    # exactly one trivial side -> nmi 0 (sqrt normalizer is 0)
+    split = {"a": 0, "b": 1, "c": 2}
+    got = partition_agreement(
+        _labels(spark, one), _labels(spark, split), label_col_a="label", label_col_b="label"
+    )
+    assert got["nmi"] == 0.0
+
+    # disjoint id sets -> empty join
+    got = partition_agreement(
+        _labels(spark, {"x": 0}), _labels(spark, {"y": 0}),
+        label_col_a="label", label_col_b="label",
+    )
+    assert got["n"] == 0
+
+
+def test_partition_agreement_only_co_labeled_ids(spark):
+    from linkgraph import partition_agreement
+
+    a = {x: l for x, l in zip("abcdef", [0, 0, 0, 1, 1, 1])}
+    b = {x: l for x, l in zip("abcd", [0, 0, 1, 1])}
+    got = partition_agreement(
+        _labels(spark, a), _labels(spark, b), label_col_a="label", label_col_b="label"
+    )
+    want = _agreement_reference(a, {k: b[k] for k in "abcd"})
+    assert got["n"] == 4
+    for k in ("mi", "nmi", "ari"):
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
