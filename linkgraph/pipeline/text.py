@@ -165,6 +165,161 @@ def build_vocab(
     return toks.orderBy(F.desc("count"), F.asc("token")).limit(size)
 
 
+# ------------------------------------------------------------- BPE training
+
+
+def _merge_pair_fold(col: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of adjacent
+    ``(left, right)`` symbol pairs inside an ``array<string>`` — the exact
+    replacement order BPE uses. A JVM ``aggregate`` HOF (whole-stage
+    codegen), no Python: fold the array into a new one, fusing the current
+    element into the accumulator's tail when the pair matches. A symbol
+    produced by a merge is never re-merged within the same round
+    (``aaaa`` under (a,a) → ``[aa, aa]``, not ``[aaa, a]``)."""
+    merged = left + right
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            # try_element_at: ANSI mode throws on element_at(-1) of the
+            # empty initial accumulator; NULL compares false, as intended
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    word_pattern: str = "^[a-z]+$",
+    vocab_cap: int = 10_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train byte-pair-encoding merges on a corpus (Sennrich et al. 2016):
+    repeatedly merge the most frequent adjacent symbol pair, starting from
+    characters. Returns DataFrame[rank, left, right, pair_count] in merge
+    order — feed it to :func:`bpe_segment` to tokenize.
+
+    Fully deterministic: candidate words are filtered to ``word_pattern``
+    and capped to the ``vocab_cap`` most frequent types (count desc, word
+    asc — same rule as :func:`build_vocab`); each round picks the pair by
+    (pair_count desc, left asc, right asc). Stops early when no pair
+    remains. Two runs — or two engines — learn the SAME merge table.
+
+    100-TB shape: ONE corpus-sized tokenize+groupBy builds the word-TYPE
+    frequency table (bounded by ``vocab_cap``); training then never touches
+    the corpus again — each merge round is one explode+sum over the
+    vocab-sized table (TakeOrderedAndProject top-1, one driver row) and one
+    ``aggregate``-HOF rewrite of the symbol arrays. Cost is
+    O(num_merges × vocab), independent of corpus size.
+
+    Beyond the reference (no tokenizer training anywhere in it); the
+    standard preprocessing step the rest of the text stack
+    (:func:`bpe_token_count`, :func:`build_vocab`) approximates.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word").rlike(word_pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_cap)
+    )
+    cur = words.select(
+        F.array_remove(F.split("word", ""), "").alias("syms"), "cnt"
+    ).persist()
+    out_schema = "rank INT, left STRING, right STRING, pair_count LONG"
+    merges: list[tuple] = []
+    try:
+        for rank in range(num_merges):
+            top = (
+                cur.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+                            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                            lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                        )
+                    ).alias("p"),
+                    "cnt",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, count = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+            merges.append((rank, left, right, count))
+            nxt = cur.select(
+                _merge_pair_fold(F.col("syms"), left, right).alias("syms"), "cnt"
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    if not merges:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(merges, out_schema)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+    word_pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Tokenize with a learned merge table: split to whitespace words (those
+    matching ``word_pattern``, mirroring :func:`learn_bpe_merges`), explode
+    each to characters, apply every merge in rank order, and flatten to one
+    ``array<string>`` per row. ``merges`` is the DataFrame from
+    :func:`learn_bpe_merges` (collected — it is merge-table-sized, not
+    data-sized) or a ``[(left, right), ...]`` list in rank order.
+
+    Each merge compiles to one nested ``transform``+``aggregate`` HOF, so
+    the expression tree grows linearly with the merge count — fine for the
+    capped tables this trains (≤ a few hundred merges), and guarded: a
+    production-vocabulary table (30k+ merges) belongs in an Arrow kernel,
+    not a single codegen expression, so > 512 merges raises."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    merges = list(merges)
+    if len(merges) > 512:
+        raise ValueError(
+            f"{len(merges)} merges would compile to an oversized expression "
+            "tree; segment with an Arrow kernel at production vocab sizes"
+        )
+    wsyms = F.transform(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w.rlike(word_pattern),
+        ),
+        lambda w: F.array_remove(F.split(w, ""), ""),
+    )
+    def _round(pair):  # bind per-iteration; PySpark treats lambda default
+        left, right = pair  # args as extra HOF parameters, so no defaults
+        return lambda s: _merge_pair_fold(s, left, right)
+
+    for pair in merges:
+        wsyms = F.transform(wsyms, _round(pair))
+    return df.withColumn(out, F.flatten(wsyms))
+
+
 # ------------------------------------------------------------- repetition
 
 

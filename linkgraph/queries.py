@@ -7587,3 +7587,59 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bpe_merges_documents(spark, sf_dir):
+    """First 3 BPE merges trained on the documents corpus (lowercase-alpha
+    word types, top-50 vocab cap). The oracle unrolls the 3 training
+    rounds in SQL: words → paren-encoded symbol strings, each round = one
+    pair-count aggregate + deterministic top-1 + a boundary-safe
+    string replace (symbols never contain parens, and replace's
+    left-to-right non-overlapping scan is exactly the greedy fold the
+    engine applies)."""
+    from linkgraph.pipeline.text import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, num_merges=3, vocab_cap=50).select(
+        "rank", "left", "right", "pair_count"
+    )
+
+
+_BPE_ROUND = """
+p{i} AS (SELECT struct_extract(pr,1) AS l, struct_extract(pr,2) AS r,
+                sum(cnt) AS pair_count
+         FROM (SELECT unnest(list_zip(ls, ls[2:])) AS pr, cnt
+               FROM (SELECT string_split(syms[2:length(syms)-1], ')(') AS ls,
+                            cnt FROM r{i}))
+         WHERE struct_extract(pr,2) IS NOT NULL GROUP BY 1, 2),
+t{i} AS (SELECT l, r, pair_count FROM p{i}
+         ORDER BY pair_count DESC, l, r LIMIT 1),
+r{j} AS (SELECT replace(syms,
+              '(' || (SELECT l FROM t{i}) || ')(' || (SELECT r FROM t{i}) || ')',
+              '(' || (SELECT l FROM t{i}) || (SELECT r FROM t{i}) || ')') AS syms,
+           cnt FROM r{i})"""
+
+QUERIES.update({"bpe_merges_documents": q_bpe_merges_documents})
+ORACLE_SQL.update(
+    {
+        "bpe_merges_documents": (
+            """
+        WITH words AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents)
+          WHERE regexp_matches(word, '^[a-z]+$')
+          GROUP BY word ORDER BY cnt DESC, word LIMIT 50),
+        r0 AS (SELECT '(' || array_to_string(string_split(word,''), ')(') || ')'
+                          AS syms, cnt FROM words),
+        """
+            + ",".join(_BPE_ROUND.format(i=i, j=i + 1) for i in range(3))
+            + """
+        SELECT 0 AS rank, l AS "left", r AS "right",
+               CAST(pair_count AS BIGINT) AS pair_count FROM t0
+        UNION ALL SELECT 1, l, r, pair_count FROM t1
+        UNION ALL SELECT 2, l, r, pair_count FROM t2
+    """
+        ),
+    }
+)

@@ -1,0 +1,111 @@
+"""BPE tokenizer training: merge learning vs a pure-python reference,
+greedy-overlap semantics, segmentation round-trip, determinism guards."""
+
+import pytest
+
+from linkgraph.pipeline.text import bpe_segment, learn_bpe_merges
+
+
+def _bpe_reference(word_counts, num_merges):
+    """Pure-python replica of the documented semantics: overlapping pair
+    counts weighted by word-type frequency; top pair by (count desc,
+    left asc, right asc); greedy left-to-right non-overlapping apply."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(num_merges):
+        pc = {}
+        for w, cnt in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnt
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, c))
+        for w, s in seqs.items():
+            ns = []
+            for x in s:
+                if ns and ns[-1] == l and x == r:
+                    ns[-1] = l + r
+                else:
+                    ns.append(x)
+            seqs[w] = ns
+    return merges, seqs
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2}
+
+
+def _corpus(spark, word_counts):
+    rows = [(" ".join([w] * c),) for w, c in word_counts.items()]
+    return spark.createDataFrame(rows, ["text"])
+
+
+def test_learn_bpe_merges_vs_reference(spark):
+    got = [
+        tuple(r)
+        for r in learn_bpe_merges(_corpus(spark, SENNRICH), num_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    want, _ = _bpe_reference(SENNRICH, 6)
+    assert got == want
+    # sanity on the classic example: 'es' then 'est' lead
+    assert got[0][1:3] == ("e", "s") and got[1][1:3] == ("es", "t")
+
+
+def test_learn_bpe_merges_greedy_overlap(spark):
+    # 'aaaa' under (a,a): pairs count 3 per word occurrence; the merged
+    # symbol never re-merges within the round -> second round is (aa,aa)
+    got = [
+        tuple(r)
+        for r in learn_bpe_merges(_corpus(spark, {"aaaa": 4}), num_merges=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(0, "a", "a", 12), (1, "aa", "aa", 4)]
+
+
+def test_learn_bpe_merges_exhausts_and_filters(spark):
+    # single-char words have no pairs; words failing the pattern drop out
+    df = spark.createDataFrame([("a b c Mixed123 ab",)], ["text"])
+    got = [
+        tuple(r)
+        for r in learn_bpe_merges(df, num_merges=5).orderBy("rank").collect()
+    ]
+    assert got == [(0, "a", "b", 1)]  # only 'ab' contributes one pair
+
+
+def test_learn_bpe_merges_vocab_cap_is_deterministic(spark):
+    # cap=1 keeps only the most frequent word type (ties by word asc)
+    wc = {"bb": 3, "cc": 3, "dd": 5}
+    got = [
+        tuple(r)
+        for r in learn_bpe_merges(_corpus(spark, wc), num_merges=1, vocab_cap=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(0, "d", "d", 5)]
+
+
+def test_bpe_segment_round_trip(spark):
+    corpus = _corpus(spark, SENNRICH)
+    merges = learn_bpe_merges(corpus, num_merges=6)
+    seg = bpe_segment(corpus, merges)
+    _, seqs = _bpe_reference(SENNRICH, 6)
+    for row in seg.select("text", "bpe_tokens").collect():
+        words = row["text"].split()
+        expect = [t for w in words for t in seqs[w]]
+        assert row["bpe_tokens"] == expect
+        # lossless: tokens concatenate back to the original words
+        assert "".join(row["bpe_tokens"]) == "".join(words)
+
+
+def test_bpe_segment_accepts_pair_list_and_guards(spark):
+    df = spark.createDataFrame([("aaaa",)], ["text"])
+    out = bpe_segment(df, [("a", "a"), ("aa", "aa")]).collect()[0]["bpe_tokens"]
+    assert out == ["aaaa"]
+    with pytest.raises(ValueError, match="513 merges"):
+        bpe_segment(df, [("a", "a")] * 513)
+    with pytest.raises(ValueError, match="num_merges"):
+        learn_bpe_merges(df, num_merges=0)
