@@ -7643,3 +7643,102 @@ ORACLE_SQL.update(
         ),
     }
 )
+
+
+def q_graphlet_census_fixture(spark, sf_dir):
+    """Induced 4-node graphlet census on a deterministic 16-node fixture
+    built from the nation table: K5 (nations 0-4), a diamond (5-8), a paw
+    (triangle 9-11 + pendant 12), a pure C4 (12-15), joined by two bridges
+    — every one of the six connected 4-graphlets occurs with a nonzero
+    count. The engine computes closed-form non-induced aggregates +
+    containment back-substitution (graphlets.py docstring); the oracle is
+    an INDEPENDENT derivation — DuckDB brute-force enumerates all C(16,4)
+    4-subsets and classifies each by induced edge count and degree
+    sequence — so a wrong containment coefficient cannot self-confirm."""
+    from linkgraph import graphlet_census4
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    x, y = n.alias("x"), n.alias("y")
+    k5 = x.join(y, (F.col("x.k") < F.col("y.k")) & (F.col("y.k") < 5)).select(
+        F.col("x.id").alias("src"), F.col("y.id").alias("dst")
+    )
+    extra = spark.createDataFrame(
+        [
+            (5, 6), (6, 7), (7, 8), (5, 8), (5, 7),
+            (9, 10), (10, 11), (9, 11), (11, 12),
+            (12, 13), (13, 14), (14, 15), (12, 15),
+            (4, 5), (8, 9),
+        ],
+        ["u", "v"],
+    ).select(
+        F.concat(F.lit("g"), F.col("u")).alias("src"),
+        F.concat(F.lit("g"), F.col("v")).alias("dst"),
+    )
+    return graphlet_census4(LinkGraph(k5.union(extra)))
+
+
+QUERIES.update({"graphlet_census_fixture": q_graphlet_census_fixture})
+ORACLE_SQL.update(
+    {
+        "graphlet_census_fixture": """
+        WITH e AS (
+          SELECT a.n_nationkey AS u, b.n_nationkey AS v
+          FROM nation a, nation b
+          WHERE a.n_nationkey < b.n_nationkey AND b.n_nationkey < 5
+          UNION ALL
+          SELECT * FROM (VALUES (5,6),(6,7),(7,8),(5,8),(5,7),
+                                (9,10),(10,11),(9,11),(11,12),
+                                (12,13),(13,14),(14,15),(12,15),
+                                (4,5),(8,9)) AS t(u, v)),
+        nodes AS (SELECT u AS k FROM e UNION SELECT v FROM e),
+        deg AS (SELECT k, (SELECT count(*) FROM e
+                           WHERE u = nodes.k OR v = nodes.k) AS d
+                FROM nodes),
+        tri AS (SELECT count(*) AS t
+                FROM nodes a, nodes b, nodes c
+                WHERE a.k < b.k AND b.k < c.k
+                  AND EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=b.k)
+                  AND EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=c.k)
+                  AND EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=c.k)),
+        lab AS (
+          SELECT
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=b.k)
+                 THEN 1 ELSE 0 END AS e12,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e13,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e14,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e23,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e24,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=c.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e34
+          FROM nodes a, nodes b, nodes c, nodes d
+          WHERE a.k < b.k AND b.k < c.k AND c.k < d.k),
+        cls AS (
+          SELECT e12+e13+e14+e23+e24+e34 AS m,
+                 greatest(e12+e13+e14, e12+e23+e24,
+                          e13+e23+e34, e14+e24+e34) AS dmax,
+                 least(e12+e13+e14, e12+e23+e24,
+                       e13+e23+e34, e14+e24+e34) AS dmin
+          FROM lab)
+        SELECT
+          CAST((SELECT sum(d*(d-1)/2) FROM deg) AS BIGINT) AS wedges,
+          CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+          CAST(sum(CASE WHEN m=3 AND dmin>=1 AND dmax=2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS p4_path,
+          CAST(sum(CASE WHEN m=3 AND dmin>=1 AND dmax=3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS claw,
+          CAST(sum(CASE WHEN m=4 AND dmax=2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS cycle4,
+          CAST(sum(CASE WHEN m=4 AND dmax=3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS paw,
+          CAST(sum(CASE WHEN m=5 THEN 1 ELSE 0 END) AS BIGINT) AS diamond,
+          CAST(sum(CASE WHEN m=6 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+        FROM cls
+    """,
+    }
+)
