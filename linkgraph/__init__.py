@@ -67,7 +67,7 @@ from linkgraph.algorithms.triangles import (
     triangle_count,
     triangle_counts_per_vertex,
 )
-from linkgraph.algorithms.graphlets import graphlet_census4
+from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
@@ -166,6 +166,7 @@ __all__ = [
     "average_clustering",
     "transitivity",
     "graphlet_census4",
+    "graphlet_orbits4",
     "square_count",
     "clique4_count",
     "k_clique_count",

@@ -7742,3 +7742,163 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_graphlet_orbits_fixture(spark, sf_dir):
+    """Per-vertex graphlet degree vectors (Pržulj orbits 0-14) on the same
+    K5+diamond+paw+C4 fixture as the census. The engine runs the
+    distributed ORCA-style reduction (per-vertex algebraic primitives +
+    containment corrections); the oracle INDEPENDENTLY brute-forces every
+    3-subset and 4-subset in DuckDB, stacks each subset's vertices with
+    their in-subgraph degree, and classifies orbit membership per vertex —
+    16 hash-checked rows x 15 orbit columns pin every correction
+    coefficient in the equation system."""
+    from linkgraph import graphlet_orbits4
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    x, y = n.alias("x"), n.alias("y")
+    k5 = x.join(y, (F.col("x.k") < F.col("y.k")) & (F.col("y.k") < 5)).select(
+        F.col("x.id").alias("src"), F.col("y.id").alias("dst")
+    )
+    extra = spark.createDataFrame(
+        [
+            (5, 6), (6, 7), (7, 8), (5, 8), (5, 7),
+            (9, 10), (10, 11), (9, 11), (11, 12),
+            (12, 13), (13, 14), (14, 15), (12, 15),
+            (4, 5), (8, 9),
+        ],
+        ["u", "v"],
+    ).select(
+        F.concat(F.lit("g"), F.col("u")).alias("src"),
+        F.concat(F.lit("g"), F.col("v")).alias("dst"),
+    )
+    return graphlet_orbits4(LinkGraph(k5.union(extra)))
+
+
+QUERIES.update({"graphlet_orbits_fixture": q_graphlet_orbits_fixture})
+ORACLE_SQL.update(
+    {
+        "graphlet_orbits_fixture": """
+        WITH e AS (
+          SELECT a.n_nationkey AS u, b.n_nationkey AS v
+          FROM nation a, nation b
+          WHERE a.n_nationkey < b.n_nationkey AND b.n_nationkey < 5
+          UNION ALL
+          SELECT * FROM (VALUES (5,6),(6,7),(7,8),(5,8),(5,7),
+                                (9,10),(10,11),(9,11),(11,12),
+                                (12,13),(13,14),(14,15),(12,15),
+                                (4,5),(8,9)) AS t(u, v)),
+        nodes AS (SELECT u AS k FROM e UNION SELECT v FROM e),
+        deg AS (SELECT k, (SELECT count(*) FROM e
+                           WHERE u = nodes.k OR v = nodes.k) AS d
+                FROM nodes),
+        tri AS (
+          SELECT a.k n1, b.k n2, c.k n3,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=b.k)
+                 THEN 1 ELSE 0 END AS e12,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e13,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e23
+          FROM nodes a, nodes b, nodes c
+          WHERE a.k < b.k AND b.k < c.k),
+        t3v AS (
+          SELECT v, dv, m FROM (
+            SELECT n1 AS v, e12+e13 AS dv, e12+e13+e23 AS m FROM tri
+            UNION ALL SELECT n2, e12+e23, e12+e13+e23 FROM tri
+            UNION ALL SELECT n3, e13+e23, e12+e13+e23 FROM tri)
+          WHERE m >= 2),
+        o123 AS (
+          SELECT v,
+            sum(CASE WHEN m=2 AND dv=1 THEN 1 ELSE 0 END) AS o1,
+            sum(CASE WHEN m=2 AND dv=2 THEN 1 ELSE 0 END) AS o2,
+            sum(CASE WHEN m=3 THEN 1 ELSE 0 END) AS o3
+          FROM t3v GROUP BY v),
+        lab AS (
+          SELECT a.k n1, b.k n2, c.k n3, d.k n4,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=b.k)
+                 THEN 1 ELSE 0 END AS e12,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e13,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=a.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e14,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=c.k)
+                 THEN 1 ELSE 0 END AS e23,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=b.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e24,
+            CASE WHEN EXISTS(SELECT 1 FROM e WHERE u=c.k AND v=d.k)
+                 THEN 1 ELSE 0 END AS e34
+          FROM nodes a, nodes b, nodes c, nodes d
+          WHERE a.k < b.k AND b.k < c.k AND c.k < d.k),
+        q4v AS (
+          SELECT v, dv, m, dmax FROM (
+            SELECT n1 AS v, e12+e13+e14 AS dv,
+                   e12+e13+e14+e23+e24+e34 AS m,
+                   greatest(e12+e13+e14, e12+e23+e24,
+                            e13+e23+e34, e14+e24+e34) AS dmax,
+                   least(e12+e13+e14, e12+e23+e24,
+                         e13+e23+e34, e14+e24+e34) AS dmin
+            FROM lab
+            UNION ALL
+            SELECT n2, e12+e23+e24,
+                   e12+e13+e14+e23+e24+e34,
+                   greatest(e12+e13+e14, e12+e23+e24,
+                            e13+e23+e34, e14+e24+e34),
+                   least(e12+e13+e14, e12+e23+e24,
+                         e13+e23+e34, e14+e24+e34)
+            FROM lab
+            UNION ALL
+            SELECT n3, e13+e23+e34,
+                   e12+e13+e14+e23+e24+e34,
+                   greatest(e12+e13+e14, e12+e23+e24,
+                            e13+e23+e34, e14+e24+e34),
+                   least(e12+e13+e14, e12+e23+e24,
+                         e13+e23+e34, e14+e24+e34)
+            FROM lab
+            UNION ALL
+            SELECT n4, e14+e24+e34,
+                   e12+e13+e14+e23+e24+e34,
+                   greatest(e12+e13+e14, e12+e23+e24,
+                            e13+e23+e34, e14+e24+e34),
+                   least(e12+e13+e14, e12+e23+e24,
+                         e13+e23+e34, e14+e24+e34)
+            FROM lab)
+          WHERE dmin >= 1),
+        o414 AS (
+          SELECT v,
+            sum(CASE WHEN m=3 AND dmax=2 AND dv=1 THEN 1 ELSE 0 END) AS o4,
+            sum(CASE WHEN m=3 AND dmax=2 AND dv=2 THEN 1 ELSE 0 END) AS o5,
+            sum(CASE WHEN m=3 AND dmax=3 AND dv=1 THEN 1 ELSE 0 END) AS o6,
+            sum(CASE WHEN m=3 AND dmax=3 AND dv=3 THEN 1 ELSE 0 END) AS o7,
+            sum(CASE WHEN m=4 AND dmax=2 THEN 1 ELSE 0 END) AS o8,
+            sum(CASE WHEN m=4 AND dmax=3 AND dv=1 THEN 1 ELSE 0 END) AS o9,
+            sum(CASE WHEN m=4 AND dmax=3 AND dv=2 THEN 1 ELSE 0 END) AS o10,
+            sum(CASE WHEN m=4 AND dmax=3 AND dv=3 THEN 1 ELSE 0 END) AS o11,
+            sum(CASE WHEN m=5 AND dv=2 THEN 1 ELSE 0 END) AS o12,
+            sum(CASE WHEN m=5 AND dv=3 THEN 1 ELSE 0 END) AS o13,
+            sum(CASE WHEN m=6 THEN 1 ELSE 0 END) AS o14
+          FROM q4v GROUP BY v)
+        SELECT 'g' || deg.k AS id,
+               CAST(deg.d AS BIGINT) AS o0,
+               CAST(coalesce(o1, 0) AS BIGINT) AS o1,
+               CAST(coalesce(o2, 0) AS BIGINT) AS o2,
+               CAST(coalesce(o3, 0) AS BIGINT) AS o3,
+               CAST(coalesce(o4, 0) AS BIGINT) AS o4,
+               CAST(coalesce(o5, 0) AS BIGINT) AS o5,
+               CAST(coalesce(o6, 0) AS BIGINT) AS o6,
+               CAST(coalesce(o7, 0) AS BIGINT) AS o7,
+               CAST(coalesce(o8, 0) AS BIGINT) AS o8,
+               CAST(coalesce(o9, 0) AS BIGINT) AS o9,
+               CAST(coalesce(o10, 0) AS BIGINT) AS o10,
+               CAST(coalesce(o11, 0) AS BIGINT) AS o11,
+               CAST(coalesce(o12, 0) AS BIGINT) AS o12,
+               CAST(coalesce(o13, 0) AS BIGINT) AS o13,
+               CAST(coalesce(o14, 0) AS BIGINT) AS o14
+        FROM deg
+        LEFT JOIN o123 ON o123.v = deg.k
+        LEFT JOIN o414 ON o414.v = deg.k
+    """,
+    }
+)

@@ -96,3 +96,83 @@ def test_census_max_degree_is_induced_subgraph_census(spark):
     sub_edges = [(nodes[1], nodes[2]), (nodes[2], nodes[3]), (nodes[3], nodes[4])]
     capped = graphlet_census4(g, max_degree=3).collect()[0].asDict()
     assert capped == _brute(sub_nodes, sub_edges)
+
+
+def _brute_orbits(nodes, es):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for e in es:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    orb = {v: [0] * 15 for v in nodes}
+    for v in nodes:
+        orb[v][0] = len(adj[v])
+    for t in itertools.combinations(nodes, 3):
+        prs = list(itertools.combinations(t, 2))
+        k = sum(frozenset(p) in es for p in prs)
+        if k < 2:
+            continue
+        deg = {n: sum(1 for p in prs if frozenset(p) in es and n in p) for n in t}
+        for n in t:
+            if k == 2:
+                orb[n][2 if deg[n] == 2 else 1] += 1
+            else:
+                orb[n][3] += 1
+    for q in itertools.combinations(nodes, 4):
+        prs = list(itertools.combinations(q, 2))
+        k = sum(frozenset(p) in es for p in prs)
+        deg = {n: sum(1 for p in prs if frozenset(p) in es and n in p) for n in q}
+        if min(deg.values()) == 0:
+            continue
+        for n in q:
+            if k == 3:
+                if max(deg.values()) == 2:
+                    orb[n][5 if deg[n] == 2 else 4] += 1
+                else:
+                    orb[n][7 if deg[n] == 3 else 6] += 1
+            elif k == 4:
+                if max(deg.values()) == 2:
+                    orb[n][8] += 1
+                elif deg[n] == 1:
+                    orb[n][9] += 1
+                elif deg[n] == 3:
+                    orb[n][11] += 1
+                else:
+                    orb[n][10] += 1
+            elif k == 5:
+                orb[n][13 if deg[n] == 3 else 12] += 1
+            elif k == 6:
+                orb[n][14] += 1
+    return orb
+
+
+def test_orbits_match_bruteforce_and_census(spark):
+    from linkgraph.algorithms.graphlets import graphlet_orbits4
+
+    rng = random.Random(23)
+    nodes = [f"v{i}" for i in range(10)]
+    edges = [
+        (a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.45
+    ]
+    es = set(frozenset(e) for e in edges)
+    exp = _brute_orbits(nodes, es)
+    g = LinkGraph(spark.createDataFrame(edges, ["src", "dst"]))
+    rows = graphlet_orbits4(g).collect()
+    got = {r["id"]: [r[f"o{i}"] for i in range(15)] for r in rows}
+    for v in got:
+        assert got[v] == exp[v], (v, got[v], exp[v])
+    # cross-check column sums against the census (each graphlet counted
+    # once per participating vertex: P4/claw/C4/paw have 4 vertex slots
+    # split across orbits, diamond 2+2, K4 4)
+    cen = graphlet_census4(g).collect()[0]
+    sums = [sum(r[f"o{i}"] for r in rows) for i in range(15)]
+    assert sums[3] == 3 * cen["triangles"]
+    assert sums[4] == 2 * cen["p4_path"] and sums[5] == 2 * cen["p4_path"]
+    assert sums[6] == 3 * cen["claw"] and sums[7] == cen["claw"]
+    assert sums[8] == 4 * cen["cycle4"]
+    assert sums[9] == cen["paw"] and sums[10] == 2 * cen["paw"]
+    assert sums[11] == cen["paw"]
+    assert sums[12] == 2 * cen["diamond"] and sums[13] == 2 * cen["diamond"]
+    assert sums[14] == 4 * cen["k4"]
