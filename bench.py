@@ -267,6 +267,16 @@ def main():
 
     timed("clique4_imports", _clique4_imports)
 
+    def _graphlet_orbits_imports():
+        from linkgraph import graphlet_orbits4
+
+        orb = graphlet_orbits4(g_imp)
+        extra["gdv_o8_sum"] = int(
+            orb.agg(F.sum("o8")).collect()[0][0] or 0
+        )
+
+    timed("graphlet_orbits_imports", _graphlet_orbits_imports)
+
     def _critical_path_imports():
         # CPM earliest-finish over the imports subgraph oriented low→high id
         # (a DAG by construction — build-scheduling over the import relation);

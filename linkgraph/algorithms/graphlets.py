@@ -252,15 +252,23 @@ def graphlet_orbits4(
     try:
         deg = _degrees_of(und).persist()
 
-        # pair-cn over all pairs with ≥1 common neighbor, edge-flagged
+        # wedge table (center v0; endpoint pair u<v) — materialized ONCE and
+        # reused by both consumers (the pair-cn aggregate and the o8'/o12'
+        # join), saving a second adjacency self-join
         adj = und.select(F.col("a").alias("n"), F.col("b").alias("c")).unionByName(
             und.select(F.col("b").alias("n"), F.col("a").alias("c"))
         )
+        wedges = (
+            adj.select(F.col("n").alias("u"), F.col("c").alias("v0"))
+            .join(adj.select(F.col("n").alias("w"), F.col("c").alias("v0")), "v0")
+            .filter(F.col("u") < F.col("w"))
+            .select("v0", "u", F.col("w").alias("v"))
+            .persist()
+        )
+
+        # pair-cn over all pairs with ≥1 common neighbor, edge-flagged
         cn = (
-            adj.select(F.col("n").alias("u"), "c")
-            .join(adj.select(F.col("n").alias("v"), "c"), "c")
-            .filter(F.col("u") < F.col("v"))
-            .groupBy("u", "v")
+            wedges.groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("cn"))
             .join(
                 und.select(
@@ -328,12 +336,6 @@ def graphlet_orbits4(
         )
 
         # wedge × pair-cn: o8' (all wedge pairs), o12' (edge pairs only)
-        wedges = (
-            adj.select(F.col("n").alias("u"), F.col("c").alias("v0"))
-            .join(adj.select(F.col("n").alias("w"), F.col("c").alias("v0")), "v0")
-            .filter(F.col("u") < F.col("w"))
-            .select("v0", "u", F.col("w").alias("v"))
-        )
         p3 = (
             wedges.join(cn, ["u", "v"])
             .groupBy(F.col("v0").alias("v"))
@@ -343,16 +345,25 @@ def graphlet_orbits4(
             )
         )
 
-        # K4 participation per corner
-        quads = k_cliques(graph, 4)
-        k4v = (
-            quads.select(F.col("w1").alias("v"))
-            .unionByName(quads.select(F.col("w2").alias("v")))
-            .unionByName(quads.select(F.col("w3").alias("v")))
-            .unionByName(quads.select(F.col("w4").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("k4"))
-        )
+        # K4 participation per corner — short-circuited on triangle-free
+        # graphs (no edge pair has a common neighbor ⇒ no K4), which skips
+        # the whole kClist pipeline on bipartite-shaped inputs
+        if cn.filter("is_edge = 1").isEmpty():
+            # typed empty derived from exp so the id type (string OR
+            # encoded long) survives — cf. components._cc_local
+            k4v = exp.select("v").limit(0).withColumn(
+                "k4", F.lit(0).cast("long")
+            )
+        else:
+            quads = k_cliques(graph, 4)
+            k4v = (
+                quads.select(F.col("w1").alias("v"))
+                .unionByName(quads.select(F.col("w2").alias("v")))
+                .unionByName(quads.select(F.col("w3").alias("v")))
+                .unionByName(quads.select(F.col("w4").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("k4"))
+            )
 
         base = (
             graph.nodes.select(F.col(ID).alias("v"))
@@ -415,6 +426,7 @@ def graphlet_orbits4(
             k4_.cast("long").alias("o14"),
         )
         out = out.localCheckpoint(eager=True)
+        wedges.unpersist()
         cn.unpersist()
         exp.unpersist()
         p1.unpersist()
