@@ -68,6 +68,7 @@ from linkgraph.algorithms.triangles import (
     triangle_counts_per_vertex,
 )
 from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
+from linkgraph.algorithms.triads import dyad_census, triad_census
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
@@ -167,6 +168,8 @@ __all__ = [
     "transitivity",
     "graphlet_census4",
     "graphlet_orbits4",
+    "dyad_census",
+    "triad_census",
     "square_count",
     "clique4_count",
     "k_clique_count",

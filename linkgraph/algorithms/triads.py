@@ -1,0 +1,202 @@
+"""Directed dyad and triad census — Holland–Leinhardt MAN classification
+(the 16 directed-triple isomorphism classes: 003 012 102 021D 021U 021C
+111D 111U 030T 030C 201 120D 120U 120C 210 300).
+
+NOT in the reference (no triad code under ``mercury/``); the classic
+social-network structural signature (Holland & Leinhardt'70; the
+subtraction scheme is Batagelj & Mrvar, Social Networks'01 — networkx
+``triadic_census`` parity is asserted in tests).
+
+Method — enumerate ONLY triples with ≥2 connected pairs, closed-form the
+rest:
+
+- pair table: one groupBy over the distinct loop-free arc set → canonical
+  (a<b, a→b bit, b→a bit); dyad census (mutual/asym/null) is one aggregate
+  over it.
+- wedge enumeration: the undirected-support adjacency self-join (center w,
+  endpoints u<v) carries BOTH direction bits per leg, so only the closing
+  pair (u,v) needs a join; each wedge's six direction bits form a 6-bit
+  code mapped through a 64-entry lookup derived from networkx's canonical
+  classification (pinned by parity tests). Triples with two connected
+  pairs are enumerated exactly once (their only wedge center); triples
+  with three connected pairs three times — the 3-connected classes divide
+  by 3.
+- closed forms: a connected pair {u,v} has n − d(u) − d(v) + cn(u,v)
+  third vertices touching neither endpoint, so 012/102 are one aggregate
+  over the pair×degree×cn join; 003 = C(n,3) − everything else.
+
+Scale notes: cost class = the wedge shuffle Σ C(d,2) over the support
+(same as the graphlet census); the 64-row code histogram and 16-class
+assembly are driver-side scalars. All aggregates algebraic; decimal(38,0)
+outputs (C(n,3) overflows int64 past ~3.8M nodes). No windows, no UDFs.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+
+# code = (w→u) + 2(u→w) + 4(w→v) + 8(v→w) + 16(u→v) + 32(v→u), derived
+# once from networkx.triadic_census on all 64 labeled 3-node digraphs
+_LOOKUP = [
+    "003", "012", "012", "102", "012", "021D", "021C", "111U",
+    "012", "021C", "021U", "111D", "102", "111U", "111D", "201",
+    "012", "021C", "021D", "111U", "021U", "030T", "030T", "120U",
+    "021C", "030C", "030T", "120C", "111D", "120C", "120D", "210",
+    "012", "021U", "021C", "111D", "021C", "030T", "030C", "120C",
+    "021D", "030T", "030T", "120D", "111U", "120U", "120C", "210",
+    "102", "111D", "111U", "201", "111D", "120D", "120C", "210",
+    "111U", "120C", "120U", "210", "201", "210", "210", "300",
+]
+_THREE_CONNECTED = {"030T", "030C", "120D", "120U", "120C", "210", "300"}
+TRIAD_CLASSES = [
+    "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+    "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+]
+
+
+def _pair_table(graph: LinkGraph) -> DataFrame:
+    """Canonical connected-pair table (a < b, ab: a→b, ba: b→a) over the
+    distinct loop-free arc set."""
+    arcs = (
+        graph.edges.select(F.col(SRC).alias("s"), F.col(DST).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    return (
+        arcs.select(
+            F.least("s", "d").alias("a"),
+            F.greatest("s", "d").alias("b"),
+            F.when(F.col("s") < F.col("d"), 1).otherwise(0).alias("ab_"),
+            F.when(F.col("s") > F.col("d"), 1).otherwise(0).alias("ba_"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("ab_").alias("ab"), F.max("ba_").alias("ba"))
+    )
+
+
+def dyad_census(graph: LinkGraph) -> DataFrame:
+    """One-row DataFrame[mutual, asym, null] — Holland–Leinhardt dyad
+    census over the distinct loop-free arc set (null = unconnected pairs
+    among ALL C(n,2) node pairs)."""
+    spark = graph.edges.sparkSession
+    n = graph.nodes.count()
+    row = _pair_table(graph).agg(
+        F.sum((F.col("ab") * F.col("ba")).cast("long")).alias("m"),
+        F.count(F.lit(1)).alias("conn"),
+    ).collect()[0]
+    m = int(row["m"] or 0)
+    conn = int(row["conn"] or 0)
+    total = n * (n - 1) // 2
+    return spark.createDataFrame(
+        [(Decimal(m), Decimal(conn - m), Decimal(total - conn))],
+        "mutual decimal(38,0), asym decimal(38,0), null decimal(38,0)",
+    )
+
+
+def triad_census(graph: LinkGraph) -> DataFrame:
+    """One-row DataFrame[t003 .. t300] (decimal(38,0)) — counts of every
+    unordered node triple by MAN class, networkx ``triadic_census``
+    parity. See module docstring for the subtraction scheme."""
+    spark = graph.edges.sparkSession
+    n = graph.nodes.count()
+    pairs = _pair_table(graph).persist()
+    try:
+        # support degree and common-neighbor counts
+        adjb = pairs.select(
+            F.col("a").alias("n"), F.col("b").alias("c"),
+            F.col("ab").alias("n2c"), F.col("ba").alias("c2n"),
+        ).unionByName(
+            pairs.select(
+                F.col("b").alias("n"), F.col("a").alias("c"),
+                F.col("ba").alias("n2c"), F.col("ab").alias("c2n"),
+            )
+        )
+        deg = adjb.groupBy(F.col("n").alias(ID)).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+
+        # wedge enumeration with all six direction bits; only the closing
+        # (u,v) pair needs a join (legs carry their bits from adjb)
+        left = adjb.select(
+            F.col("c").alias("w"), F.col("n").alias("u"),
+            F.col("c2n").alias("wu"), F.col("n2c").alias("uw"),
+        )
+        right = adjb.select(
+            F.col("c").alias("w"), F.col("n").alias("v"),
+            F.col("c2n").alias("wv"), F.col("n2c").alias("vw"),
+        )
+        wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
+        closed = wedges.join(
+            pairs.select(
+                F.col("a").alias("u"), F.col("b").alias("v"),
+                F.col("ab").alias("uv"), F.col("ba").alias("vu"),
+            ),
+            ["u", "v"],
+            "left",
+        ).select(
+            (
+                F.col("wu")
+                + 2 * F.col("uw")
+                + 4 * F.col("wv")
+                + 8 * F.col("vw")
+                + 16 * F.coalesce("uv", F.lit(0))
+                + 32 * F.coalesce("vu", F.lit(0))
+            ).alias("code")
+        )
+        hist = {
+            int(r["code"]): int(r["cnt"])
+            for r in closed.groupBy("code").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+
+        # closed forms for the one-connected-pair classes
+        da = deg.select(F.col(ID).alias("a"), F.col("deg").alias("da"))
+        db = deg.select(F.col(ID).alias("b"), F.col("deg").alias("db"))
+        cn = (
+            adjb.select(F.col("n").alias("u"), F.col("c"))
+            .join(adjb.select(F.col("n").alias("v"), F.col("c")), "c")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        iso_rows = (
+            pairs.join(da, "a")
+            .join(db, "b")
+            .join(cn, ["a", "b"], "left")
+            .select(
+                (F.col("ab") * F.col("ba")).alias("is_mutual"),
+                (
+                    F.lit(n).cast("decimal(38,0)")
+                    - F.col("da")
+                    - F.col("db")
+                    + F.coalesce("cn", F.lit(0))
+                ).alias("iso"),
+            )
+            .groupBy("is_mutual")
+            .agg(F.sum("iso").alias("s"))
+            .collect()
+        )
+    finally:
+        pairs.unpersist()
+
+    cnt = {c: 0 for c in TRIAD_CLASSES}
+    for code, c in hist.items():
+        cnt[_LOOKUP[code]] += c
+    for cls in _THREE_CONNECTED:
+        cnt[cls] //= 3
+    for r in iso_rows:
+        cnt["102" if r["is_mutual"] else "012"] += int(r["s"] or 0)
+    cnt["003"] = (
+        n * (n - 1) * (n - 2) // 6
+        - sum(v for k, v in cnt.items() if k != "003")
+    )
+    schema = ", ".join(f"t{c.lower()} decimal(38,0)" for c in TRIAD_CLASSES)
+    return spark.createDataFrame(
+        [tuple(Decimal(cnt[c]) for c in TRIAD_CLASSES)], schema
+    )

@@ -7902,3 +7902,87 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_triad_census_fixture(spark, sf_dir):
+    """Holland–Leinhardt triad census on a deterministic 13-node digraph
+    from the nation table (arc i→j iff (3i+5j) mod 9 < 4 — chosen so ALL
+    16 MAN classes are nonzero). The engine runs the Batagelj–Mrvar
+    subtraction scheme (wedge enumeration for ≥2-connected-pair triples +
+    closed forms for 012/102/003); the oracle brute-forces every ordered
+    triple in DuckDB and classifies through the same 64-entry canonical
+    code table (itself derived from — and pinned in tests against —
+    networkx.triadic_census), so the enumeration/subtraction machinery is
+    what the hash actually exercises."""
+    from linkgraph import triad_census
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 13")
+    x, y = n.alias("x"), n.alias("y")
+    arcs = x.join(
+        y,
+        (F.col("x.k") != F.col("y.k"))
+        & ((3 * F.col("x.k") + 5 * F.col("y.k")) % 9 < 4),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    return triad_census(
+        LinkGraph(arcs, nodes=n.select("id"), keys={"directed": True})
+    )
+
+
+def _triad_case_sql():
+    from linkgraph.algorithms.triads import _LOOKUP
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_LOOKUP)
+    )
+    return f"CASE code {whens} END"
+
+
+QUERIES.update({"triad_census_fixture": q_triad_census_fixture})
+ORACLE_SQL.update(
+    {
+        "triad_census_fixture": f"""
+        WITH nodes AS (SELECT n_nationkey AS k FROM nation
+                       WHERE n_nationkey < 13),
+        arc AS (SELECT a.k AS s, b.k AS d
+                FROM nodes a, nodes b
+                WHERE a.k <> b.k AND (3*a.k + 5*b.k) % 9 < 4),
+        tri AS (
+          SELECT
+            (CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=x.k AND d=y.k)
+                  THEN 1 ELSE 0 END)
+          + 2*(CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=y.k AND d=x.k)
+                    THEN 1 ELSE 0 END)
+          + 4*(CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=x.k AND d=z.k)
+                    THEN 1 ELSE 0 END)
+          + 8*(CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=z.k AND d=x.k)
+                    THEN 1 ELSE 0 END)
+          + 16*(CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=y.k AND d=z.k)
+                     THEN 1 ELSE 0 END)
+          + 32*(CASE WHEN EXISTS(SELECT 1 FROM arc WHERE s=z.k AND d=y.k)
+                     THEN 1 ELSE 0 END) AS code
+          FROM nodes x, nodes y, nodes z
+          WHERE x.k < y.k AND y.k < z.k),
+        cls AS (SELECT {_triad_case_sql()} AS t FROM tri)
+        SELECT
+          CAST(sum(CASE WHEN t='003' THEN 1 ELSE 0 END) AS BIGINT) AS t003,
+          CAST(sum(CASE WHEN t='012' THEN 1 ELSE 0 END) AS BIGINT) AS t012,
+          CAST(sum(CASE WHEN t='102' THEN 1 ELSE 0 END) AS BIGINT) AS t102,
+          CAST(sum(CASE WHEN t='021D' THEN 1 ELSE 0 END) AS BIGINT) AS t021d,
+          CAST(sum(CASE WHEN t='021U' THEN 1 ELSE 0 END) AS BIGINT) AS t021u,
+          CAST(sum(CASE WHEN t='021C' THEN 1 ELSE 0 END) AS BIGINT) AS t021c,
+          CAST(sum(CASE WHEN t='111D' THEN 1 ELSE 0 END) AS BIGINT) AS t111d,
+          CAST(sum(CASE WHEN t='111U' THEN 1 ELSE 0 END) AS BIGINT) AS t111u,
+          CAST(sum(CASE WHEN t='030T' THEN 1 ELSE 0 END) AS BIGINT) AS t030t,
+          CAST(sum(CASE WHEN t='030C' THEN 1 ELSE 0 END) AS BIGINT) AS t030c,
+          CAST(sum(CASE WHEN t='201' THEN 1 ELSE 0 END) AS BIGINT) AS t201,
+          CAST(sum(CASE WHEN t='120D' THEN 1 ELSE 0 END) AS BIGINT) AS t120d,
+          CAST(sum(CASE WHEN t='120U' THEN 1 ELSE 0 END) AS BIGINT) AS t120u,
+          CAST(sum(CASE WHEN t='120C' THEN 1 ELSE 0 END) AS BIGINT) AS t120c,
+          CAST(sum(CASE WHEN t='210' THEN 1 ELSE 0 END) AS BIGINT) AS t210,
+          CAST(sum(CASE WHEN t='300' THEN 1 ELSE 0 END) AS BIGINT) AS t300
+        FROM cls
+    """,
+    }
+)
