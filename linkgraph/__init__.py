@@ -66,6 +66,7 @@ from linkgraph.algorithms.triangles import (
     transitivity,
     triangle_count,
     triangle_counts_per_vertex,
+    weighted_clustering_coefficient,
 )
 from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
 from linkgraph.algorithms.triads import dyad_census, triad_census
@@ -161,6 +162,7 @@ __all__ = [
     "read_edges_bucketed",
     "triangle_count",
     "triangle_counts_per_vertex",
+    "weighted_clustering_coefficient",
     "local_clustering_coefficient",
     "effective_size",
     "clique_percolation",

@@ -7986,3 +7986,70 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_weighted_clustering_fixture(spark, sf_dir):
+    """Onnela weighted clustering on a deterministic 10-node weighted
+    fixture from the nation table (edge i<j iff (i+j) mod 3 < 2, weight
+    (i·j) mod 7 + 1). The oracle independently enumerates all triangles in
+    DuckDB and replays ŵ-geometric-mean credits + the 2/(d(d−1)) formula;
+    millionths rounding removes float-printing hash noise."""
+    from linkgraph import weighted_clustering_coefficient
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 10")
+    x, y = n.alias("x"), n.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.k") < F.col("y.k"))
+        & ((F.col("x.k") + F.col("y.k")) % 3 < 2),
+    ).select(
+        F.col("x.id").alias("src"),
+        F.col("y.id").alias("dst"),
+        ((F.col("x.k") * F.col("y.k")) % 7 + 1).cast("double").alias("weight"),
+    )
+    out = weighted_clustering_coefficient(
+        LinkGraph(edges, nodes=n.select("id"), keys={"directed": False})
+    )
+    return out.select(
+        "id", F.round(F.col("wcc") * 1e6).cast("long").alias("wcc_millionths")
+    )
+
+
+QUERIES.update({"weighted_clustering_fixture": q_weighted_clustering_fixture})
+ORACLE_SQL.update(
+    {
+        "weighted_clustering_fixture": """
+        WITH nodes AS (SELECT n_nationkey AS k FROM nation
+                       WHERE n_nationkey < 10),
+        e AS (SELECT a.k AS u, b.k AS v,
+                     CAST((a.k * b.k) % 7 + 1 AS DOUBLE) AS w
+              FROM nodes a, nodes b
+              WHERE a.k < b.k AND (a.k + b.k) % 3 < 2),
+        wmax AS (SELECT max(w) AS m FROM e),
+        en AS (SELECT u, v, w / (SELECT m FROM wmax) AS wn FROM e),
+        deg AS (SELECT k, (SELECT count(*) FROM e
+                           WHERE u = nodes.k OR v = nodes.k) AS d
+                FROM nodes),
+        tri AS (
+          SELECT e1.u AS x, e1.v AS y, e2.v AS z,
+                 pow(e1.wn * e2.wn * e3.wn, 1.0/3.0) AS g
+          FROM en e1
+          JOIN en e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN en e3 ON e3.u = e1.v AND e3.v = e2.v),
+        credit AS (
+          SELECT v, sum(g) AS gs FROM (
+            SELECT x AS v, g FROM tri
+            UNION ALL SELECT y, g FROM tri
+            UNION ALL SELECT z, g FROM tri)
+          GROUP BY v)
+        SELECT 'g' || deg.k AS id,
+               CAST(round(CASE WHEN deg.d >= 2
+                    THEN 2.0 * coalesce(credit.gs, 0.0)
+                         / (deg.d * (deg.d - 1))
+                    ELSE 0.0 END * 1000000) AS BIGINT) AS wcc_millionths
+        FROM deg LEFT JOIN credit ON credit.v = deg.k
+    """,
+    }
+)

@@ -176,3 +176,41 @@ def test_orbits_match_bruteforce_and_census(spark):
     assert sums[11] == cen["paw"]
     assert sums[12] == 2 * cen["diamond"] and sums[13] == 2 * cen["diamond"]
     assert sums[14] == 4 * cen["k4"]
+
+
+def test_weighted_clustering_networkx_parity(spark):
+    import networkx as nx
+    from linkgraph import weighted_clustering_coefficient
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(9)]
+    edges = [
+        (a, b, round(rng.uniform(0.1, 5.0), 3))
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if rng.random() < 0.45
+    ]
+    G = nx.Graph()
+    G.add_nodes_from(nodes)
+    G.add_weighted_edges_from(edges)
+    exp = nx.clustering(G, weight="weight")
+    g = LinkGraph(
+        spark.createDataFrame(edges, ["src", "dst", "weight"]),
+        nodes=spark.createDataFrame([(x,) for x in nodes], ["id"]),
+        keys={"directed": False},
+    )
+    got = {
+        r["id"]: r["wcc"]
+        for r in weighted_clustering_coefficient(g).collect()
+    }
+    for v in nodes:
+        assert abs(got.get(v, 0.0) - exp[v]) < 1e-9
+
+
+def test_weighted_clustering_requires_weights(spark):
+    import pytest as _pytest
+    from linkgraph import weighted_clustering_coefficient
+
+    g = LinkGraph(spark.createDataFrame([("a", "b")], ["src", "dst"]))
+    with _pytest.raises(ValueError):
+        weighted_clustering_coefficient(g)
