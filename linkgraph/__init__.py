@@ -69,6 +69,7 @@ from linkgraph.algorithms.triangles import (
     weighted_clustering_coefficient,
 )
 from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
+from linkgraph.algorithms.negative import sample_negative_edges
 from linkgraph.algorithms.triads import dyad_census, triad_census
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
@@ -172,6 +173,7 @@ __all__ = [
     "graphlet_orbits4",
     "dyad_census",
     "triad_census",
+    "sample_negative_edges",
     "square_count",
     "clique4_count",
     "k_clique_count",

@@ -8053,3 +8053,68 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_negative_edges_fixture(spark, sf_dir):
+    """Deterministic negative-edge sampling (k=4, seed=7) on a 20-node
+    digraph from the nation table (arc i→j iff (3i+j) mod 11 < 2). The
+    oracle replays the ENTIRE draw in DuckDB — md5-u60 bucket assignment,
+    hash-sorted bucket arrays, indexed pick, self/arc rejection — digit
+    for digit, so the hash pins the sampler's replayability claim."""
+    from linkgraph.algorithms.negative import sample_negative_edges
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 20")
+    x, y = n.alias("x"), n.alias("y")
+    arcs = x.join(
+        y,
+        (F.col("x.k") != F.col("y.k"))
+        & ((3 * F.col("x.k") + F.col("y.k")) % 11 < 2),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    g = LinkGraph(arcs, nodes=n.select("id"), keys={"directed": True})
+    return sample_negative_edges(g, k=4, seed=7)
+
+
+def _neg_h60_sql(arg: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 16), p -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr(md5({arg}), p, 1)) - 1 AS BIGINT) "
+        "* (1::BIGINT << (4 * (15 - p)))))"
+    )
+
+
+QUERIES.update({"negative_edges_fixture": q_negative_edges_fixture})
+ORACLE_SQL.update(
+    {
+        "negative_edges_fixture": f"""
+        WITH nodes AS (SELECT 'g' || n_nationkey AS id, n_nationkey AS k
+                       FROM nation WHERE n_nationkey < 20),
+        arc AS (SELECT 'g' || a.k AS src, 'g' || b.k AS dst
+                FROM nodes a, nodes b
+                WHERE a.k <> b.k AND (3*a.k + b.k) % 11 < 2),
+        member AS (SELECT {_neg_h60_sql("id || ':7'")} % 20 AS b, id,
+                          {_neg_h60_sql("'rep:' || id || ':7'")} AS rh
+                   FROM nodes),
+        bucket AS (SELECT b, list(id ORDER BY rh, id) AS arr
+                   FROM member GROUP BY b),
+        cand AS (
+          SELECT nodes.id AS src, t.trial,
+                 {_neg_h60_sql("nodes.id || ':' || t.trial || ':7'")} % 20
+                     AS b,
+                 {_neg_h60_sql("nodes.id || ':' || t.trial || ':pick:7'")}
+                     AS p
+          FROM nodes, (SELECT unnest(range(4)) AS trial) t),
+        picked AS (
+          SELECT c.src,
+                 bucket.arr[CAST(c.p % len(bucket.arr) AS INT) + 1] AS dst,
+                 CAST(c.trial AS INT) AS trial
+          FROM cand c JOIN bucket ON bucket.b = c.b)
+        SELECT src, dst, trial FROM picked
+        WHERE src <> dst
+          AND NOT EXISTS (SELECT 1 FROM arc
+                          WHERE arc.src = picked.src AND arc.dst = picked.dst)
+    """,
+    }
+)

@@ -1,0 +1,50 @@
+"""Deterministic negative-edge sampler."""
+
+from linkgraph.graph import LinkGraph
+from linkgraph.algorithms.negative import sample_negative_edges
+
+
+def _fixture(spark):
+    nodes = [f"n{i}" for i in range(30)]
+    arcs = [
+        (a, b)
+        for i, a in enumerate(nodes)
+        for j, b in enumerate(nodes)
+        if i != j and (3 * i + j) % 11 < 2
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(arcs, ["src", "dst"]),
+        nodes=spark.createDataFrame([(x,) for x in nodes], ["id"]),
+        keys={"directed": True},
+    )
+    return g, set(arcs)
+
+
+def test_negatives_are_valid_and_deterministic(spark):
+    g, arcset = _fixture(spark)
+    out1 = sorted(tuple(r) for r in sample_negative_edges(g, k=4, seed=7).collect())
+    out2 = sorted(tuple(r) for r in sample_negative_edges(g, k=4, seed=7).collect())
+    assert out1 == out2 and out1
+    for s, d, t in out1:
+        assert (s, d) not in arcset and s != d and 0 <= t < 4
+
+
+def test_negatives_seed_sensitivity_and_yield(spark):
+    g, _ = _fixture(spark)
+    a = sorted(tuple(r) for r in sample_negative_edges(g, k=4, seed=7).collect())
+    b = sorted(tuple(r) for r in sample_negative_edges(g, k=4, seed=8).collect())
+    assert a != b
+    # occupancy-law yield: ~63% of trials survive the empty-bucket drop
+    # (then edge/self rejection) — assert a sane band, not an exact value
+    assert 0.25 * 120 <= len(a) <= 0.85 * 120
+
+
+def test_negatives_tiny_graph_typed_empty(spark):
+    g = LinkGraph(
+        spark.createDataFrame([("a", "a")], ["src", "dst"]),
+        nodes=spark.createDataFrame([("a",)], ["id"]),
+        keys={"directed": True},
+    )
+    out = sample_negative_edges(g, k=3)
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "trial"]
