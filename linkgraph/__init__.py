@@ -75,7 +75,7 @@ from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation
-from linkgraph.algorithms.transition import transition_matrix, transition_power
+from linkgraph.algorithms.transition import sinkhorn_normalize, transition_matrix, transition_power
 from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
@@ -215,6 +215,7 @@ __all__ = [
     "spread_activation",
     "transition_matrix",
     "transition_power",
+    "sinkhorn_normalize",
     "random_walks",
     "Node2Vec",
     "node2vec_walks",

@@ -69,3 +69,46 @@ def transition_power(tm: DataFrame, k: int) -> DataFrame:
             if k:
                 base = _matmul(base, base).localCheckpoint(eager=True)
         return result
+
+
+def sinkhorn_normalize(
+    graph: LinkGraph, iterations: int = 10, checkpoint_every: int = 4
+) -> DataFrame:
+    """Sinkhorn–Knopp doubly-stochastic normalization of the weighted
+    adjacency: alternate row- and column-sum rescaling for ``iterations``
+    full rounds, returning DataFrame[src, dst, weight] whose row sums are
+    exactly 1 (the row pass runs last... see below) and whose column sums
+    converge to 1 geometrically when the support admits a doubly
+    stochastic scaling (Sinkhorn'64; total-support condition — for
+    bipartite-blocked or zero-line supports the iteration oscillates, as
+    in the dense case).
+
+    Used for graph-matching/optimal-transport style normalization and as
+    a symmetric alternative to the row-stochastic
+    :func:`transition_matrix`. Convention: each round = one COLUMN pass
+    then one ROW pass, so the returned matrix is exactly row-stochastic
+    and approximately column-stochastic (the standard "last pass wins"
+    asymmetry, stated rather than hidden).
+
+    Scale notes: each pass is one algebraic groupBy + one join keyed on
+    that pass's side — the same budget class as ``transition_matrix``
+    twice per round; lineage cut every ``checkpoint_every`` rounds.
+    Weights must be positive; zero/negative raise."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w = graph.weight_col()
+    e = graph.edges.select(SRC, DST, w.alias("weight"))
+    if e.filter(F.col("weight") <= 0).limit(1).count() > 0:
+        raise ValueError("sinkhorn_normalize needs strictly positive weights")
+    for i in range(iterations):
+        ctot = e.groupBy(DST).agg(F.sum("weight").alias("_ct"))
+        e = e.join(ctot, DST).select(
+            SRC, DST, (F.col("weight") / F.col("_ct")).alias("weight")
+        )
+        rtot = e.groupBy(SRC).agg(F.sum("weight").alias("_rt"))
+        e = e.join(rtot, SRC).select(
+            SRC, DST, (F.col("weight") / F.col("_rt")).alias("weight")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            e = e.localCheckpoint(eager=True)
+    return e

@@ -8118,3 +8118,50 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_sinkhorn_fixture(spark, sf_dir):
+    """Sinkhorn–Knopp doubly-stochastic normalization, 2 full rounds on a
+    5×5 positive matrix from the nation table (w = (7i+3j) mod 5 + 1).
+    The oracle unrolls both column+row passes in SQL; millionths rounding
+    absorbs float-summation-order ulps."""
+    from linkgraph.algorithms.transition import sinkhorn_normalize
+
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k")).filter(
+        "k < 5"
+    )
+    x, y = n.alias("x"), n.alias("y")
+    edges = x.crossJoin(y).select(
+        F.concat(F.lit("r"), F.col("x.k")).alias("src"),
+        F.concat(F.lit("c"), F.col("y.k")).alias("dst"),
+        ((7 * F.col("x.k") + 3 * F.col("y.k")) % 5 + 1).cast("double").alias(
+            "weight"
+        ),
+    )
+    out = sinkhorn_normalize(
+        LinkGraph(edges, keys={"directed": True}), iterations=2
+    )
+    return out.select(
+        "src", "dst",
+        F.round(F.col("weight") * 1e6).cast("long").alias("w_millionths"),
+    )
+
+
+QUERIES.update({"sinkhorn_fixture": q_sinkhorn_fixture})
+ORACLE_SQL.update(
+    {
+        "sinkhorn_fixture": """
+        WITH n5 AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5),
+        e0 AS (SELECT 'r' || a.k AS src, 'c' || b.k AS dst,
+                      CAST((7*a.k + 3*b.k) % 5 + 1 AS DOUBLE) AS w
+               FROM n5 a, n5 b),
+        c1 AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY dst) AS w FROM e0),
+        r1 AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w FROM c1),
+        c2 AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY dst) AS w FROM r1),
+        r2 AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w FROM c2)
+        SELECT src, dst,
+               CAST(round(w * 1000000) AS BIGINT) AS w_millionths
+        FROM r2
+    """,
+    }
+)

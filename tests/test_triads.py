@@ -64,3 +64,47 @@ def test_dyad_census_identities(spark):
     row = dyad_census(g).collect()[0]
     assert (int(row["mutual"]), int(row["asym"])) == (2, 2)
     assert int(row["null"]) == 4 * 3 // 2 - 4
+
+
+def test_sinkhorn_numpy_parity(spark):
+    import numpy as np
+    from linkgraph import sinkhorn_normalize
+
+    rng = np.random.RandomState(3)
+    n = 6
+    M = rng.uniform(0.5, 3.0, (n, n))
+    edges = [
+        (f"r{i}", f"c{j}", float(M[i, j])) for i in range(n) for j in range(n)
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(edges, ["src", "dst", "weight"]),
+        keys={"directed": True},
+    )
+    out = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in sinkhorn_normalize(g, iterations=12).collect()
+    }
+    A = M.copy()
+    for _ in range(12):
+        A = A / A.sum(axis=0, keepdims=True)
+        A = A / A.sum(axis=1, keepdims=True)
+    for i in range(n):
+        for j in range(n):
+            assert abs(out[(f"r{i}", f"c{j}")] - A[i, j]) < 1e-12
+    # last pass is the row pass: rows exactly stochastic
+    rows = {}
+    for (s, _), w in out.items():
+        rows[s] = rows.get(s, 0.0) + w
+    assert all(abs(v - 1.0) < 1e-12 for v in rows.values())
+
+
+def test_sinkhorn_rejects_nonpositive(spark):
+    import pytest as _pytest
+    from linkgraph import sinkhorn_normalize
+
+    g = LinkGraph(
+        spark.createDataFrame([("a", "b", 0.0)], ["src", "dst", "weight"]),
+        keys={"directed": True},
+    )
+    with _pytest.raises(ValueError):
+        sinkhorn_normalize(g, iterations=2)
