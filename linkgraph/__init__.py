@@ -30,6 +30,7 @@ from linkgraph.algorithms.pattern import find_pattern
 from linkgraph.generators import (
     gnm_graph,
     rmat_graph,
+    sbm_graph,
     watts_strogatz_graph,
     zipf_graph,
 )
@@ -206,6 +207,7 @@ __all__ = [
     "watts_strogatz_graph",
     "gnm_graph",
     "zipf_graph",
+    "sbm_graph",
     "find_pattern",
     "temporal_reachability",
     "aggregate_messages",

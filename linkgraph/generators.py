@@ -208,3 +208,83 @@ def watts_strogatz_graph(
     rewire = _h60(F.lit(str(seed)), F.col("id"), F.lit("r")) < F.lit(thresh)
     dst = F.when(rewire & (rnd != u), rnd).otherwise(lattice)
     return df.select(F.col("id").alias("i"), u.alias("src"), dst.alias("dst"))
+
+
+def sbm_graph(
+    spark: SparkSession,
+    block_sizes: list[int],
+    num_edges: int,
+    p_in: float = 1.0,
+    p_out: float = 0.1,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DataFrame[i, src, dst, block_src, block_dst] — fixed-edge-count
+    stochastic block model: each of the ``num_edges`` edges first draws an
+    (ordered) block pair with probability ∝ size_a·size_b·(p_in if a==b
+    else p_out) via the inverse CDF over the B² block-pair weights, then a
+    uniform member within each block. Node ids are "b{a}_n{j}" so planted
+    communities are readable (and recoverable as ground truth for
+    Louvain/LPA/NMI benchmarks).
+
+    The edge-skeleton SBM (fixed m, sampling with replacement — the same
+    trade as :func:`gnm_graph`/:func:`zipf_graph`): per-pair Bernoulli SBM
+    is O(n²) and cannot scale, while this is a pure projection over
+    ``spark.range(m)`` — zero shuffle, zero driver state beyond the B²
+    CDF literal (B is small by construction: block COUNT, not block
+    size). Every draw is md5-u60 of (seed, edge index, tag), so runs are
+    reproducible across partitionings, retries, AND engines. Self-loops
+    within a block are possible and kept (document-don't-hide; callers
+    canonicalize exactly as with the other generators)."""
+    if not block_sizes or any(s < 1 for s in block_sizes):
+        raise ValueError(f"block_sizes must be positive, got {block_sizes}")
+    if not (0.0 <= p_out and 0.0 <= p_in and (p_in > 0 or p_out > 0)):
+        raise ValueError("need p_in > 0 or p_out > 0")
+    b = len(block_sizes)
+    weights = [
+        block_sizes[i] * block_sizes[j] * (p_in if i == j else p_out)
+        for i in range(b)
+        for j in range(b)
+    ]
+    total = sum(weights)
+    if total <= 0:
+        raise ValueError("all block-pair weights are zero")
+    cums, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cums.append(acc)
+    cums[-1] = 1.0 + 1e-12  # guard the top boundary against float dust
+
+    df = spark.range(
+        0, num_edges, 1,
+        num_partitions or spark.sparkContext.defaultParallelism,
+    )
+    seed_s = F.lit(str(seed))
+    u = (_h60(seed_s, F.col("id"), F.lit("bp")) + 0.5) / float(1 << 60)
+    # first CDF index with cum > u: B² is small, one vectorized JVM filter
+    pair_idx = F.size(
+        F.filter(F.lit(cums), lambda c: c < u)
+    )
+    ba = (pair_idx / b).cast("int").alias("block_src")
+    bb = F.pmod(pair_idx, F.lit(b)).cast("int").alias("block_dst")
+    sizes = F.lit(block_sizes)
+    out = df.select(F.col("id").alias("i"), ba, bb)
+    return out.select(
+        "i",
+        F.concat(
+            F.lit("b"), F.col("block_src"), F.lit("_n"),
+            F.pmod(
+                _h60(seed_s, F.col("i"), F.lit("u")),
+                F.element_at(sizes, F.col("block_src") + 1),
+            ),
+        ).alias("src"),
+        F.concat(
+            F.lit("b"), F.col("block_dst"), F.lit("_n"),
+            F.pmod(
+                _h60(seed_s, F.col("i"), F.lit("v")),
+                F.element_at(sizes, F.col("block_dst") + 1),
+            ),
+        ).alias("dst"),
+        "block_src",
+        "block_dst",
+    )

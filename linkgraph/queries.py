@@ -8165,3 +8165,68 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_sbm_edges(spark, sf_dir):
+    """Stochastic-block-model generator, digit-exact: the full 300-edge
+    list for blocks (6,5,4), p_in=1, p_out=0.1, seed=5. The oracle replays
+    the md5-u60 draws, the block-pair inverse CDF (identical Python-float
+    cumulative literals embedded in both plans), and the within-block
+    member picks — every edge and both block labels pinned by hash."""
+    from linkgraph.generators import sbm_graph
+
+    return sbm_graph(
+        spark, [6, 5, 4], 300, p_in=1.0, p_out=0.1, seed=5
+    )
+
+
+def _sbm_oracle_sql() -> str:
+    sizes, p_in, p_out = [6, 5, 4], 1.0, 0.1
+    b = len(sizes)
+    weights = [
+        sizes[i] * sizes[j] * (p_in if i == j else p_out)
+        for i in range(b)
+        for j in range(b)
+    ]
+    total = sum(weights)
+    cums, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cums.append(acc)
+    cums[-1] = 1.0 + 1e-12
+    cum_lit = "[" + ", ".join(repr(c) for c in cums) + "]"
+    size_lit = "[" + ", ".join(str(s) for s in sizes) + "]"
+
+    def h(tag):
+        return (
+            "list_sum(list_transform(range(1, 16), p -> "
+            "CAST(strpos('0123456789abcdef', "
+            f"substr(md5('5:' || i || ':{tag}'), p, 1)) - 1 AS BIGINT) "
+            "* (1::BIGINT << (4 * (15 - p)))))"
+        )
+
+    return f"""
+        WITH e AS (SELECT unnest(range(300)) AS i),
+        draw AS (
+          SELECT i,
+                 len(list_filter({cum_lit},
+                     c -> c < (CAST({h('bp')} AS DOUBLE) + 0.5)
+                          / 1152921504606846976.0)) AS pidx,
+                 {h('u')} AS hu, {h('v')} AS hv
+          FROM e),
+        lab AS (
+          SELECT i, CAST(pidx // {b} AS INT) AS block_src,
+                 CAST(pidx % {b} AS INT) AS block_dst, hu, hv
+          FROM draw)
+        SELECT i,
+               'b' || block_src || '_n' ||
+                   (hu % ({size_lit}[block_src + 1])) AS src,
+               'b' || block_dst || '_n' ||
+                   (hv % ({size_lit}[block_dst + 1])) AS dst,
+               block_src, block_dst
+        FROM lab
+    """
+
+
+QUERIES.update({"sbm_edges": q_sbm_edges})
+ORACLE_SQL.update({"sbm_edges": _sbm_oracle_sql()})

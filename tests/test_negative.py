@@ -48,3 +48,43 @@ def test_negatives_tiny_graph_typed_empty(spark):
     out = sample_negative_edges(g, k=3)
     assert out.count() == 0
     assert out.columns == ["src", "dst", "trial"]
+
+
+def test_sbm_generator_properties(spark):
+    import re
+
+    from linkgraph import sbm_graph
+
+    df = sbm_graph(
+        spark, [50, 30, 20], 4000, p_in=1.0, p_out=0.05, seed=11
+    ).persist()
+    try:
+        rows = df.collect()
+        assert len(rows) == 4000
+        rows2 = sbm_graph(
+            spark, [50, 30, 20], 4000, p_in=1.0, p_out=0.05, seed=11
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+        sizes = [50, 30, 20]
+        within = 0
+        for r in rows:
+            ba, ja = re.match(r"b(\d+)_n(\d+)", r["src"]).groups()
+            bb, jb = re.match(r"b(\d+)_n(\d+)", r["dst"]).groups()
+            assert int(ba) == r["block_src"] and int(bb) == r["block_dst"]
+            assert int(ja) < sizes[int(ba)] and int(jb) < sizes[int(bb)]
+            within += int(ba == bb)
+        # weights: within 3800 vs cross 310 -> expected frac ~0.925
+        assert 0.88 <= within / 4000 <= 0.96
+    finally:
+        df.unpersist()
+
+
+def test_sbm_guards(spark):
+    import pytest as _pytest
+
+    from linkgraph import sbm_graph
+
+    with _pytest.raises(ValueError):
+        sbm_graph(spark, [], 10)
+    with _pytest.raises(ValueError):
+        sbm_graph(spark, [3, 0], 10)
