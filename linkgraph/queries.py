@@ -8230,3 +8230,54 @@ def _sbm_oracle_sql() -> str:
 
 QUERIES.update({"sbm_edges": q_sbm_edges})
 ORACLE_SQL.update({"sbm_edges": _sbm_oracle_sql()})
+
+
+def q_sbm_louvain_recovery(spark, sf_dir):
+    """End-to-end planted-community recovery: generate a 3-block SBM
+    (sizes 20/16/12 drawn into ~48 active nodes, p_in=1, p_out=0.02,
+    seed=3), run Louvain, score the labeling against the planted blocks
+    (carried in the node ids) with NMI + ARI. The engine is deterministic
+    (md5-u60 generator + canonical Louvain tie-breaks), and on this
+    fixture the modularity optimum IS the planted partition — so the
+    closed-form oracle asserts exact recovery: 3 communities, NMI = ARI
+    = 1. Pins generator + Louvain + agreement metrics in one hash."""
+    from linkgraph import louvain_communities
+    from linkgraph.algorithms.partition_metrics import partition_agreement
+    from linkgraph.generators import sbm_graph
+
+    edges = sbm_graph(spark, [20, 16, 12], 1200, p_in=1.0, p_out=0.02, seed=3)
+    g = LinkGraph(
+        edges.select("src", "dst").filter("src <> dst"),
+        keys={"directed": False},
+    )
+    lab = louvain_communities(g).labels.select("id", F.col("cluster").alias("c"))
+    planted = g.nodes.select("id", F.split("id", "_")[0].alias("c"))
+    m = partition_agreement(lab, planted)
+    n_clusters = lab.select("c").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n"]),
+                int(n_clusters),
+                int(round(m["nmi"] * 1e6)),
+                int(round(m["ari"] * 1e6)),
+            )
+        ],
+        "n bigint, n_clusters bigint, nmi_millionths bigint, ari_millionths bigint",
+    )
+
+
+QUERIES.update({"sbm_louvain_recovery": q_sbm_louvain_recovery})
+ORACLE_SQL.update(
+    {
+        # closed form: deterministic fixture, planted optimum recovered
+        # exactly (the SBM edge list itself is hash-pinned by `sbm_edges`;
+        # the n=48 active-node count is a property of the seed-3 draw)
+        "sbm_louvain_recovery": """
+        SELECT CAST(48 AS BIGINT) AS n,
+               CAST(3 AS BIGINT) AS n_clusters,
+               CAST(1000000 AS BIGINT) AS nmi_millionths,
+               CAST(1000000 AS BIGINT) AS ari_millionths
+    """,
+    }
+)
