@@ -121,7 +121,10 @@ def triad_census(graph: LinkGraph) -> DataFrame:
         )
 
         # wedge enumeration with all six direction bits; only the closing
-        # (u,v) pair needs a join (legs carry their bits from adjb)
+        # (u,v) pair needs a join (legs carry their bits from adjb).
+        # Materialized ONCE — the code histogram AND the pair-cn aggregate
+        # both consume it (the graphlets.py persisted-wedge pattern,
+        # A/B-verified there at 1.26x)
         left = adjb.select(
             F.col("c").alias("w"), F.col("n").alias("u"),
             F.col("c2n").alias("wu"), F.col("n2c").alias("uw"),
@@ -130,7 +133,9 @@ def triad_census(graph: LinkGraph) -> DataFrame:
             F.col("c").alias("w"), F.col("n").alias("v"),
             F.col("c2n").alias("wv"), F.col("n2c").alias("vw"),
         )
-        wedges = left.join(right, "w").filter(F.col("u") < F.col("v"))
+        wedges = (
+            left.join(right, "w").filter(F.col("u") < F.col("v")).persist()
+        )
         closed = wedges.join(
             pairs.select(
                 F.col("a").alias("u"), F.col("b").alias("v"),
@@ -158,13 +163,9 @@ def triad_census(graph: LinkGraph) -> DataFrame:
         # closed forms for the one-connected-pair classes
         da = deg.select(F.col(ID).alias("a"), F.col("deg").alias("da"))
         db = deg.select(F.col(ID).alias("b"), F.col("deg").alias("db"))
-        cn = (
-            adjb.select(F.col("n").alias("u"), F.col("c"))
-            .join(adjb.select(F.col("n").alias("v"), F.col("c")), "c")
-            .filter(F.col("u") < F.col("v"))
-            .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
-            .agg(F.count(F.lit(1)).alias("cn"))
-        )
+        cn = wedges.groupBy(
+            F.col("u").alias("a"), F.col("v").alias("b")
+        ).agg(F.count(F.lit(1)).alias("cn"))
         iso_rows = (
             pairs.join(da, "a")
             .join(db, "b")
@@ -182,6 +183,7 @@ def triad_census(graph: LinkGraph) -> DataFrame:
             .agg(F.sum("iso").alias("s"))
             .collect()
         )
+        wedges.unpersist()
     finally:
         pairs.unpersist()
 
