@@ -71,6 +71,7 @@ from linkgraph.algorithms.triangles import (
 )
 from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
 from linkgraph.algorithms.negative import sample_negative_edges
+from linkgraph.algorithms.rewire import rewire_edges
 from linkgraph.algorithms.triads import dyad_census, triad_census
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
@@ -175,6 +176,7 @@ __all__ = [
     "dyad_census",
     "triad_census",
     "sample_negative_edges",
+    "rewire_edges",
     "square_count",
     "clique4_count",
     "k_clique_count",

@@ -8281,3 +8281,81 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_rewire_fixture(spark, sf_dir):
+    """One parallel double-edge-swap round (seed=9) on a 15-node digraph
+    from the nation table (arc i→j iff (5i+2j) mod 13 < 2, 32 arcs → 16
+    buckets). The oracle replays the ENTIRE round in DuckDB — md5-u60
+    bucket assignment, hash-sorted bucket arrays, slot pairing, the swap
+    coin, self-loop vetoes — digit for digit; the hash simultaneously pins
+    determinism AND the exact in/out degree preservation (any degree drift
+    would change rows)."""
+    from linkgraph.algorithms.rewire import rewire_edges
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 15")
+    x, y = n.alias("x"), n.alias("y")
+    arcs = x.join(
+        y,
+        (F.col("x.k") != F.col("y.k"))
+        & ((5 * F.col("x.k") + 2 * F.col("y.k")) % 13 < 2),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    g = LinkGraph(arcs, nodes=n.select("id"), keys={"directed": True})
+    return rewire_edges(g, rounds=1, seed=9)
+
+
+def _rw_h60_sql(arg: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, 16), p -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr(md5({arg}), p, 1)) - 1 AS BIGINT) "
+        "* (1::BIGINT << (4 * (15 - p)))))"
+    )
+
+
+QUERIES.update({"rewire_fixture": q_rewire_fixture})
+ORACLE_SQL.update(
+    {
+        # 32 arcs → n_buckets = 16 (hardcoded: the fixture rule is fixed)
+        "rewire_fixture": f"""
+        WITH nodes AS (SELECT n_nationkey AS k FROM nation
+                       WHERE n_nationkey < 15),
+        arc AS (SELECT 'g' || a.k AS s, 'g' || b.k AS d
+                FROM nodes a, nodes b
+                WHERE a.k <> b.k AND (5*a.k + 2*b.k) % 13 < 2),
+        member AS (
+          SELECT {_rw_h60_sql("'9:0:' || s || ':' || d")} % 16 AS b,
+                 {_rw_h60_sql("'slot:9:0:' || s || ':' || d")} AS h,
+                 s, d
+          FROM arc),
+        bucket AS (
+          SELECT b, list(struct_pack(h := h, s := s, d := d)
+                         ORDER BY h, s, d) AS arr
+          FROM member GROUP BY b),
+        pairs AS (
+          SELECT b, arr, unnest(range((len(arr) + 1) // 2)) AS i
+          FROM bucket),
+        sw AS (
+          SELECT b, i,
+                 arr[CAST(2*i + 1 AS INT)] AS f,
+                 arr[CAST(2*i + 2 AS INT)] AS sec,
+                 ({_rw_h60_sql("'9:' || 0 || ':coin:' || b || ':' || i")}
+                  % 2 = 0) AS coin
+          FROM pairs),
+        dec AS (
+          SELECT f, sec,
+                 (sec IS NOT NULL AND coin
+                  AND f.s <> sec.d AND sec.s <> f.d) AS do_swap
+          FROM sw)
+        SELECT CASE WHEN do_swap THEN f.s ELSE f.s END AS src,
+               CASE WHEN do_swap THEN sec.d ELSE f.d END AS dst
+        FROM dec
+        UNION ALL
+        SELECT CASE WHEN do_swap THEN sec.s ELSE sec.s END,
+               CASE WHEN do_swap THEN f.d ELSE sec.d END
+        FROM dec WHERE sec IS NOT NULL
+    """,
+    }
+)

@@ -88,3 +88,31 @@ def test_sbm_guards(spark):
         sbm_graph(spark, [], 10)
     with _pytest.raises(ValueError):
         sbm_graph(spark, [3, 0], 10)
+
+
+def test_rewire_preserves_degrees_exactly(spark):
+    from collections import Counter
+
+    from linkgraph import rewire_edges
+
+    nodes = [f"n{i}" for i in range(40)]
+    arcs = [
+        (a, b)
+        for i, a in enumerate(nodes)
+        for j, b in enumerate(nodes)
+        if i != j and (5 * i + 2 * j) % 13 < 2
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(arcs, ["src", "dst"]), keys={"directed": True}
+    )
+    for rounds in (1, 3):
+        out = [tuple(r) for r in rewire_edges(g, rounds=rounds, seed=9).collect()]
+        assert len(out) == len(arcs)
+        assert Counter(a for a, _ in out) == Counter(a for a, _ in arcs)
+        assert Counter(b for _, b in out) == Counter(b for _, b in arcs)
+        assert all(a != b for a, b in out)  # swaps never create self-loops
+    one = sorted(tuple(r) for r in rewire_edges(g, rounds=1, seed=9).collect())
+    two = sorted(tuple(r) for r in rewire_edges(g, rounds=1, seed=9).collect())
+    assert one == two  # deterministic
+    # a round actually rewires a nontrivial fraction
+    assert len(set(arcs) - set(one)) >= len(arcs) // 8
