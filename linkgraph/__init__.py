@@ -47,6 +47,7 @@ from linkgraph.algorithms.assortativity import (
     average_degree_connectivity,
     average_neighbor_degree,
     degree_assortativity,
+    normalized_rich_club,
     powerlaw_alpha,
     rich_club_coefficient,
     s_metric,
@@ -192,6 +193,7 @@ __all__ = [
     "degree_assortativity",
     "powerlaw_alpha",
     "rich_club_coefficient",
+    "normalized_rich_club",
     "s_metric",
     "k_truss",
     "eccentricity",

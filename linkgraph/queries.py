@@ -8359,3 +8359,114 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_normalized_rich_club_fixture(spark, sf_dir):
+    """Normalized rich-club φ(k)/φ_null(k) on a 15-node fixture (edge i<j
+    iff (ij+i+j) mod 4 = 1 — 32 edges), null = ONE deterministic rewiring
+    round (seed 9). The oracle replays the whole pipeline in SQL: the
+    md5-u60 swap round digit-for-digit, then BOTH rich-club curves from
+    scratch (degree > k club membership counts), then the ratio —
+    millionths hash."""
+    from linkgraph.algorithms.assortativity import normalized_rich_club
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 15")
+    x, y = n.alias("x"), n.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.k") < F.col("y.k"))
+        & ((F.col("x.k") * F.col("y.k") + F.col("x.k") + F.col("y.k")) % 4 == 1),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    out = normalized_rich_club(
+        LinkGraph(edges, keys={"directed": False}), rounds=1, seed=9
+    )
+    return out.select(
+        "k",
+        F.round(F.col("rc") * 1e6).cast("long").alias("rc_millionths"),
+        F.round(F.col("rc_null") * 1e6).cast("long").alias("rcnull_millionths"),
+        F.round(F.col("rc_norm") * 1e6).cast("long").alias("rcnorm_millionths"),
+    )
+
+
+def _rc_curve_sql(edges_cte: str, tag: str) -> str:
+    """Rich-club curve CTEs over canonical undirected edge CTE (u, v)."""
+    return f"""
+        deg_{tag} AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM {edges_cte}
+            UNION ALL SELECT v FROM {edges_cte}) GROUP BY node),
+        ks_{tag} AS (SELECT unnest(range((SELECT max(d) FROM deg_{tag})))
+                         AS k),
+        curve_{tag} AS (
+          SELECT k,
+            (SELECT count(*) FROM deg_{tag} WHERE d > ks.k) AS nk,
+            (SELECT count(*) FROM {edges_cte} e
+             JOIN deg_{tag} da ON da.node = e.u
+             JOIN deg_{tag} db ON db.node = e.v
+             WHERE da.d > ks.k AND db.d > ks.k) AS ek
+          FROM ks_{tag} ks),
+        rc_{tag} AS (SELECT k, 2.0 * ek / (nk * (nk - 1.0)) AS rc
+                     FROM curve_{tag} WHERE nk >= 2)"""
+
+
+QUERIES.update({"normalized_rich_club_fixture": q_normalized_rich_club_fixture})
+ORACLE_SQL.update(
+    {
+        # 32 canonical edges → 16 rewire buckets (fixture rule is fixed)
+        "normalized_rich_club_fixture": f"""
+        WITH nodes AS (SELECT n_nationkey AS k FROM nation
+                       WHERE n_nationkey < 15),
+        obs AS (SELECT 'g' || a.k AS u, 'g' || b.k AS v
+                FROM nodes a, nodes b
+                WHERE a.k < b.k AND (a.k*b.k + a.k + b.k) % 4 = 1),
+        -- the engine's undirected canonicalization is least/greatest on the
+        -- STRING ids ('g13' < 'g5'), and that exact row feeds the rewire
+        -- hashes — replicate it before hashing
+        obs_c AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM obs),
+        member AS (
+          SELECT {_rw_h60_sql("'9:0:' || u || ':' || v")} % 16 AS b,
+                 {_rw_h60_sql("'slot:9:0:' || u || ':' || v")} AS h,
+                 u AS s, v AS d
+          FROM obs_c),
+        bucket AS (
+          SELECT b, list(struct_pack(h := h, s := s, d := d)
+                         ORDER BY h, s, d) AS arr
+          FROM member GROUP BY b),
+        pairs AS (
+          SELECT b, arr, unnest(range((len(arr) + 1) // 2)) AS i
+          FROM bucket),
+        sw AS (
+          SELECT b, i,
+                 arr[CAST(2*i + 1 AS INT)] AS f,
+                 arr[CAST(2*i + 2 AS INT)] AS sec,
+                 ({_rw_h60_sql("'9:' || 0 || ':coin:' || b || ':' || i")}
+                  % 2 = 0) AS coin
+          FROM pairs),
+        dec AS (
+          SELECT f, sec,
+                 (sec IS NOT NULL AND coin
+                  AND f.s <> sec.d AND sec.s <> f.d) AS do_swap
+          FROM sw),
+        raw_null AS (
+          SELECT f.s AS s, CASE WHEN do_swap THEN sec.d ELSE f.d END AS d
+          FROM dec
+          UNION ALL
+          SELECT sec.s, CASE WHEN do_swap THEN f.d ELSE sec.d END
+          FROM dec WHERE sec IS NOT NULL),
+        nul AS (
+          SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+          FROM raw_null WHERE s <> d),
+        {_rc_curve_sql("obs", "o")},
+        {_rc_curve_sql("nul", "n")}
+        SELECT o.k,
+               CAST(round(o.rc * 1000000) AS BIGINT) AS rc_millionths,
+               CAST(round(n.rc * 1000000) AS BIGINT) AS rcnull_millionths,
+               CAST(round(o.rc / n.rc * 1000000) AS BIGINT)
+                   AS rcnorm_millionths
+        FROM rc_o o JOIN rc_n n ON n.k = o.k
+        WHERE n.rc > 0
+    """,
+    }
+)

@@ -116,3 +116,24 @@ def test_rewire_preserves_degrees_exactly(spark):
     assert one == two  # deterministic
     # a round actually rewires a nontrivial fraction
     assert len(set(arcs) - set(one)) >= len(arcs) // 8
+
+
+def test_normalized_rich_club_deterministic_and_sane(spark):
+    from linkgraph import normalized_rich_club
+
+    nodes = list(range(15))
+    edges = [
+        (f"g{i}", f"g{j}")
+        for i in nodes
+        for j in nodes
+        if i < j and (i * j + i + j) % 4 == 1
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(edges, ["src", "dst"]), keys={"directed": False}
+    )
+    a = sorted(tuple(r) for r in normalized_rich_club(g, rounds=1, seed=9).collect())
+    b = sorted(tuple(r) for r in normalized_rich_club(g, rounds=1, seed=9).collect())
+    assert a == b and a
+    for k, rc, rc_null, rc_norm in a:
+        assert rc_null > 0 and rc >= 0
+        assert abs(rc_norm - rc / rc_null) < 1e-12
