@@ -73,7 +73,7 @@ from linkgraph.algorithms.triangles import (
 from linkgraph.algorithms.graphlets import graphlet_census4, graphlet_orbits4
 from linkgraph.algorithms.negative import sample_negative_edges
 from linkgraph.algorithms.rewire import rewire_edges
-from linkgraph.algorithms.triads import dyad_census, triad_census
+from linkgraph.algorithms.triads import dyad_census, motif_significance, triad_census
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
@@ -176,6 +176,7 @@ __all__ = [
     "graphlet_orbits4",
     "dyad_census",
     "triad_census",
+    "motif_significance",
     "sample_negative_edges",
     "rewire_edges",
     "square_count",

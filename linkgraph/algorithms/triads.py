@@ -202,3 +202,64 @@ def triad_census(graph: LinkGraph) -> DataFrame:
     return spark.createDataFrame(
         [tuple(Decimal(cnt[c]) for c in TRIAD_CLASSES)], schema
     )
+
+
+def motif_significance(
+    graph: LinkGraph, n_null: int = 5, rounds: int = 3, seed: int = 42
+) -> DataFrame:
+    """DataFrame[triad, observed, null_mean_millionths, null_std_millionths,
+    z_millionths] — the Milo et al. (Science'02) network-motif significance
+    profile over the 13 connected triad classes: z(c) = (obs(c) − μ_null(c))
+    / σ_null(c) against ``n_null`` degree-preserving rewired graphs
+    (:func:`linkgraph.algorithms.rewire.rewire_edges`, seeds seed..seed+n−1,
+    ``rounds`` swap rounds each).
+
+    Conventions, stated: σ is the population std over the null samples;
+    classes where σ = 0 get a NULL z (not ±inf); the disconnected classes
+    (003/012/102) are excluded — their counts are dominated by n and carry
+    no motif signal. Directed rewiring preserves in/out degree sequences
+    but NOT the mutual-dyad count (the standard directed configuration
+    model caveat). Deterministic: same graph/seed ⇒ same profile.
+
+    Cost: (n_null + 1) triad censuses + n_null·rounds swap rounds — each
+    component's scale story is its own docstring's; the z arithmetic is
+    driver-side over 13×(n_null+1) scalars."""
+    if n_null < 2:
+        raise ValueError(f"n_null must be >= 2, got {n_null}")
+    from linkgraph.algorithms.rewire import rewire_edges
+
+    spark = graph.edges.sparkSession
+    connected = [c for c in TRIAD_CLASSES if c not in ("003", "012", "102")]
+
+    def census_counts(g: LinkGraph) -> dict:
+        row = triad_census(g).collect()[0]
+        return {c: int(row[f"t{c.lower()}"]) for c in connected}
+
+    obs = census_counts(graph)
+    nulls = []
+    for i in range(n_null):
+        ne = rewire_edges(graph, rounds=rounds, seed=seed + i)
+        ng = LinkGraph(ne, nodes=graph.nodes, keys={"directed": True})
+        nulls.append(census_counts(ng))
+
+    out = []
+    for c in connected:
+        vals = [nl[c] for nl in nulls]
+        mu = sum(vals) / n_null
+        var = sum((v - mu) ** 2 for v in vals) / n_null
+        sd = var ** 0.5
+        z = (obs[c] - mu) / sd if sd > 0 else None
+        out.append(
+            (
+                c,
+                obs[c],
+                int(round(mu * 1e6)),
+                int(round(sd * 1e6)),
+                int(round(z * 1e6)) if z is not None else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "triad string, observed bigint, null_mean_millionths bigint, "
+        "null_std_millionths bigint, z_millionths bigint",
+    )

@@ -8470,3 +8470,128 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_motif_significance_fixture(spark, sf_dir):
+    """Milo-style motif significance profile (13 connected triad classes,
+    2 rewired nulls, 1 swap round each, seeds 9/10) on the 15-node
+    all-classes digraph (arc i→j iff (3i+5j) mod 9 < 4, 95 arcs → 48
+    rewire buckets). The oracle replays EVERYTHING in SQL: both null swap
+    rounds digit-for-digit, three brute-force triple censuses through the
+    canonical 64-code table, then μ/σ/z per class — one hash pins the
+    rewire determinism, the census machinery, and the z arithmetic."""
+    from linkgraph.algorithms.triads import motif_significance
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    ).filter("k < 15")
+    x, y = n.alias("x"), n.alias("y")
+    arcs = x.join(
+        y,
+        (F.col("x.k") != F.col("y.k"))
+        & ((3 * F.col("x.k") + 5 * F.col("y.k")) % 9 < 4),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    g = LinkGraph(arcs, nodes=n.select("id"), keys={"directed": True})
+    return motif_significance(g, n_null=2, rounds=1, seed=9)
+
+
+def _motif_rewire_cte(tag: str, seed: int) -> str:
+    """One swap round replay over `arc0` (s, d) → CTE arc_{tag} (s, d)."""
+    pre = f"'{seed}:0:' || s || ':' || d"
+    slot = f"'slot:{seed}:0:' || s || ':' || d"
+    coin = f"'{seed}:' || 0 || ':coin:' || b || ':' || i"
+    return f"""
+        member_{tag} AS (
+          SELECT {_rw_h60_sql(pre)} % 48 AS b,
+                 {_rw_h60_sql(slot)} AS h, s, d
+          FROM arc0),
+        bucket_{tag} AS (
+          SELECT b, list(struct_pack(h := h, s := s, d := d)
+                         ORDER BY h, s, d) AS arr
+          FROM member_{tag} GROUP BY b),
+        pairs_{tag} AS (
+          SELECT b, arr, unnest(range((len(arr) + 1) // 2)) AS i
+          FROM bucket_{tag}),
+        sw_{tag} AS (
+          SELECT b, i, arr[CAST(2*i + 1 AS INT)] AS f,
+                 arr[CAST(2*i + 2 AS INT)] AS sec,
+                 ({_rw_h60_sql(coin)} % 2 = 0) AS coin
+          FROM pairs_{tag}),
+        dec_{tag} AS (
+          SELECT f, sec, (sec IS NOT NULL AND coin
+                          AND f.s <> sec.d AND sec.s <> f.d) AS do_swap
+          FROM sw_{tag}),
+        arc_{tag} AS (
+          SELECT f.s AS s, CASE WHEN do_swap THEN sec.d ELSE f.d END AS d
+          FROM dec_{tag}
+          UNION ALL
+          SELECT sec.s, CASE WHEN do_swap THEN f.d ELSE sec.d END
+          FROM dec_{tag} WHERE sec IS NOT NULL)"""
+
+
+def _motif_census_cte(tag: str) -> str:
+    """Brute triple census over arc_{tag} → CTE cnt_{tag} (t, c)."""
+    def ex(a, b):
+        return (
+            f"CASE WHEN EXISTS(SELECT 1 FROM arc_{tag} "
+            f"WHERE s = {a}.id AND d = {b}.id) THEN 1 ELSE 0 END"
+        )
+
+    return f"""
+        code_{tag} AS (
+          SELECT {ex('x','y')} + 2*{ex('y','x')} + 4*{ex('x','z')}
+               + 8*{ex('z','x')} + 16*{ex('y','z')} + 32*{ex('z','y')}
+               AS code
+          FROM nodes15 x, nodes15 y, nodes15 z
+          WHERE x.id < y.id AND y.id < z.id),
+        cnt_{tag} AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT {_triad_case_sql()} AS t FROM code_{tag})
+          GROUP BY t)"""
+
+
+def _motif_oracle_sql() -> str:
+    classes = [
+        "021D", "021U", "021C", "111D", "111U", "030T", "030C",
+        "201", "120D", "120U", "120C", "210", "300",
+    ]
+    cls_values = ", ".join(f"('{c}')" for c in classes)
+    return f"""
+        WITH nodes AS (SELECT n_nationkey AS k FROM nation
+                       WHERE n_nationkey < 15),
+        nodes15 AS (SELECT 'g' || k AS id FROM nodes),
+        arc_obs AS (SELECT 'g' || a.k AS s, 'g' || b.k AS d
+                    FROM nodes a, nodes b
+                    WHERE a.k <> b.k AND (3*a.k + 5*b.k) % 9 < 4),
+        arc0 AS (SELECT s, d FROM arc_obs),
+        {_motif_rewire_cte("n0", 9)},
+        {_motif_rewire_cte("n1", 10)},
+        {_motif_census_cte("obs")},
+        {_motif_census_cte("n0")},
+        {_motif_census_cte("n1")},
+        cls(t) AS (VALUES {cls_values}),
+        j AS (
+          SELECT cls.t,
+                 coalesce(o.c, 0) AS obs,
+                 coalesce(a.c, 0) AS v1,
+                 coalesce(b.c, 0) AS v2
+          FROM cls
+          LEFT JOIN cnt_obs o ON o.t = cls.t
+          LEFT JOIN cnt_n0 a ON a.t = cls.t
+          LEFT JOIN cnt_n1 b ON b.t = cls.t)
+        SELECT t AS triad,
+               CAST(obs AS BIGINT) AS observed,
+               CAST(round((v1 + v2) / 2.0 * 1000000) AS BIGINT)
+                   AS null_mean_millionths,
+               CAST(round(abs(v1 - v2) / 2.0 * 1000000) AS BIGINT)
+                   AS null_std_millionths,
+               CASE WHEN v1 <> v2 THEN
+                 CAST(round((obs - (v1 + v2) / 2.0)
+                      / (abs(v1 - v2) / 2.0) * 1000000) AS BIGINT)
+               ELSE NULL END AS z_millionths
+        FROM j
+    """
+
+
+QUERIES.update({"motif_significance_fixture": q_motif_significance_fixture})
+ORACLE_SQL.update({"motif_significance_fixture": _motif_oracle_sql()})

@@ -108,3 +108,31 @@ def test_sinkhorn_rejects_nonpositive(spark):
     )
     with _pytest.raises(ValueError):
         sinkhorn_normalize(g, iterations=2)
+
+
+def test_motif_significance_profile(spark):
+    from linkgraph import motif_significance
+
+    nodes = list(range(15))
+    arcs = [
+        (f"g{i}", f"g{j}")
+        for i in nodes
+        for j in nodes
+        if i != j and (3 * i + 5 * j) % 9 < 4
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(arcs, ["src", "dst"]),
+        nodes=spark.createDataFrame([(f"g{i}",) for i in nodes], ["id"]),
+        keys={"directed": True},
+    )
+    rows = {r["triad"]: r for r in motif_significance(g, n_null=2, rounds=1, seed=9).collect()}
+    assert len(rows) == 13 and "003" not in rows
+    # z formula identity where defined; NULL exactly when std == 0
+    for r in rows.values():
+        if r["null_std_millionths"] == 0:
+            assert r["z_millionths"] is None
+        else:
+            z = (r["observed"] * 1e6 - r["null_mean_millionths"]) / r["null_std_millionths"]
+            assert abs(z * 1e6 - r["z_millionths"]) < 1.0
+    rows2 = {r["triad"]: tuple(r) for r in motif_significance(g, n_null=2, rounds=1, seed=9).collect()}
+    assert rows2 == {k: tuple(v) for k, v in rows.items()}
