@@ -277,6 +277,14 @@ def main():
 
     timed("graphlet_orbits_imports", _graphlet_orbits_imports)
 
+    def _triad_census_imports():
+        from linkgraph import triad_census
+
+        row = triad_census(g_imp).collect()[0]
+        extra["triads_030t"] = int(row["t030t"])
+
+    timed("triad_census_imports", _triad_census_imports)
+
     def _critical_path_imports():
         # CPM earliest-finish over the imports subgraph oriented low→high id
         # (a DAG by construction — build-scheduling over the import relation);
