@@ -75,6 +75,8 @@ from linkgraph.algorithms.negative import sample_negative_edges
 from linkgraph.algorithms.rewire import rewire_edges
 from linkgraph.algorithms.triads import dyad_census, motif_significance, triad_census
 from linkgraph.algorithms.percolation import clique_percolation
+from linkgraph.algorithms.local_cluster import local_cluster, sweep_cut
+from linkgraph.algorithms.heat_kernel import heat_kernel, heat_kernel_cluster
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation

@@ -16,12 +16,16 @@ driver-local over the PPR SUPPORT ONLY, which is what makes the method
 the same way. Inside the guard it is numpy-sized by construction.
 
 Determinism across engines (and the DuckDB oracle): the sweep orders by
-``round(ppr/deg, 9)`` descending with node-id tie-break — the 9-dp
+``round(score/deg, 9)`` descending with node-id tie-break — the 9-dp
 rounding pins the order against last-ulp summation differences between
 engines, the same reproducibility discipline as the repo's millionths
 outputs. Conductance φ(S) = cut(S) / min(vol(S), 2m − vol(S)) over the
 FULL graph volume; prefixes whose min side is zero are skipped; ties on
 φ take the SMALLEST prefix.
+
+The sweep half (:func:`sweep_cut`) is shared with the heat-kernel
+variant (:mod:`linkgraph.algorithms.heat_kernel`) — any positive
+per-node score vector defines a sweep order.
 """
 
 from __future__ import annotations
@@ -32,34 +36,24 @@ from pyspark.sql import functions as F
 from linkgraph.graph import DST, ID, SRC, LinkGraph
 
 
-def local_cluster(
+def sweep_cut(
     graph: LinkGraph,
-    seed_node,
-    damping: float = 0.85,
-    max_iter: int = 20,
+    scores: DataFrame,
+    score_col: str = "pagerank",
     max_support: int = 100_000,
 ) -> DataFrame:
-    """DataFrame[id, sweep_pos, phi_millionths] — the minimum-conductance
-    sweep prefix around ``seed_node`` (module docstring). ``sweep_pos``
-    is the node's 0-based position in the PPR sweep order;
-    ``phi_millionths`` (constant across rows) is the achieved
-    conductance."""
-    from linkgraph.algorithms.pagerank import pagerank
-
+    """DataFrame[id, sweep_pos, phi_millionths] — minimum-conductance
+    prefix of the degree-normalized sweep over ``scores`` (module
+    docstring). ``scores`` rows with score ≤ 0 are excluded from the
+    support; both the support size and the induced edge count are probed
+    against ``max_support`` BEFORE any collect."""
     spark = graph.edges.sparkSession
-    res = pagerank(
-        graph,
-        damping=damping,
-        tol=0.0,
-        max_iter=max_iter,
-        personalization={seed_node: 1.0},
-    )
-    support = res.ranks.filter(F.col("pagerank") > 0)
+    support = scores.filter(F.col(score_col) > 0)
     n_sup = support.limit(max_support + 1).count()
     if n_sup > max_support:
         raise ValueError(
-            f"PPR support exceeds max_support={max_support}; lower max_iter "
-            "or raise the guard explicitly"
+            f"diffusion support exceeds max_support={max_support}; lower "
+            "the iteration budget or raise the guard explicitly"
         )
     # undirected simple view for volumes/cuts
     und = (
@@ -78,7 +72,11 @@ def local_cluster(
             .groupBy(ID)
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        sup = support.join(deg, ID).select(ID, "pagerank", "deg").persist()
+        sup = (
+            support.join(deg, ID)
+            .select(ID, F.col(score_col).alias("_score"), "deg")
+            .persist()
+        )
         rows = sup.collect()
         inner = (
             und.join(sup.select(F.col(ID).alias("a")), "a", "leftsemi")
@@ -87,7 +85,7 @@ def local_cluster(
         if inner.limit(4 * max_support + 1).count() > 4 * max_support:
             raise ValueError(
                 "induced support subgraph too dense for the driver-local "
-                "sweep; lower max_iter"
+                "sweep; lower the iteration budget"
             )
         in_edges = [(r["a"], r["b"]) for r in inner.collect()]
         sup.unpersist()
@@ -95,7 +93,7 @@ def local_cluster(
         und.unpersist()
 
     order = sorted(
-        rows, key=lambda r: (-round(r["pagerank"] / r["deg"], 9), r[ID])
+        rows, key=lambda r: (-round(r["_score"] / r["deg"], 9), r[ID])
     )
     pos = {r[ID]: i for i, r in enumerate(order)}
     # per-position count of induced edges whose LATER endpoint enters there
@@ -124,4 +122,30 @@ def local_cluster(
     id_type = "string" if isinstance(order[0][ID], str) else "bigint"
     return spark.createDataFrame(
         out, f"{ID} {id_type}, sweep_pos int, phi_millionths bigint"
+    )
+
+
+def local_cluster(
+    graph: LinkGraph,
+    seed_node,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    max_support: int = 100_000,
+) -> DataFrame:
+    """DataFrame[id, sweep_pos, phi_millionths] — the minimum-conductance
+    sweep prefix around ``seed_node`` (module docstring). ``sweep_pos``
+    is the node's 0-based position in the PPR sweep order;
+    ``phi_millionths`` (constant across rows) is the achieved
+    conductance."""
+    from linkgraph.algorithms.pagerank import pagerank
+
+    res = pagerank(
+        graph,
+        damping=damping,
+        tol=0.0,
+        max_iter=max_iter,
+        personalization={seed_node: 1.0},
+    )
+    return sweep_cut(
+        graph, res.ranks, score_col="pagerank", max_support=max_support
     )

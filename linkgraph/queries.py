@@ -8695,3 +8695,113 @@ def _local_cluster_oracle_sql(n_iters: int = 20, d: float = 0.85) -> str:
 
 QUERIES.update({"local_cluster_two_clique": q_local_cluster_two_clique})
 ORACLE_SQL.update({"local_cluster_two_clique": _local_cluster_oracle_sql()})
+
+
+def q_heat_kernel_two_clique(spark, sf_dir):
+    """Heat-kernel local clustering around seed n0 on the same two
+    bridged 4-cliques of nations as ``local_cluster_two_clique``: the
+    sweep must recover exactly the seed's clique at conductance 1/13.
+    The oracle replays the WHOLE method in SQL — 20 unrolled truncated
+    Taylor supersteps with the exact e^{-t} t^k/k! double literals the
+    engine folds, the round(hk/deg, 9) sweep order, prefix volumes/cuts,
+    the argmin — pinning the diffusion and the sweep arithmetic
+    together."""
+    from linkgraph.algorithms.heat_kernel import heat_kernel_cluster
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    x, y = n.alias("x"), n.alias("y")
+
+    def clique(lo, hi):
+        return x.join(
+            y,
+            (F.col("x.k") < F.col("y.k"))
+            & (F.col("x.k") >= lo) & (F.col("y.k") < hi),
+        ).filter(F.col("x.k") >= lo).filter(F.col("y.k") >= lo).select(
+            F.col("x.id").alias("src"), F.col("y.id").alias("dst")
+        )
+
+    bridge = spark.createDataFrame([("n0", "n4")], ["src", "dst"])
+    edges = clique(0, 4).union(clique(4, 8)).union(bridge)
+    g = LinkGraph(edges, keys={"directed": False})
+    return heat_kernel_cluster(g, "n0", t=5.0, n_terms=20)
+
+
+def _heat_kernel_oracle_sql(t: float = 5.0, n_terms: int = 20) -> str:
+    from linkgraph.algorithms.heat_kernel import taylor_weights
+
+    w = taylor_weights(t, n_terms)
+    ctes = [
+        """e0 AS MATERIALIZED (
+          SELECT 'n' || a.n_nationkey AS u, 'n' || b.n_nationkey AS v
+          FROM nation a, nation b
+          WHERE a.n_nationkey < b.n_nationkey AND b.n_nationkey < 4
+          UNION ALL
+          SELECT 'n' || a.n_nationkey, 'n' || b.n_nationkey
+          FROM nation a, nation b
+          WHERE a.n_nationkey < b.n_nationkey
+            AND a.n_nationkey >= 4 AND b.n_nationkey < 8
+          UNION ALL SELECT 'n0', 'n4')""",
+        "e AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 "
+        "UNION ALL SELECT v, u FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)",
+        "deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS d "
+        "FROM e GROUP BY src)",
+        f"h0 AS MATERIALIZED (SELECT id, CASE WHEN id = 'n0' "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS x, "
+        f"CASE WHEN id = 'n0' THEN CAST({w[0]!r} AS DOUBLE) "
+        f"ELSE CAST(0.0 AS DOUBLE) END AS hk FROM h0_nodes)".replace(
+            "h0_nodes", "nodes"
+        ),
+    ]
+    for k in range(1, n_terms + 1):
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT h.id, "
+            f"coalesce(c.s, CAST(0 AS DOUBLE)) AS x, "
+            f"h.hk + CAST({w[k]!r} AS DOUBLE) "
+            f"* coalesce(c.s, CAST(0 AS DOUBLE)) AS hk "
+            f"FROM h{k-1} h LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(h{k-1}.x / deg.d) AS s "
+            f"FROM e JOIN h{k-1} ON e.src = h{k-1}.id AND h{k-1}.x > 0 "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON h.id = c.id)"
+        )
+    ctes.append(f"""
+        sweep AS MATERIALIZED (
+          SELECT h.id, deg.d AS deg,
+                 row_number() OVER (
+                   ORDER BY round(h.hk / deg.d, 9) DESC, h.id) - 1 AS pos
+          FROM h{n_terms} h JOIN deg ON deg.src = h.id
+          WHERE h.hk > 0)""")
+    ctes.append("""
+        m AS MATERIALIZED (SELECT count(*) AS m FROM e0),
+        enters AS MATERIALIZED (
+          SELECT greatest(pu.pos, pv.pos) AS pos, count(*) AS c
+          FROM e0
+          JOIN sweep pu ON pu.id = e0.u
+          JOIN sweep pv ON pv.id = e0.v
+          GROUP BY 1),
+        pref AS MATERIALIZED (
+          SELECT s.pos,
+                 sum(s.deg) OVER (ORDER BY s.pos) AS vol,
+                 sum(coalesce(en.c, 0)) OVER (ORDER BY s.pos) AS within
+          FROM sweep s LEFT JOIN enters en ON en.pos = s.pos),
+        phi AS MATERIALIZED (
+          SELECT pos,
+                 (vol - 2 * within)
+                 / least(vol, 2 * (SELECT m FROM m) - vol) AS phi
+          FROM pref
+          WHERE least(vol, 2 * (SELECT m FROM m) - vol) > 0),
+        best AS MATERIALIZED (SELECT pos, phi FROM phi ORDER BY phi, pos LIMIT 1)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+        SELECT s.id, CAST(s.pos AS INT) AS sweep_pos,
+               CAST(round((SELECT phi FROM best) * 1000000) AS BIGINT)
+                   AS phi_millionths
+        FROM sweep s WHERE s.pos <= (SELECT pos FROM best)
+    """
+    )
+
+
+QUERIES.update({"heat_kernel_two_clique": q_heat_kernel_two_clique})
+ORACLE_SQL.update({"heat_kernel_two_clique": _heat_kernel_oracle_sql()})
