@@ -8805,3 +8805,124 @@ def _heat_kernel_oracle_sql(t: float = 5.0, n_terms: int = 20) -> str:
 
 QUERIES.update({"heat_kernel_two_clique": q_heat_kernel_two_clique})
 ORACLE_SQL.update({"heat_kernel_two_clique": _heat_kernel_oracle_sql()})
+
+
+def _ic_fixture_graph(spark, sf_dir):
+    """Directed 20-node fixture reusing the negative-sampling arc rule:
+    nodes g0..g19, arc x->y iff x!=y and (3x+y) mod 11 < 2."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20).select(
+        _tag("n_nationkey", "g").alias("id"), F.col("n_nationkey").alias("k")
+    )
+    x, y = n.alias("x"), n.alias("y")
+    arcs = x.join(
+        y,
+        (F.col("x.k") != F.col("y.k"))
+        & ((3 * F.col("x.k") + F.col("y.k")) % 11 < 2),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    return LinkGraph(arcs, nodes=n.select("id"), keys={"directed": True})
+
+
+def q_ic_spread_fixture(spark, sf_dir):
+    """Independent-cascade spread from seeds {g0, g5} at p=0.5 over 3
+    trials, 6 rounds. The oracle replays the md5-u60 coins
+    digit-for-digit AND the live-edge BFS (6 unrolled rounds), so the
+    hash pins the draw law, the shared live table, and activation-round
+    semantics together."""
+    from linkgraph.algorithms.cascade import ic_spread
+
+    g = _ic_fixture_graph(spark, sf_dir)
+    return ic_spread(
+        g, ["g0", "g5"], p=0.5, n_trials=3, max_rounds=6, seed=9
+    )
+
+
+def q_ic_influence_fixture(spark, sf_dir):
+    """Per-candidate expected single-seed IC spread (g0/g3/g7, same
+    coins as ic_spread_fixture) — mean activated count over trials as
+    millionths. Oracle replays coins + per-candidate BFS + the mean."""
+    from linkgraph.algorithms.cascade import ic_influence
+
+    g = _ic_fixture_graph(spark, sf_dir)
+    return ic_influence(
+        g, ["g0", "g3", "g7"], p=0.5, n_trials=3, max_rounds=6, seed=9
+    )
+
+
+def _ic_live_sql(seed: int = 9, n_trials: int = 3) -> list:
+    """Shared CTEs: the fixture arc set + the per-trial live subgraphs
+    with the engine's exact md5-u60 coin (threshold = 0.5 * 2^60)."""
+    coin = _neg_h60_sql(f"'ic:{seed}:' || t.trial || ':' || a.src || ':' || a.dst")
+    return [
+        """nodes AS MATERIALIZED (SELECT 'g' || n_nationkey AS id, n_nationkey AS k
+                   FROM nation WHERE n_nationkey < 20)""",
+        """arc AS MATERIALIZED (SELECT 'g' || a.k AS src, 'g' || b.k AS dst
+                 FROM nodes a, nodes b
+                 WHERE a.k <> b.k AND (3 * a.k + b.k) % 11 < 2)""",
+        f"""trials AS MATERIALIZED (SELECT unnest(range(1, {n_trials + 1})) AS trial)""",
+        f"""live AS MATERIALIZED (
+          SELECT t.trial, a.src, a.dst FROM arc a, trials t
+          WHERE {coin} < 576460752303423488)""",
+    ]
+
+
+def _ic_bfs_ctes(seed_sql: str, key: str, n_rounds: int = 6) -> list:
+    """Unrolled live-edge BFS: act{r} = act{r-1} + newly reached at round
+    r. ``key`` = extra grouping columns prefix ('' or 'cand, ')."""
+    ctes = [f"act0 AS MATERIALIZED ({seed_sql})"]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"act{r} AS MATERIALIZED ("
+            f"SELECT {key}trial, id, round FROM act{r-1} "
+            f"UNION ALL "
+            f"SELECT DISTINCT {('a.cand, ' if key else '')}l.trial, l.dst AS id, "
+            f"{r} AS round "
+            f"FROM live l JOIN act{r-1} a "
+            f"ON l.trial = a.trial AND l.src = a.id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM act{r-1} x WHERE "
+            f"{('x.cand = a.cand AND ' if key else '')}"
+            f"x.trial = l.trial AND x.id = l.dst))"
+        )
+    return ctes
+
+
+def _ic_spread_oracle_sql() -> str:
+    ctes = _ic_live_sql()
+    seed_sql = (
+        "SELECT trial, id, 0 AS round FROM trials, "
+        "(SELECT 'g0' AS id UNION ALL SELECT 'g5') s"
+    )
+    ctes += _ic_bfs_ctes(seed_sql, key="")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT CAST(trial AS INT) AS trial, id, CAST(round AS INT) AS round FROM act6"
+    )
+
+
+def _ic_influence_oracle_sql(n_trials: int = 3) -> str:
+    ctes = _ic_live_sql()
+    seed_sql = (
+        "SELECT c.cand, t.trial, c.cand AS id, 0 AS round FROM trials t, "
+        "(SELECT 'g0' AS cand UNION ALL SELECT 'g3' UNION ALL SELECT 'g7') c"
+    )
+    ctes += _ic_bfs_ctes(seed_sql, key="cand, ")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT cand AS id,
+               CAST(round(count(*) * 1000000.0 / {n_trials}) AS BIGINT)
+                   AS spread_millionths
+        FROM act6 GROUP BY cand"""
+    )
+
+
+QUERIES.update(
+    {
+        "ic_spread_fixture": q_ic_spread_fixture,
+        "ic_influence_fixture": q_ic_influence_fixture,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "ic_spread_fixture": _ic_spread_oracle_sql(),
+        "ic_influence_fixture": _ic_influence_oracle_sql(),
+    }
+)
