@@ -44,6 +44,7 @@ from linkgraph.algorithms.hitting import (
 )
 from linkgraph.algorithms.assortativity import (
     attribute_assortativity,
+    numeric_assortativity,
     average_degree_connectivity,
     average_neighbor_degree,
     degree_assortativity,
@@ -77,7 +78,12 @@ from linkgraph.algorithms.triads import dyad_census, motif_significance, triad_c
 from linkgraph.algorithms.percolation import clique_percolation
 from linkgraph.algorithms.local_cluster import local_cluster, sweep_cut
 from linkgraph.algorithms.heat_kernel import heat_kernel, heat_kernel_cluster
-from linkgraph.algorithms.cascade import ic_influence, ic_live_edges, ic_spread
+from linkgraph.algorithms.cascade import (
+    ic_greedy_seeds,
+    ic_influence,
+    ic_live_edges,
+    ic_spread,
+)
 from linkgraph.algorithms.partition_metrics import partition_agreement
 from linkgraph.algorithms.louvain import louvain_communities, split_disconnected_communities
 from linkgraph.algorithms.spread_activation import spread_activation

@@ -202,6 +202,43 @@ def attribute_assortativity(
     return (tr - sab) / (1.0 - sab)
 
 
+def numeric_assortativity(
+    graph: LinkGraph,
+    attrs,
+    id_col: str = "id",
+    attr_col: str = "attr",
+) -> float:
+    """Pearson correlation of endpoint NUMERIC attribute values over the
+    edge list — ``networkx.numeric_assortativity_coefficient`` parity
+    (their mixing-matrix Pearson reduces to the plain edge-pair
+    correlation). Same conventions as :func:`attribute_assortativity`:
+    undirected graphs count both orientations, unattributed endpoints
+    drop the edge (inner join), self-loops count. NaN on degenerates
+    (no attributed edges, zero variance on either side).
+
+    Plan: two broadcastable attribute joins + ONE ``corr`` aggregate —
+    the degree_assortativity shape with values swapped for degrees."""
+    lab = attrs.select(
+        F.col(id_col).alias(ID), F.col(attr_col).cast("double").alias("_x")
+    )
+    edges = graph.edges.select(SRC, DST).distinct()
+    # ANSI mode: corr() raises divide-by-zero on zero variance, so take
+    # the Pearson pieces from one aggregate and divide driver-side
+    row = (
+        edges.join(lab.select(F.col(ID).alias(SRC), F.col("_x").alias("_xa")), SRC)
+        .join(lab.select(F.col(ID).alias(DST), F.col("_x").alias("_xb")), DST)
+        .agg(
+            F.covar_pop("_xa", "_xb").alias("_cov"),
+            F.stddev_pop("_xa").alias("_sa"),
+            F.stddev_pop("_xb").alias("_sb"),
+        )
+        .collect()[0]
+    )
+    if row["_cov"] is None or not row["_sa"] or not row["_sb"]:
+        return float("nan")
+    return float(row["_cov"]) / (float(row["_sa"]) * float(row["_sb"]))
+
+
 def average_neighbor_degree(graph: LinkGraph):
     """Per-node average degree of neighbors — DataFrame [id, avg_nbr_deg],
     ``networkx.average_neighbor_degree`` parity on undirected simple

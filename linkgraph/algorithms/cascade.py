@@ -32,10 +32,12 @@ depends on the batch split).
 
 ``ic_influence`` scores every candidate's SINGLE-SEED expected spread in
 one shared BFS (state keyed by (candidate, trial, node)) — the
-embarrassingly-parallel measurement; it is NOT greedy submodular seed
-selection (marginal gains need reach-set overlaps). Docstring states
-this honestly; compose with ``ic_spread`` on the chosen set to evaluate
-a portfolio.
+embarrassingly-parallel measurement. ``ic_greedy_seeds`` builds the
+actual seed SET by greedy marginal-coverage maximization over the same
+reach table (the KKT (1−1/e) guarantee); the argmax chain is inherently
+sequential in k, so that final step is driver-local over the collected
+reach rows behind a size probe — bound it with the candidate pool and
+trial count.
 """
 
 from __future__ import annotations
@@ -138,23 +140,17 @@ def ic_spread(
     return acc
 
 
-def ic_influence(
+def _candidate_reach(
     graph: LinkGraph,
     candidates,
-    p: float = 0.1,
-    n_trials: int = 10,
-    max_rounds: int | None = None,
-    seed: int = 42,
+    p: float,
+    n_trials: int,
+    max_rounds: int | None,
+    seed: int,
 ) -> DataFrame:
-    """DataFrame[id, spread_millionths] — each candidate's expected
-    single-seed IC spread (mean activated count over trials, incl. the
-    seed itself), as round(1e6·mean) for engine-portable hashing. All
-    candidates share one multi-source BFS with state keyed by
-    (candidate, trial, node); coins are per (edge, trial) — candidates
-    see the SAME live subgraphs, exactly the common-random-numbers
-    variance reduction the simulation literature prescribes. This is
-    per-candidate scoring, not greedy submodular selection (module
-    docstring)."""
+    """DataFrame[_cand, trial, id] — every node each candidate reaches in
+    each trial's live subgraph (one shared multi-source BFS; candidates
+    see the SAME live edges — common random numbers)."""
     if not candidates:
         raise ValueError("candidates must be non-empty")
     spark = graph.edges.sparkSession
@@ -201,8 +197,25 @@ def ic_influence(
             frontier = nxt
     finally:
         live.unpersist()
+    return acc.select("_cand", "trial", ID)
+
+
+def ic_influence(
+    graph: LinkGraph,
+    candidates,
+    p: float = 0.1,
+    n_trials: int = 10,
+    max_rounds: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[id, spread_millionths] — each candidate's expected
+    single-seed IC spread (mean activated count over trials, incl. the
+    seed itself), as round(1e6·mean) for engine-portable hashing. This is
+    per-candidate scoring, not greedy submodular selection — see
+    :func:`ic_greedy_seeds` for the seed-SET builder."""
+    reach = _candidate_reach(graph, candidates, p, n_trials, max_rounds, seed)
     return (
-        acc.groupBy("_cand")
+        reach.groupBy("_cand")
         .agg(F.count(F.lit(1)).alias("_total"))
         .select(
             F.col("_cand").alias(ID),
@@ -210,4 +223,69 @@ def ic_influence(
             .cast("long")
             .alias("spread_millionths"),
         )
+    )
+
+
+def ic_greedy_seeds(
+    graph: LinkGraph,
+    candidates,
+    k: int,
+    p: float = 0.1,
+    n_trials: int = 10,
+    max_rounds: int | None = None,
+    seed: int = 42,
+    max_reach_rows: int = 2_000_000,
+) -> DataFrame:
+    """DataFrame[rank, id, marginal_millionths, total_millionths] — a
+    k-seed set built by greedy marginal-coverage maximization over the
+    per-trial live-edge reach sets (the Kempe-Kleinberg-Tardos (1−1/e)
+    approximation). Ties on marginal gain take the smallest id; marginal
+    and cumulative expected spreads are reported in millionths.
+
+    The distributed part is the shared multi-trial BFS
+    (:func:`_candidate_reach`, state (candidate, trial, node)); the
+    greedy argmax itself is inherently sequential in k, so it runs
+    driver-local over the COLLECTED reach rows — size-probed against
+    ``max_reach_rows`` BEFORE any collect, the same guard discipline as
+    betweenness/bridges. Bound it with the candidate pool (e.g. VoteRank
+    or top-degree pre-selection) and n_trials."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand_list = sorted(set(candidates))
+    reach = _candidate_reach(
+        graph, cand_list, p, n_trials, max_rounds, seed
+    ).persist()
+    try:
+        if reach.limit(max_reach_rows + 1).count() > max_reach_rows:
+            raise ValueError(
+                f"reach table exceeds max_reach_rows={max_reach_rows}; "
+                "shrink the candidate pool or n_trials, or raise the guard"
+            )
+        sets: dict = {c: set() for c in cand_list}
+        for row in reach.collect():
+            sets[row["_cand"]].add((row["trial"], row[ID]))
+    finally:
+        reach.unpersist()
+
+    spark = graph.edges.sparkSession
+    covered: set = set()
+    picked = []
+    total = 0
+    for rank in range(1, min(k, len(cand_list)) + 1):
+        best, best_gain = None, -1
+        for c in cand_list:
+            if c in (pid for pid, _, _, _ in picked):
+                continue
+            gain = len(sets[c] - covered)
+            if gain > best_gain or (gain == best_gain and (best is None or c < best)):
+                best, best_gain = c, gain
+        marginal = round(1e6 * best_gain / n_trials)
+        covered |= sets[best]
+        total = round(1e6 * len(covered) / n_trials)
+        picked.append((best, rank, marginal, total))
+    id_type = dict(graph.nodes.dtypes)[ID]
+    return spark.createDataFrame(
+        [(r, c, m, t) for c, r, m, t in picked],
+        f"rank int, {ID} {id_type}, marginal_millionths bigint, "
+        "total_millionths bigint",
     )

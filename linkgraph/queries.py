@@ -8926,3 +8926,105 @@ ORACLE_SQL.update(
         "ic_influence_fixture": _ic_influence_oracle_sql(),
     }
 )
+
+
+def q_ic_greedy_fixture(spark, sf_dir):
+    """Greedy IC seed selection (k=2 over candidates g0/g3/g7/g11, same
+    coins as ic_spread_fixture). The oracle replays the coins, the
+    per-candidate BFS reach sets, AND both greedy argmax steps (count
+    desc, id asc tie-break) with the marginal/total millionths math."""
+    from linkgraph.algorithms.cascade import ic_greedy_seeds
+
+    g = _ic_fixture_graph(spark, sf_dir)
+    return ic_greedy_seeds(
+        g, ["g0", "g3", "g7", "g11"], k=2, p=0.5, n_trials=3,
+        max_rounds=6, seed=9,
+    )
+
+
+def _ic_greedy_oracle_sql(n_trials: int = 3) -> str:
+    ctes = _ic_live_sql()
+    seed_sql = (
+        "SELECT c.cand, t.trial, c.cand AS id, 0 AS round FROM trials t, "
+        "(SELECT 'g0' AS cand UNION ALL SELECT 'g3' "
+        "UNION ALL SELECT 'g7' UNION ALL SELECT 'g11') c"
+    )
+    ctes += _ic_bfs_ctes(seed_sql, key="cand, ")
+    ctes.append("""
+        reach AS MATERIALIZED (SELECT DISTINCT cand, trial, id FROM act6),
+        cov AS MATERIALIZED (SELECT cand, count(*) AS n FROM reach GROUP BY cand),
+        b1 AS MATERIALIZED (SELECT cand, n FROM cov ORDER BY n DESC, cand LIMIT 1),
+        m2 AS MATERIALIZED (
+          SELECT r.cand, count(*) AS n FROM reach r
+          WHERE r.cand <> (SELECT cand FROM b1)
+            AND NOT EXISTS (SELECT 1 FROM reach x
+                            WHERE x.cand = (SELECT cand FROM b1)
+                              AND x.trial = r.trial AND x.id = r.id)
+          GROUP BY r.cand),
+        b2 AS MATERIALIZED (
+          SELECT c.cand, coalesce(m.n, 0) AS n
+          FROM cov c LEFT JOIN m2 m ON m.cand = c.cand
+          WHERE c.cand <> (SELECT cand FROM b1)
+          ORDER BY coalesce(m.n, 0) DESC, c.cand LIMIT 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT 1 AS rank, cand AS id,
+               CAST(round(n * 1000000.0 / {n_trials}) AS BIGINT) AS marginal_millionths,
+               CAST(round(n * 1000000.0 / {n_trials}) AS BIGINT) AS total_millionths
+        FROM b1
+        UNION ALL
+        SELECT 2, b2.cand,
+               CAST(round(b2.n * 1000000.0 / {n_trials}) AS BIGINT),
+               CAST(round((b1.n + b2.n) * 1000000.0 / {n_trials}) AS BIGINT)
+        FROM b1, b2"""
+    )
+
+
+def q_numeric_assortativity_nation(spark, sf_dir):
+    """Numeric assortativity over the co-region nation graph with
+    n_nationkey as the node value (nodes in the same region share a
+    value-correlated neighborhood). DuckDB replays the symmetrized
+    edge-pair Pearson from covariance/stddev pieces."""
+    from linkgraph.algorithms.assortativity import numeric_assortativity
+
+    n = _t(spark, sf_dir, "nation").select(
+        _tag("n_nationkey", "n").alias("id"),
+        F.col("n_nationkey").alias("k"),
+        F.col("n_regionkey").alias("r"),
+    )
+    x, y = n.alias("x"), n.alias("y")
+    edges = x.join(
+        y, (F.col("x.r") == F.col("y.r")) & (F.col("x.k") < F.col("y.k"))
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    g = LinkGraph(edges, keys={"directed": False})
+    attrs = n.select("id", F.col("k").alias("attr"))
+    r = numeric_assortativity(g, attrs)
+    return spark.createDataFrame(
+        [(int(round(r * 1e6)),)], "assort_millionths long"
+    )
+
+
+QUERIES.update(
+    {
+        "ic_greedy_fixture": q_ic_greedy_fixture,
+        "numeric_assortativity_nation": q_numeric_assortativity_nation,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "ic_greedy_fixture": _ic_greedy_oracle_sql(),
+        "numeric_assortativity_nation": """
+        WITH n AS (SELECT 'n' || n_nationkey AS id, n_nationkey AS k,
+                          n_regionkey AS r FROM nation),
+        e0 AS (SELECT a.id AS src, b.id AS dst, a.k AS ka, b.k AS kb
+               FROM n a JOIN n b ON a.r = b.r AND a.k < b.k),
+        pairs AS (SELECT ka AS xa, kb AS xb FROM e0
+                  UNION ALL SELECT kb, ka FROM e0)
+        SELECT CAST(round(1000000 * covar_pop(xa, xb)
+                    / (stddev_pop(xa) * stddev_pop(xb))) AS BIGINT)
+               AS assort_millionths
+        FROM pairs
+    """,
+    }
+)

@@ -142,3 +142,45 @@ def test_validation(spark):
         ic_spread(g, [], p=0.5)
     with pytest.raises(ValueError, match="candidates"):
         ic_influence(g, [], p=0.5)
+
+
+def test_greedy_seeds_matches_replay(spark):
+    from linkgraph.algorithms.cascade import ic_greedy_seeds
+
+    g = _graph(spark)
+    cands = ["a", "d", "g", "j"]
+    got = ic_greedy_seeds(
+        g, cands, k=2, p=0.6, n_trials=5, seed=11
+    ).collect()
+    # python greedy over the same replayed reach sets
+    sets = {
+        c: {
+            (t, node)
+            for t in range(1, 6)
+            for node in _reach(_live(EDGES, True, 0.6, t, 11), [c])
+        }
+        for c in cands
+    }
+    covered, want = set(), []
+    for rank in (1, 2):
+        best = min(
+            (c for c in cands if c not in [w[0] for w in want]),
+            key=lambda c: (-len(sets[c] - covered), c),
+        )
+        gain = len(sets[best] - covered)
+        covered |= sets[best]
+        want.append((best, rank, round(1e6 * gain / 5), round(1e6 * len(covered) / 5)))
+    assert [(r["id"], r["rank"], r["marginal_millionths"], r["total_millionths"])
+            for r in sorted(got, key=lambda r: r["rank"])] == want
+    # second pick's marginal can't exceed the first (submodularity)
+    assert want[1][2] <= want[0][2]
+
+
+def test_greedy_guard_and_k_validation(spark):
+    from linkgraph.algorithms.cascade import ic_greedy_seeds
+
+    g = _graph(spark)
+    with pytest.raises(ValueError, match="max_reach_rows"):
+        ic_greedy_seeds(g, ["a"], k=1, p=1.0, n_trials=2, max_reach_rows=3)
+    with pytest.raises(ValueError, match="k must be"):
+        ic_greedy_seeds(g, ["a"], k=0)

@@ -111,3 +111,37 @@ def test_attribute_assortativity_networkx_parity(spark):
         [("a", "r"), ("b", "r"), ("x", "r"), ("y", "r")], ["id", "attr"]
     )
     assert math.isnan(attribute_assortativity(g1, a_one))
+
+
+def test_numeric_assortativity_networkx_parity(spark):
+    import math
+
+    import networkx as nx
+
+    from linkgraph import numeric_assortativity
+
+    pairs = (
+        [("a", "b"), ("b", "c"), ("c", "a")]
+        + [("x", "y"), ("y", "z")]
+        + [("a", "x"), ("c", "z")]
+    )
+    vals = {"a": 3, "b": 3, "c": 5, "x": 8, "y": 8, "z": 13}
+    g = LinkGraph(spark.createDataFrame(pairs, ["src", "dst"]), keys={"directed": False})
+    adf = spark.createDataFrame(list(vals.items()), ["id", "attr"])
+    G = nx.Graph(pairs)
+    nx.set_node_attributes(G, vals, "v")
+    assert numeric_assortativity(g, adf) == pytest.approx(
+        nx.numeric_assortativity_coefficient(G, "v"), abs=1e-9
+    )
+
+    # directed
+    gd = LinkGraph(spark.createDataFrame(pairs, ["src", "dst"]))
+    Gd = nx.DiGraph(pairs)
+    nx.set_node_attributes(Gd, vals, "v")
+    assert numeric_assortativity(gd, adf) == pytest.approx(
+        nx.numeric_assortativity_coefficient(Gd, "v"), abs=1e-9
+    )
+
+    # zero variance -> NaN
+    a_const = spark.createDataFrame([(n, 7) for n in "abcxyz"], ["id", "attr"])
+    assert math.isnan(numeric_assortativity(g, a_const))
