@@ -527,6 +527,21 @@ def main():
 
     timed("hitting_5step_corpus", _hitting_corpus)
 
+    def _ic_spread_corpus():
+        # independent-cascade diffusion from 8 deterministic seeds, 4
+        # trials at p=0.05, 4 BFS rounds — the live-edge materialization
+        # (one projection over edges x trials) plus the multi-trial
+        # frontier loop, frontier-side-only shuffles
+        from linkgraph import ic_spread
+
+        seeds = [r["id"] for r in g.nodes.orderBy("id").limit(8).collect()]
+        n = ic_spread(
+            g, seeds, p=0.05, n_trials=4, max_rounds=4, seed=42
+        ).count()
+        extra["ic_spread_activations"] = n
+
+    timed("ic_spread_corpus", _ic_spread_corpus)
+
     def _ws_generate():
         # generator throughput: 10M-edge small-world ring, pure projection
         from linkgraph import watts_strogatz_graph
