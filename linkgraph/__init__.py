@@ -23,6 +23,10 @@ from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.salsa import salsa
 from linkgraph.algorithms.profile import graph_profile
 from linkgraph.algorithms.cuts import articulation_points, bridges
+from linkgraph.algorithms.bridges import (
+    bridges as distributed_bridges,
+    two_edge_connected_components,
+)
 from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
@@ -162,6 +166,8 @@ __all__ = [
     "salsa",
     "graph_profile",
     "bridges",
+    "distributed_bridges",
+    "two_edge_connected_components",
     "articulation_points",
     "truss_decomposition",
     "label_propagation",

@@ -7,10 +7,12 @@ expensive whole-graph analyses driver-local too
 lowlink DFS (no recursion limit, no networkx dependency); networkx is the
 test oracle only.
 
-At 100 TB the honest answer is that exact global bridge finding is a
-sequential-DFS problem; the scalable preprocessing is the engine's CC (cut
-analysis runs per component after extraction) and k-core/k-truss pruning
-(a bridge never lies inside a 2-truss-dense region's triangles).
+At 100 TB, bridges have a genuinely distributed sibling:
+:func:`linkgraph.algorithms.bridges.bridges` (spanning forest + XOR-tag
+cut sketch — no DFS, no driver graph) — use that for whole-graph bridge
+finding and keep this module for ARTICULATION POINTS, which still need the
+DFS-tree lowlink argument, after CC extraction / k-core pruning shrinks
+the component below the guard.
 """
 
 from __future__ import annotations

@@ -9028,3 +9028,125 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def _bridge_fixture_edges(spark, sf_dir):
+    """Fixture for cut-structure queries, derived from the nation table:
+    a 5-cycle (keys 0-4), a bridge path 4-5-6, a K4 (keys 10-13) hung off
+    6, a pendant 6-14, a separate triangle (20-22), and a separate lone
+    edge 23-24. Bridges: (4,5), (5,6), (6,10), (6,14), (23,24) — in
+    canonical lexicographic string order."""
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    tag = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    k = F.col("k")
+    cyc = nk.filter(k < 5).select(tag(k).alias("x"), tag((k + 1) % 5).alias("y"))
+    path = nk.filter(k.isin(4, 5)).select(tag(k).alias("x"), tag(k + 1).alias("y"))
+    a, b = nk.alias("a"), nk.alias("b")
+    k4 = a.join(
+        b,
+        F.col("a.k").between(10, 13)
+        & F.col("b.k").between(10, 13)
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(tag(F.col("a.k")).alias("x"), tag(F.col("b.k")).alias("y"))
+    hang = nk.filter(k == 6).select(tag(k).alias("x"), tag(k + 4).alias("y"))
+    pend = nk.filter(k == 6).select(tag(k).alias("x"), tag(k + 8).alias("y"))
+    tri = (
+        nk.filter(k.isin(20, 21))
+        .select(tag(k).alias("x"), tag(k + 1).alias("y"))
+        .unionByName(
+            nk.filter(k == 20).select(tag(k).alias("x"), tag(k + 2).alias("y"))
+        )
+    )
+    lone = nk.filter(k == 23).select(tag(k).alias("x"), tag(k + 1).alias("y"))
+    return (
+        cyc.unionByName(path)
+        .unionByName(k4)
+        .unionByName(hang)
+        .unionByName(pend)
+        .unionByName(tri)
+        .unionByName(lone)
+        .select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    )
+
+
+def q_bridges_nation_fixture(spark, sf_dir):
+    """Distributed bridges (spanning forest + XOR-tag cut sketch,
+    linkgraph/algorithms/bridges.py) on the nation cut fixture. The DuckDB
+    oracle derives bridges INDEPENDENTLY: a recursive-CTE reachability
+    closure excluding each candidate edge in turn — edge (a,b) is a bridge
+    iff b is unreachable from a without it."""
+    from linkgraph.algorithms.bridges import bridges
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    return bridges(g)
+
+
+def q_tecc_nation_fixture(spark, sf_dir):
+    """2-edge-connected components (bridges removed, min-label CC) on the
+    same fixture; oracle replays reachability over the non-bridge edges."""
+    from linkgraph.algorithms.bridges import two_edge_connected_components
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    return two_edge_connected_components(g)
+
+
+_BRIDGE_FIXTURE_SQL = """
+nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+e0 AS (
+  SELECT 'n' || k AS x, 'n' || ((k+1) % 5) AS y FROM nk WHERE k < 5
+  UNION ALL SELECT 'n' || k, 'n' || (k+1) FROM nk WHERE k IN (4,5)
+  UNION ALL SELECT 'n' || a.k, 'n' || b.k FROM nk a JOIN nk b
+    ON a.k BETWEEN 10 AND 13 AND b.k BETWEEN 10 AND 13 AND a.k < b.k
+  UNION ALL SELECT 'n' || k, 'n' || (k+4) FROM nk WHERE k = 6
+  UNION ALL SELECT 'n' || k, 'n' || (k+8) FROM nk WHERE k = 6
+  UNION ALL SELECT 'n' || k, 'n' || (k+1) FROM nk WHERE k IN (20,21)
+  UNION ALL SELECT 'n' || k, 'n' || (k+2) FROM nk WHERE k = 20
+  UNION ALL SELECT 'n' || k, 'n' || (k+1) FROM nk WHERE k = 23
+),
+e AS (SELECT DISTINCT least(x,y) AS a, greatest(x,y) AS b FROM e0),
+nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+r AS (
+  SELECT e.a AS xa, e.b AS xb, n.id AS id, n.id AS lab FROM e CROSS JOIN nodes n
+  UNION
+  SELECT r.xa, r.xb, CASE WHEN d.a = r.id THEN d.b ELSE d.a END AS id, r.lab
+  FROM r JOIN e d ON (d.a = r.id OR d.b = r.id)
+               AND NOT (d.a = r.xa AND d.b = r.xb)
+),
+br AS (
+  SELECT e.a, e.b FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM r
+                    WHERE r.xa = e.a AND r.xb = e.b
+                      AND r.id = e.b AND r.lab = e.a)
+)"""
+
+QUERIES.update(
+    {
+        "bridges_nation_fixture": q_bridges_nation_fixture,
+        "tecc_nation_fixture": q_tecc_nation_fixture,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "bridges_nation_fixture": "WITH RECURSIVE "
+        + _BRIDGE_FIXTURE_SQL
+        + """
+        SELECT a AS src, b AS dst FROM br
+    """,
+        "tecc_nation_fixture": "WITH RECURSIVE "
+        + _BRIDGE_FIXTURE_SQL
+        + """,
+        e2 AS (SELECT e.a, e.b FROM e
+               WHERE NOT EXISTS (SELECT 1 FROM br
+                                 WHERE br.a = e.a AND br.b = e.b)),
+        r2 AS (
+          SELECT id, id AS lab FROM nodes
+          UNION
+          SELECT CASE WHEN d.a = r2.id THEN d.b ELSE d.a END AS id, r2.lab
+          FROM r2 JOIN e2 d ON d.a = r2.id OR d.b = r2.id
+        )
+        SELECT id, min(lab) AS component FROM r2 GROUP BY id
+    """,
+    }
+)

@@ -776,3 +776,20 @@ def test_hyperball_hop_two_exchanges_no_carry_join(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_bridges_peel_round_is_algebraic(spark):
+    """The leaf-peel round of distributed bridges must be a bit_xor
+    groupBy + left_anti + left join — a window partitioned by parent
+    would sort a hub parent's whole child set in one task."""
+    from linkgraph.algorithms.bridges import _peel_round
+
+    state = spark.createDataFrame(
+        [("a", None, 3, 2), ("b", "a", 5, 0), ("c", "a", 6, 0)],
+        "id string, parent string, acc long, pending long",
+    )
+    ready, nxt = _peel_round(state)
+    for df in (ready, nxt):
+        plan = _plan(df)
+        assert "Window" not in plan
+        assert "EvalPython" not in plan
