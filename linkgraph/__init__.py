@@ -27,6 +27,10 @@ from linkgraph.algorithms.bridges import (
     bridges as distributed_bridges,
     two_edge_connected_components,
 )
+from linkgraph.algorithms.biconnectivity import (
+    articulation_points_distributed,
+    biconnected_components,
+)
 from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
@@ -168,6 +172,8 @@ __all__ = [
     "bridges",
     "distributed_bridges",
     "two_edge_connected_components",
+    "biconnected_components",
+    "articulation_points_distributed",
     "articulation_points",
     "truss_decomposition",
     "label_propagation",

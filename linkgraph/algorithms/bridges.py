@@ -61,6 +61,36 @@ def _canonical_simple_edges(graph: LinkGraph) -> DataFrame:
     )
 
 
+def _root_forest(
+    tree: DataFrame, roots: DataFrame, id_t: str, budget: int
+) -> DataFrame:
+    """BFS-root a spanning forest: ``tree[u, v]`` (both arc orientations,
+    pre-pinned on ``u``), ``roots[id]`` → DataFrame[id, parent] covering
+    every tree node (roots carry parent NULL). A tree node is reached
+    exactly once, via its unique tree path — no dedup or tie-break needed
+    beyond the settled check. Raises if the forest height exceeds
+    ``budget`` (an engine bug, not an input property)."""
+    settled = roots.select(
+        ID, F.lit(None).cast(id_t).alias("parent")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for _ in range(budget + 1):
+        nxt = (
+            frontier.join(tree, frontier[ID] == tree["u"])
+            .select(F.col("v").alias(ID), F.col("u").alias("parent"))
+            .join(settled.select(ID), ID, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return settled
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(
+        f"forest height exceeds max_hops={budget} — the spanning forest "
+        "must be reachable from its roots; engine bug"
+    )
+
+
 def _peel_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One leaf-peel round over ``state[id, parent, acc, pending]`` →
     (ready, next_state). Algebraic only: a bit_xor groupBy on the ready
@@ -136,29 +166,11 @@ def bridges(
         comp = connected_components(fg, with_sizes=False)
         roots = comp.select(F.col("component").alias(ID)).distinct()
 
-        # BFS rooting: a tree node is reached exactly once, via its unique
-        # tree path — no dedup or tie-break needed beyond the settled check
-        settled = roots.select(
-            ID, F.lit(None).cast(id_t).alias("parent")
-        ).localCheckpoint(eager=True)
-        frontier = settled
-        for _ in range(budget + 1):
-            nxt = (
-                frontier.join(tree, frontier[ID] == tree["u"])
-                .select(F.col("v").alias(ID), F.col("u").alias("parent"))
-                .join(settled.select(ID), ID, "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.limit(1).count() == 0:
-                break
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        else:
+        try:
+            settled = _root_forest(tree, roots, id_t, budget)
+        except RuntimeError:
             tree.unpersist()
-            raise RuntimeError(
-                f"forest height exceeds max_hops={budget} — the spanning "
-                "forest must be reachable from its roots; engine bug"
-            )
+            raise
 
         # 60-bit md5 tags on non-tree edges, XOR-folded per endpoint
         nontree = _canonical_simple_edges(graph).join(

@@ -9150,3 +9150,115 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_articulation_nation_fixture(spark, sf_dir):
+    """Distributed articulation points (Tarjan-Vishkin auxiliary-graph
+    blocks, linkgraph/algorithms/biconnectivity.py) on the nation cut
+    fixture. The DuckDB oracle derives them INDEPENDENTLY: per-excluded-
+    node recursive-CTE reachability — x is an articulation point iff the
+    remaining nodes of x's component split into >1 component without x."""
+    from linkgraph.algorithms.biconnectivity import (
+        articulation_points_distributed,
+    )
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    return articulation_points_distributed(g)
+
+
+def q_biconn_blocks_nation_fixture(spark, sf_dir):
+    """Biconnected components on the same fixture, blocks canonically
+    relabeled by their lexicographically smallest edge so both engines
+    agree on labels. Oracle recomputes blocks a DIFFERENT way: the
+    equivalence closure of 'two edges share a vertex v and their other
+    endpoints stay connected without v' (= lie on a common cycle)."""
+    from linkgraph.algorithms.biconnectivity import biconnected_components
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    bc = biconnected_components(g)
+    m = bc.groupBy("component").agg(F.min(F.struct("src", "dst")).alias("m"))
+    return bc.join(m, "component").select(
+        "src",
+        "dst",
+        F.col("m.src").alias("block_src"),
+        F.col("m.dst").alias("block_dst"),
+    )
+
+
+_CUT_CLOSURE_SQL = _BRIDGE_FIXTURE_SQL.replace(
+    """,
+br AS (
+  SELECT e.a, e.b FROM e
+  WHERE NOT EXISTS (SELECT 1 FROM r
+                    WHERE r.xa = e.a AND r.xb = e.b
+                      AND r.id = e.b AND r.lab = e.a)
+)""",
+    "",
+).replace(
+    """,
+r AS (
+  SELECT e.a AS xa, e.b AS xb, n.id AS id, n.id AS lab FROM e CROSS JOIN nodes n
+  UNION
+  SELECT r.xa, r.xb, CASE WHEN d.a = r.id THEN d.b ELSE d.a END AS id, r.lab
+  FROM r JOIN e d ON (d.a = r.id OR d.b = r.id)
+               AND NOT (d.a = r.xa AND d.b = r.xb)
+)""",
+    """,
+fullr AS (
+  SELECT n.id AS id, n.id AS lab FROM nodes n
+  UNION
+  SELECT CASE WHEN d.a = fullr.id THEN d.b ELSE d.a END, fullr.lab
+  FROM fullr JOIN e d ON d.a = fullr.id OR d.b = fullr.id
+),
+comp AS (SELECT id, min(lab) AS c FROM fullr GROUP BY id),
+rx AS (
+  SELECT x.id AS ex, n.id AS id, n.id AS lab
+  FROM nodes x JOIN nodes n ON n.id <> x.id
+  UNION
+  SELECT rx.ex, CASE WHEN d.a = rx.id THEN d.b ELSE d.a END, rx.lab
+  FROM rx JOIN e d ON (d.a = rx.id OR d.b = rx.id)
+                AND d.a <> rx.ex AND d.b <> rx.ex
+),
+mincomp AS (SELECT ex, id, min(lab) AS c2 FROM rx GROUP BY ex, id)""",
+)
+
+QUERIES.update(
+    {
+        "articulation_nation_fixture": q_articulation_nation_fixture,
+        "biconn_blocks_nation_fixture": q_biconn_blocks_nation_fixture,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "articulation_nation_fixture": "WITH RECURSIVE "
+        + _CUT_CLOSURE_SQL
+        + """
+        SELECT m.ex AS id FROM mincomp m
+        JOIN comp ca ON ca.id = m.ex
+        JOIN comp cb ON cb.id = m.id AND cb.c = ca.c
+        GROUP BY m.ex HAVING count(DISTINCT m.c2) > 1
+    """,
+        "biconn_blocks_nation_fixture": "WITH RECURSIVE "
+        + _CUT_CLOSURE_SQL
+        + """,
+        ends AS (SELECT a, b, a AS v, b AS o FROM e
+                 UNION ALL SELECT a, b, b, a FROM e),
+        gen AS (
+          SELECT x.a AS a1, x.b AS b1, y.a AS a2, y.b AS b2
+          FROM ends x JOIN ends y ON x.v = y.v AND (x.a <> y.a OR x.b <> y.b)
+          JOIN mincomp m1 ON m1.ex = x.v AND m1.id = x.o
+          JOIN mincomp m2 ON m2.ex = y.v AND m2.id = y.o AND m2.c2 = m1.c2
+        ),
+        bl AS (
+          SELECT a, b, a AS la, b AS lb FROM e
+          UNION
+          SELECT g.a2, g.b2, bl.la, bl.lb
+          FROM bl JOIN gen g ON g.a1 = bl.a AND g.b1 = bl.b
+        )
+        SELECT a AS src, b AS dst,
+               min(struct_pack(la := la, lb := lb)).la AS block_src,
+               min(struct_pack(la := la, lb := lb)).lb AS block_dst
+        FROM bl GROUP BY a, b
+    """,
+    }
+)
