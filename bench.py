@@ -162,6 +162,21 @@ def main():
 
     timed("kcore2_corpus", _kcore_corpus)
 
+    def _bridges_corpus():
+        # cut structure at scale: Borůvka forest + BFS rooting + XOR-tag
+        # leaf-peel (bridges.py). The corpus graph is 2-edge-connected
+        # (repo hubs + co-change cliques), so the expected answer is 0 —
+        # nothing short-circuits on that: the forest, rooting, and peel do
+        # identical work either way.
+        from linkgraph.algorithms.bridges import bridges as dist_bridges
+
+        gb = LinkGraph(
+            edges.select("src", "dst"), keys={"directed": False}
+        ).encode_ids()[0]
+        extra["bridges_corpus"] = dist_bridges(gb).count()
+
+    timed("bridges_corpus", _bridges_corpus)
+
     def _scc_corpus():
         # directed stress for SCC: orient every corpus edge low→high id and
         # add the reverse direction for a deterministic 1/3 of edges — the

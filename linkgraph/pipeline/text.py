@@ -1038,3 +1038,131 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(ok, flesch).otherwise(0.0).alias("r_flesch"),
         F.when(ok, fk).otherwise(0.0).alias("r_fk_grade"),
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    source: DataFrame | None = None,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance log-weight per document (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS'23):
+
+        log_ratio(d) = Σ_tokens ln p_target(t) − ln p_source(t)
+
+    under additively smoothed unigram models of ``target`` (the
+    distribution you WANT, e.g. curated text) and ``source`` (the raw
+    pool; default ``df`` itself), over the SHARED vocabulary (union of
+    both corpora) so out-of-vocabulary mass is treated symmetrically — an
+    OOV-in-both token contributes exactly the length constant. Returns
+    DataFrame[id, n_tokens, log_ratio]; docs with no tokens emit no row
+    (same contract as :func:`unigram_logprob`). Positive log_ratio =
+    looks more like the target than the pool.
+
+    Shape at 100 TB: two algebraic term counts + one full-outer vocab
+    join, ONE broadcastable 1-row stats aggregate, then one term join +
+    one per-doc sum — the unigram_logprob profile run twice and fused:
+    document text never shuffles, only (term, count) pairs do."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    src = source if source is not None else df
+    a = float(smoothing)
+
+    def toks(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_words_col(text_col)).alias("term"),
+        )
+
+    ct = toks(target).groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    cs = toks(src).groupBy("term").agg(F.count(F.lit(1)).alias("cs"))
+    vocab = (
+        ct.join(cs, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    stats = vocab.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cs").cast("double").alias("ns"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    per_tok = (
+        toks(df)
+        .join(vocab, "term", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + F.lit(a))
+                    / (F.coalesce("cs", F.lit(0)) + F.lit(a))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        per_tok.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (
+                F.col("_s")
+                + F.col("n_tokens")
+                * F.log(
+                    (F.col("ns") + F.lit(a) * F.col("v"))
+                    / (F.col("nt") + F.lit(a) * F.col("v"))
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    source: DataFrame | None = None,
+    smoothing: float = 1.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection step: draw ``k`` documents WITHOUT replacement with
+    probability ∝ exp(log_ratio), via Gumbel-top-k — key = log_ratio +
+    Gumbel(md5(seed, id)), take the k largest. The Gumbel noise is a pure
+    column expression over engine-portable md5 u60 draws, so the SAME
+    sample materializes on every run, partitioning, and engine (the
+    DuckDB oracle replays it digit-for-digit). Deterministic ties break
+    on id. Returns DataFrame[id, n_tokens, log_ratio, gumbel_key],
+    descending by key.
+
+    Shape: importance_weights + ONE TakeOrderedAndProject (orderBy.limit
+    — per-partition top-k then a k-row driver merge; no global sort)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    w = importance_weights(
+        df, target, source=source, smoothing=smoothing,
+        id_col=id_col, text_col=text_col,
+    )
+    u60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("dsir"), F.lit(seed), F.col(id_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u60.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", F.col("log_ratio") + gumbel)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -9262,3 +9262,86 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. NeurIPS'23 shape): target =
+    the non-English minority of the documents table, source = the whole
+    pool; the oracle replays both smoothed unigram models, the shared
+    vocabulary, and the per-doc sum from scratch."""
+    from linkgraph.pipeline.text import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = importance_weights(docs, docs.filter("lang <> 'en'"))
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("log_ratio") * 1e6).cast("long").alias("lr_millionths"),
+    )
+
+
+def q_dsir_resample_documents(spark, sf_dir):
+    """Gumbel-top-k importance resampling (k=25, seed=11) — the md5-u60
+    Gumbel draw is replayed digit-for-digit in SQL, pinning that the
+    SELECTED SET (not just the weights) is engine-portable."""
+    from linkgraph.pipeline.text import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    r = importance_resample(docs, docs.filter("lang <> 'en'"), k=25, seed=11)
+    return r.select(
+        "doc_id",
+        F.round(F.col("gumbel_key") * 1e6).cast("long").alias("key_millionths"),
+    )
+
+
+_DSIR_LR_SQL = f"""
+        WITH {_WORDS_CTE.replace("SELECT doc_id,", "SELECT doc_id, lang,")},
+        toks AS (SELECT doc_id, lang, unnest(words) AS term FROM w),
+        ct AS (SELECT term, count(*) AS c FROM toks
+               WHERE lang <> 'en' GROUP BY term),
+        cs AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        vocab AS (SELECT coalesce(ct.term, cs.term) AS term,
+                         coalesce(ct.c, 0) AS ct, coalesce(cs.c, 0) AS cs
+                  FROM ct FULL OUTER JOIN cs ON ct.term = cs.term),
+        stats AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+                         CAST(sum(cs) AS DOUBLE) AS ns,
+                         CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        lr AS (
+          SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 sum(ln((coalesce(vb.ct, 0) + 1.0)
+                        / (coalesce(vb.cs, 0) + 1.0)))
+                 + count(*) * ln((ns + v) / (nt + v)) AS log_ratio
+          FROM toks t LEFT JOIN vocab vb ON t.term = vb.term
+          CROSS JOIN stats
+          GROUP BY t.doc_id, nt, ns, v
+        )"""
+
+QUERIES.update(
+    {
+        "dsir_weights_documents": q_dsir_weights_documents,
+        "dsir_resample_documents": q_dsir_resample_documents,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "dsir_weights_documents": _DSIR_LR_SQL
+        + """
+        SELECT doc_id, n_tokens,
+               CAST(round(1e6 * log_ratio) AS BIGINT) AS lr_millionths
+        FROM lr
+    """,
+        "dsir_resample_documents": _DSIR_LR_SQL
+        + f"""
+        SELECT doc_id,
+               CAST(round(1e6 * (log_ratio
+                 - ln(-ln(({_neg_h60_sql("'dsir:11:' || doc_id")} + 0.5)
+                          / 1152921504606846976.0)))) AS BIGINT)
+               AS key_millionths
+        FROM lr
+        ORDER BY log_ratio
+                 - ln(-ln(({_neg_h60_sql("'dsir:11:' || doc_id")} + 0.5)
+                          / 1152921504606846976.0)) DESC, doc_id
+        LIMIT 25
+    """,
+    }
+)

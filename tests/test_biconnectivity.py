@@ -172,3 +172,35 @@ def test_deterministic(spark):
     r1 = sorted(map(tuple, biconnected_components(sg).collect()))
     r2 = sorted(map(tuple, biconnected_components(sg).collect()))
     assert r1 == r2
+
+
+def test_tour_positions_path_and_star(spark):
+    """List-ranking unit pin: on a rooted path the discovery order must be
+    root->leaf and each retreat must come after every discovery below it;
+    on a star all discoveries interleave with their own retreats."""
+    from linkgraph.algorithms.biconnectivity import _tour_positions
+
+    # path 0-1-2-3 rooted at 0
+    arcs = spark.createDataFrame(
+        [(a, b) for a, b in [(0, 1), (1, 2), (2, 3)]]
+        + [(b, a) for a, b in [(0, 1), (1, 2), (2, 3)]],
+        "u long, v long",
+    )
+    roots = spark.createDataFrame([(0,)], "id long")
+    pos_df = _tour_positions(arcs, roots, 6)
+    pos = {(r["au"], r["av"]): r["pos"] for r in pos_df.collect()}
+    assert len(pos) == 6 and len(set(pos.values())) == 6
+    # discovery order along the path, retreats in reverse
+    assert pos[(0, 1)] < pos[(1, 2)] < pos[(2, 3)] < pos[(3, 2)] \
+        < pos[(2, 1)] < pos[(1, 0)]
+
+    # star centered at 0 with leaves 1,2,3: visit leaf k then retreat,
+    # in sorted leaf order
+    arcs = spark.createDataFrame(
+        [(0, k) for k in (1, 2, 3)] + [(k, 0) for k in (1, 2, 3)],
+        "u long, v long",
+    )
+    pos_df = _tour_positions(arcs, roots, 6)
+    pos = {(r["au"], r["av"]): r["pos"] for r in pos_df.collect()}
+    assert pos[(0, 1)] < pos[(1, 0)] < pos[(0, 2)] < pos[(2, 0)] \
+        < pos[(0, 3)] < pos[(3, 0)]
