@@ -31,6 +31,11 @@ from linkgraph.algorithms.biconnectivity import (
     articulation_points_distributed,
     biconnected_components,
 )
+from linkgraph.algorithms.flow import (
+    STCutResult,
+    min_st_cut,
+    st_edge_connectivity,
+)
 from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
 from linkgraph.algorithms.scan import scan_clustering, structural_similarity
@@ -174,6 +179,9 @@ __all__ = [
     "two_edge_connected_components",
     "biconnected_components",
     "articulation_points_distributed",
+    "min_st_cut",
+    "st_edge_connectivity",
+    "STCutResult",
     "articulation_points",
     "truss_decomposition",
     "label_propagation",

@@ -1,0 +1,192 @@
+"""s–t edge connectivity and minimum edge cut — unit-capacity
+Edmonds–Karp as BFS supersteps over a residual arc table.
+
+NOT present in the reference (no flow/cut-capacity operators in
+``mercury/graph``); completes the cut-structure family with the QUANTIFIED
+question: not just "is this edge/vertex a single point of failure"
+(bridges / articulation points) but "how many edge failures does it take
+to split s from t, and which edges are the cheapest cut". On a repo link
+graph that is the robustness of the connection between two projects.
+
+Algorithm (unit capacities make Edmonds–Karp honest at scale):
+
+- residual state: DataFrame[u, v, cap] of arcs (an undirected edge is two
+  unit arcs; parallel edges accumulate cap — multigraph semantics);
+- augment: shortest-path BFS from ``s`` over residual arcs (frontier join
+  per hop, deterministic min-parent tie-break), stop on reaching ``t``;
+  the augmenting path is walked back t→s with one single-row join per hop
+  (path length is BFS-depth-bounded — the only driver-side state is the
+  O(path) arc list, NOT a node table); the residual update is one
+  full-outer join against the ±1 deltas of the path's arcs;
+- terminate: when BFS exhausts without reaching ``t``, max-flow = number
+  of augmentations (Menger: = edge connectivity λ(s,t)), and the settled
+  set R is the source side of a MINIMUM cut — the cut edges are exactly
+  the original arcs leaving R.
+
+``max_flow_cap`` bounds the augmentation count: total rounds are
+O(min(λ, cap) × BFS depth), each one frontier join + one algebraic
+aggregate — the engine's standard superstep shape. A saturated result
+(λ ≥ cap) is reported as such rather than looping unboundedly on a
+densely connected pair; raise the cap deliberately.
+
+Determinism: BFS levels are set-valued (no order dependence), parents
+break ties by min id, and shortest augmenting paths make the flow
+decomposition unique given those choices — the same cut materializes on
+every run and partitioning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import static_plans
+
+
+@dataclass
+class STCutResult:
+    """flow = min(λ(s,t), max_flow_cap); saturated = True iff the cap was
+    hit (λ ≥ cap; cut_edges is None — it was not proven minimal);
+    cut_edges = DataFrame[src, dst] of a minimum cut's arcs (canonical
+    src<dst for undirected graphs), empty when s,t are disconnected."""
+
+    flow: int
+    saturated: bool
+    cut_edges: DataFrame | None
+
+
+def _bfs_parents(
+    residual: DataFrame, s, t, id_t: str, budget: int
+) -> tuple[DataFrame, bool]:
+    """BFS over residual arcs from s → (settled[id, parent], reached_t)."""
+    spark = residual.sparkSession
+    settled = spark.createDataFrame([(s, None)], f"{ID} {id_t}, parent {id_t}")
+    settled = settled.localCheckpoint(eager=True)
+    frontier = settled.select(ID)
+    for _ in range(budget):
+        nxt = (
+            frontier.join(residual, frontier[ID] == residual["u"])
+            .select(F.col("v").alias(ID), F.col("u").alias("_p"))
+            .groupBy(ID)
+            .agg(F.min("_p").alias("parent"))  # deterministic parent
+            .join(settled.select(ID), ID, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            return settled, False
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        if nxt.filter(F.col(ID) == F.lit(t)).limit(1).count() > 0:
+            return settled, True
+        frontier = nxt.select(ID)
+    return settled, False
+
+
+def min_st_cut(
+    graph: LinkGraph,
+    s,
+    t,
+    max_flow_cap: int = 16,
+    max_hops: int | None = None,
+) -> STCutResult:
+    """Minimum s–t edge cut / edge connectivity (unit capacities) — see
+    module docstring. ``max_hops`` bounds each BFS (default: node count)."""
+    if s == t:
+        raise ValueError("min_st_cut requires s != t (λ(s,s) is undefined)")
+    if max_flow_cap <= 0:
+        raise ValueError(f"max_flow_cap must be > 0, got {max_flow_cap}")
+    spark = graph.edges.sparkSession
+    id_t = graph.nodes.schema[ID].dataType.simpleString()
+    budget = max_hops if max_hops is not None else max(2, graph.number_of_nodes())
+
+    with static_plans(spark):
+        # arcs with multiplicity: undirected LinkGraphs already carry both
+        # orientations; parallel edges stack into cap
+        residual = (
+            graph.edges.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("cap"))
+            .localCheckpoint(eager=True)
+        )
+        arcs0 = residual.select("u", "v")  # original arcs, for the cut
+
+        flow = 0
+        while flow < max_flow_cap:
+            settled, reached = _bfs_parents(
+                residual.select("u", "v"), s, t, id_t, budget
+            )
+            if not reached:
+                # settled = source side R of a minimum cut
+                r_u = settled.select(F.col(ID).alias("u"))
+                r_v = settled.select(F.col(ID).alias("v"))
+                cut = (
+                    arcs0.join(r_u, "u", "left_semi")
+                    .join(r_v, "v", "left_anti")
+                )
+                if not graph.is_directed:
+                    cut = cut.select(
+                        F.least("u", "v").alias(SRC),
+                        F.greatest("u", "v").alias(DST),
+                    ).distinct()
+                else:
+                    cut = cut.select(
+                        F.col("u").alias(SRC), F.col("v").alias(DST)
+                    )
+                residual.unpersist()
+                return STCutResult(flow=flow, saturated=False, cut_edges=cut)
+
+            # walk the augmenting path t -> s (one single-row join per hop;
+            # only the O(path-length) arc list ever reaches the driver)
+            path: list[tuple] = []
+            cur = t
+            for _ in range(budget + 1):
+                row = (
+                    settled.filter(F.col(ID) == F.lit(cur))
+                    .select("parent")
+                    .collect()
+                )
+                if not row or row[0]["parent"] is None:
+                    break
+                p = row[0]["parent"]
+                path.append((p, cur))
+                cur = p
+            if cur != s:
+                raise RuntimeError(
+                    "augmenting-path walk did not reach s — BFS parent "
+                    "table is inconsistent; engine bug"
+                )
+            deltas = spark.createDataFrame(
+                [(u, v, -1) for u, v in path]
+                + [(v, u, 1) for u, v in path],
+                f"u {id_t}, v {id_t}, d long",
+            ).groupBy("u", "v").agg(F.sum("d").alias("d"))
+            old = residual
+            residual = (
+                residual.join(deltas, ["u", "v"], "full_outer")
+                .select(
+                    "u",
+                    "v",
+                    (
+                        F.coalesce("cap", F.lit(0)) + F.coalesce("d", F.lit(0))
+                    ).alias("cap"),
+                )
+                .filter(F.col("cap") > 0)
+                .localCheckpoint(eager=True)
+            )
+            old.unpersist()
+            flow += 1
+
+        residual.unpersist()
+        return STCutResult(flow=flow, saturated=True, cut_edges=None)
+
+
+def st_edge_connectivity(
+    graph: LinkGraph, s, t, max_flow_cap: int = 16, max_hops: int | None = None
+) -> int:
+    """λ(s, t) — the number of edge-disjoint s→t paths (= minimum number
+    of edge removals disconnecting them), capped at ``max_flow_cap``
+    (check ``min_st_cut(...).saturated`` to tell a capped answer apart)."""
+    return min_st_cut(graph, s, t, max_flow_cap, max_hops).flow

@@ -9345,3 +9345,68 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_st_connectivity_nation_fixture(spark, sf_dir):
+    """s-t edge connectivity (unit-capacity Edmonds-Karp,
+    linkgraph/algorithms/flow.py) for five pin pairs on the nation cut
+    fixture, max_flow_cap=3. The oracle derives lambda INDEPENDENTLY by
+    brute force: recursive-CTE reachability under every single-edge and
+    every edge-pair exclusion (lambda = smallest exclusion size that
+    disconnects, capped at 3 = the query's flow cap)."""
+    from linkgraph.algorithms.flow import min_st_cut
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    pairs = [
+        ("n0", "n3"), ("n1", "n12"), ("n10", "n13"),
+        ("n20", "n22"), ("n0", "n24"),
+    ]
+    rows = [
+        (s, t, min_st_cut(g, s, t, max_flow_cap=3).flow) for s, t in pairs
+    ]
+    return spark.createDataFrame(rows, "s string, t string, lam long")
+
+
+QUERIES.update(
+    {"st_connectivity_nation_fixture": q_st_connectivity_nation_fixture}
+)
+ORACLE_SQL.update(
+    {
+        "st_connectivity_nation_fixture": "WITH RECURSIVE "
+        + _BRIDGE_FIXTURE_SQL
+        + """,
+        fullr AS (
+          SELECT n.id AS id, n.id AS lab FROM nodes n
+          UNION
+          SELECT CASE WHEN d.a = fullr.id THEN d.b ELSE d.a END, fullr.lab
+          FROM fullr JOIN e d ON d.a = fullr.id OR d.b = fullr.id
+        ),
+        p2 AS (SELECT e1.a AS a1, e1.b AS b1, e2.a AS a2, e2.b AS b2
+               FROM e e1 JOIN e e2 ON (e1.a, e1.b) < (e2.a, e2.b)),
+        r2 AS (
+          SELECT p.a1, p.b1, p.a2, p.b2, n.id AS id, n.id AS lab
+          FROM p2 p CROSS JOIN nodes n
+          UNION
+          SELECT r2.a1, r2.b1, r2.a2, r2.b2,
+                 CASE WHEN d.a = r2.id THEN d.b ELSE d.a END, r2.lab
+          FROM r2 JOIN e d ON (d.a = r2.id OR d.b = r2.id)
+               AND NOT (d.a = r2.a1 AND d.b = r2.b1)
+               AND NOT (d.a = r2.a2 AND d.b = r2.b2)
+        ),
+        pairs(s, t) AS (VALUES ('n0','n3'), ('n1','n12'), ('n10','n13'),
+                               ('n20','n22'), ('n0','n24'))
+        SELECT p.s, p.t, CAST(
+          CASE WHEN NOT EXISTS (SELECT 1 FROM fullr f
+                                WHERE f.id = p.t AND f.lab = p.s) THEN 0
+               WHEN EXISTS (SELECT 1 FROM e WHERE NOT EXISTS
+                      (SELECT 1 FROM r WHERE r.xa = e.a AND r.xb = e.b
+                         AND r.id = p.t AND r.lab = p.s)) THEN 1
+               WHEN EXISTS (SELECT 1 FROM p2 q WHERE NOT EXISTS
+                      (SELECT 1 FROM r2 WHERE r2.a1 = q.a1 AND r2.b1 = q.b1
+                         AND r2.a2 = q.a2 AND r2.b2 = q.b2
+                         AND r2.id = p.t AND r2.lab = p.s)) THEN 2
+               ELSE 3 END AS BIGINT) AS lam
+        FROM pairs p
+    """,
+    }
+)

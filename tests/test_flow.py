@@ -1,0 +1,109 @@
+"""Unit-capacity Edmonds-Karp: networkx parity, cut validity, saturation,
+directed support, guards."""
+
+import random
+
+import networkx as nx
+import pytest
+
+from linkgraph import LinkGraph
+from linkgraph.algorithms.flow import min_st_cut, st_edge_connectivity
+
+
+def _graph(spark, edges, directed=False):
+    return LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long"),
+        keys={"directed": directed},
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_networkx_parity_and_cut_validity(spark, seed):
+    rng = random.Random(seed)
+    n = 16
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(30)
+            for a, b in [(rng.randrange(n), rng.randrange(n))]
+            if a != b
+        }
+    )
+    G = nx.Graph(edges)
+    comp = max(nx.connected_components(G), key=len)
+    s, t = sorted(comp)[0], sorted(comp)[-1]
+    res = min_st_cut(_graph(spark, edges), s, t, max_flow_cap=16)
+    want = nx.edge_connectivity(G, s, t)
+    assert res.flow == want and not res.saturated
+    cut = [tuple(r) for r in res.cut_edges.collect()]
+    assert len(cut) == want
+    # the returned edges must BE a cut: removing them separates s from t
+    H = G.copy()
+    H.remove_edges_from(cut)
+    assert not nx.has_path(H, s, t)
+
+
+def test_bridge_cut_is_the_bridge(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 10), (10, 11), (11, 3)]
+    res = min_st_cut(_graph(spark, edges), 0, 4)
+    assert res.flow == 1
+    # Edmonds-Karp returns the SOURCE-SIDE minimum cut: the first bridge
+    # leaving the residual-reachable set around s
+    assert [tuple(r) for r in res.cut_edges.collect()] == [(2, 10)]
+
+
+def test_cycle_two_disjoint_paths(spark):
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    assert st_edge_connectivity(_graph(spark, edges), 0, 2) == 2
+
+
+def test_saturation_reports_honestly(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    res = min_st_cut(_graph(spark, k4), 0, 3, max_flow_cap=2)
+    assert res.flow == 2 and res.saturated and res.cut_edges is None
+    res = min_st_cut(_graph(spark, k4), 0, 3, max_flow_cap=8)
+    assert res.flow == 3 and not res.saturated
+
+
+def test_disconnected_zero_flow_empty_cut(spark):
+    res = min_st_cut(_graph(spark, [(0, 1), (2, 3)]), 0, 3)
+    assert res.flow == 0 and res.cut_edges.collect() == []
+
+
+def test_directed_parity(spark):
+    rng = random.Random(7)
+    arcs = sorted(
+        {
+            (a, b)
+            for _ in range(40)
+            for a, b in [(rng.randrange(12), rng.randrange(12))]
+            if a != b
+        }
+    )
+    G = nx.DiGraph(arcs)
+    s, t = 0, 11
+    want = nx.edge_connectivity(G, s, t) if nx.has_path(G, s, t) else 0
+    res = min_st_cut(_graph(spark, arcs, directed=True), s, t, max_flow_cap=16)
+    assert res.flow == want
+    if want:
+        cut = [tuple(r) for r in res.cut_edges.collect()]
+        assert len(cut) == want
+        H = G.copy()
+        H.remove_edges_from(cut)
+        assert not nx.has_path(H, s, t)
+
+
+def test_deterministic(spark):
+    edges = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3)]
+    g = _graph(spark, edges)
+    c1 = sorted(map(tuple, min_st_cut(g, 1, 4).cut_edges.collect()))
+    c2 = sorted(map(tuple, min_st_cut(g, 1, 4).cut_edges.collect()))
+    assert c1 == c2
+
+
+def test_guards(spark):
+    g = _graph(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="s != t"):
+        min_st_cut(g, 0, 0)
+    with pytest.raises(ValueError, match="max_flow_cap"):
+        min_st_cut(g, 0, 1, max_flow_cap=0)
