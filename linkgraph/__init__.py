@@ -35,6 +35,7 @@ from linkgraph.algorithms.flow import (
     STCutResult,
     min_st_cut,
     st_edge_connectivity,
+    st_vertex_connectivity,
 )
 from linkgraph.algorithms.ktruss import truss_decomposition
 from linkgraph.algorithms.simrank import simrank
@@ -181,6 +182,7 @@ __all__ = [
     "articulation_points_distributed",
     "min_st_cut",
     "st_edge_connectivity",
+    "st_vertex_connectivity",
     "STCutResult",
     "articulation_points",
     "truss_decomposition",

@@ -190,3 +190,46 @@ def st_edge_connectivity(
     of edge removals disconnecting them), capped at ``max_flow_cap``
     (check ``min_st_cut(...).saturated`` to tell a capped answer apart)."""
     return min_st_cut(graph, s, t, max_flow_cap, max_hops).flow
+
+
+def st_vertex_connectivity(
+    graph: LinkGraph,
+    s,
+    t,
+    max_flow_cap: int = 16,
+    max_hops: int | None = None,
+) -> int:
+    """κ(s, t) — the number of internally vertex-disjoint s–t paths
+    (= minimum number of OTHER vertices whose removal disconnects them;
+    Menger), capped at ``max_flow_cap``. Requires s, t non-adjacent for
+    the separator interpretation (κ is still the disjoint-path count when
+    they are adjacent, with the direct edge contributing one path).
+
+    Standard node-splitting reduction onto :func:`min_st_cut`: every
+    vertex v becomes v_in → v_out with a unit arc, every edge u–v becomes
+    u_out → v_in (both directions when undirected); unit edge cuts of the
+    split graph are unit VERTEX cuts of the original. Same superstep
+    shape and bounds as min_st_cut — the reduction is two projections,
+    adding zero shuffles."""
+    if s == t:
+        raise ValueError(
+            "st_vertex_connectivity requires s != t (κ(s,s) is undefined)"
+        )
+    # LinkGraph already materializes both orientations for undirected
+    arcs = graph.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+    split_edges = (
+        arcs.select(
+            F.concat(F.col(SRC).cast("string"), F.lit("#o")).alias(SRC),
+            F.concat(F.col(DST).cast("string"), F.lit("#i")).alias(DST),
+        )
+        .unionByName(
+            graph.nodes.select(
+                F.concat(F.col(ID).cast("string"), F.lit("#i")).alias(SRC),
+                F.concat(F.col(ID).cast("string"), F.lit("#o")).alias(DST),
+            )
+        )
+    )
+    sg = LinkGraph(split_edges, keys={"directed": True})
+    return min_st_cut(
+        sg, f"{s}#o", f"{t}#i", max_flow_cap=max_flow_cap, max_hops=max_hops
+    ).flow

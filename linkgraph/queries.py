@@ -9410,3 +9410,75 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_vertex_connectivity_nation_fixture(spark, sf_dir):
+    """s-t VERTEX connectivity (node-splitting reduction onto the same
+    Edmonds-Karp, flow.py:st_vertex_connectivity) for four non-adjacent
+    pin pairs on the nation cut fixture. Oracle: brute-force single-node
+    and node-pair exclusion closures — kappa = smallest separator size,
+    capped at 3 like the query's flow cap."""
+    from linkgraph.algorithms.flow import st_vertex_connectivity
+
+    g = LinkGraph(_bridge_fixture_edges(spark, sf_dir), keys={"directed": False})
+    pairs = [("n1", "n3"), ("n0", "n12"), ("n12", "n14"), ("n0", "n24")]
+    rows = [
+        (s, t, st_vertex_connectivity(g, s, t, max_flow_cap=3))
+        for s, t in pairs
+    ]
+    return spark.createDataFrame(rows, "s string, t string, kappa long")
+
+
+QUERIES.update(
+    {"vertex_connectivity_nation_fixture": q_vertex_connectivity_nation_fixture}
+)
+ORACLE_SQL.update(
+    {
+        "vertex_connectivity_nation_fixture": "WITH RECURSIVE "
+        + _BRIDGE_FIXTURE_SQL
+        + """,
+        fullr AS (
+          SELECT n.id AS id, n.id AS lab FROM nodes n
+          UNION
+          SELECT CASE WHEN d.a = fullr.id THEN d.b ELSE d.a END, fullr.lab
+          FROM fullr JOIN e d ON d.a = fullr.id OR d.b = fullr.id
+        ),
+        rx AS (
+          SELECT x.id AS ex, n.id AS id, n.id AS lab
+          FROM nodes x JOIN nodes n ON n.id <> x.id
+          UNION
+          SELECT rx.ex, CASE WHEN d.a = rx.id THEN d.b ELSE d.a END, rx.lab
+          FROM rx JOIN e d ON (d.a = rx.id OR d.b = rx.id)
+                        AND d.a <> rx.ex AND d.b <> rx.ex
+        ),
+        np2 AS (SELECT x.id AS x1, y.id AS x2
+                FROM nodes x JOIN nodes y ON x.id < y.id),
+        rxx AS (
+          SELECT p.x1, p.x2, n.id AS id, n.id AS lab
+          FROM np2 p JOIN nodes n ON n.id <> p.x1 AND n.id <> p.x2
+          UNION
+          SELECT rxx.x1, rxx.x2,
+                 CASE WHEN d.a = rxx.id THEN d.b ELSE d.a END, rxx.lab
+          FROM rxx JOIN e d ON (d.a = rxx.id OR d.b = rxx.id)
+               AND d.a <> rxx.x1 AND d.a <> rxx.x2
+               AND d.b <> rxx.x1 AND d.b <> rxx.x2
+        ),
+        pairs(s, t) AS (VALUES ('n1','n3'), ('n0','n12'),
+                               ('n12','n14'), ('n0','n24'))
+        SELECT p.s, p.t, CAST(
+          CASE WHEN NOT EXISTS (SELECT 1 FROM fullr f
+                                WHERE f.id = p.t AND f.lab = p.s) THEN 0
+               WHEN EXISTS (SELECT 1 FROM nodes x
+                      WHERE x.id <> p.s AND x.id <> p.t AND NOT EXISTS
+                      (SELECT 1 FROM rx WHERE rx.ex = x.id
+                         AND rx.id = p.t AND rx.lab = p.s)) THEN 1
+               WHEN EXISTS (SELECT 1 FROM np2 q
+                      WHERE q.x1 <> p.s AND q.x1 <> p.t
+                        AND q.x2 <> p.s AND q.x2 <> p.t AND NOT EXISTS
+                      (SELECT 1 FROM rxx WHERE rxx.x1 = q.x1 AND rxx.x2 = q.x2
+                         AND rxx.id = p.t AND rxx.lab = p.s)) THEN 2
+               ELSE 3 END AS BIGINT) AS kappa
+        FROM pairs p
+    """,
+    }
+)

@@ -107,3 +107,45 @@ def test_guards(spark):
         min_st_cut(g, 0, 0)
     with pytest.raises(ValueError, match="max_flow_cap"):
         min_st_cut(g, 0, 1, max_flow_cap=0)
+
+
+@pytest.mark.parametrize("seed", [2, 6])
+def test_vertex_connectivity_networkx_parity(spark, seed):
+    from networkx.algorithms.connectivity import local_node_connectivity
+
+    from linkgraph.algorithms.flow import st_vertex_connectivity
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(26)
+            for a, b in [(rng.randrange(13), rng.randrange(13))]
+            if a != b
+        }
+    )
+    G = nx.Graph(edges)
+    g = _graph(spark, edges)
+    nodes = sorted(G.nodes)
+    pairs = [(nodes[0], nodes[-1]), (nodes[1], nodes[-2])]
+    for s, t in pairs:
+        if s == t:
+            continue
+        want = local_node_connectivity(G, s, t)
+        got = st_vertex_connectivity(g, s, t, max_flow_cap=16)
+        assert got == want, (s, t)
+
+
+def test_vertex_connectivity_articulation_point(spark):
+    from linkgraph.algorithms.flow import st_vertex_connectivity
+
+    # two triangles sharing vertex 2: every 0-4 path passes through 2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    assert st_vertex_connectivity(_graph(spark, edges), 0, 4) == 1
+
+
+def test_vertex_connectivity_guards(spark):
+    from linkgraph.algorithms.flow import st_vertex_connectivity
+
+    with pytest.raises(ValueError, match="s != t"):
+        st_vertex_connectivity(_graph(spark, [(0, 1)]), 0, 0)
