@@ -793,3 +793,26 @@ def test_bridges_peel_round_is_algebraic(spark):
         plan = _plan(df)
         assert "Window" not in plan
         assert "EvalPython" not in plan
+
+
+def test_flow_bfs_round_is_algebraic(spark):
+    """Edmonds-Karp's per-hop plan must be one frontier join + one min
+    groupBy (map-side combinable parent pick) + a left_anti — no Window,
+    no Python eval in the augmentation hot loop."""
+    residual = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "u string, v string"
+    )
+    frontier = spark.createDataFrame([("a",)], "id string")
+    settled = spark.createDataFrame([("a",)], "id string")
+    from pyspark.sql import functions as F
+
+    nxt = (
+        frontier.join(residual, frontier["id"] == residual["u"])
+        .select(F.col("v").alias("id"), F.col("u").alias("_p"))
+        .groupBy("id")
+        .agg(F.min("_p").alias("parent"))
+        .join(settled, "id", "left_anti")
+    )
+    plan = _plan(nxt)
+    assert "Window" not in plan and "EvalPython" not in plan
+    assert "partial_min" in plan or "SortAggregate" in plan or "HashAggregate" in plan
