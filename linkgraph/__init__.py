@@ -32,7 +32,9 @@ from linkgraph.algorithms.biconnectivity import (
     biconnected_components,
 )
 from linkgraph.algorithms.flow import (
+    MaxFlowResult,
     STCutResult,
+    max_flow,
     min_st_cut,
     st_edge_connectivity,
     st_vertex_connectivity,
@@ -183,6 +185,8 @@ __all__ = [
     "min_st_cut",
     "st_edge_connectivity",
     "st_vertex_connectivity",
+    "max_flow",
+    "MaxFlowResult",
     "STCutResult",
     "articulation_points",
     "truss_decomposition",

@@ -9482,3 +9482,61 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_max_flow_nation_fixture(spark, sf_dir):
+    """Integer-capacity max flow (bottleneck Edmonds-Karp,
+    flow.py:max_flow) on a 6-node capacity network derived from nation
+    (cap(i,j) = ((3i+5j) mod 7)+1). The oracle computes the SAME number a
+    COMPLETELY different way: max-flow = min-cut duality, enumerating all
+    2^4 source-side cuts and taking the cheapest."""
+    from linkgraph.algorithms.flow import max_flow
+
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    ).filter("k < 6")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 5), (4, 5), (3, 4)],
+        "i long, j long",
+    )
+    a, b = nk.alias("a"), nk.alias("b")
+    arcs = (
+        pairs.join(a, pairs["i"] == F.col("a.k"))
+        .join(b, pairs["j"] == F.col("b.k"))
+        .select(
+            F.concat(F.lit("n"), F.col("i").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("j").cast("string")).alias("dst"),
+            ((3 * F.col("i") + 5 * F.col("j")) % 7 + 1).alias("weight"),
+        )
+    )
+    g = LinkGraph(arcs, keys={"directed": True})
+    res = max_flow(g, "n0", "n5")
+    assert res.cut_capacity == res.flow  # LP duality self-check
+    return spark.createDataFrame(
+        [("n0", "n5", res.flow)], "s string, t string, maxflow long"
+    )
+
+
+QUERIES.update({"max_flow_nation_fixture": q_max_flow_nation_fixture})
+ORACLE_SQL.update(
+    {
+        "max_flow_nation_fixture": """
+        WITH nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+                    WHERE n_nationkey < 6),
+        pairs(i, j) AS (VALUES (0,1),(0,2),(1,3),(1,4),(2,3),(2,4),
+                               (3,5),(4,5),(3,4)),
+        arcs AS (SELECT p.i, p.j, ((3*p.i + 5*p.j) % 7) + 1 AS cap
+                 FROM pairs p JOIN nk a ON a.k = p.i JOIN nk b ON b.k = p.j),
+        masks AS (SELECT CAST(m AS BIGINT) AS m FROM range(16) t(m)),
+        cutcap AS (
+          SELECT m.m, sum(a.cap) AS c
+          FROM masks m JOIN arcs a
+            ON (a.i = 0 OR ((m.m >> (a.i - 1)) & 1) = 1)
+           AND (a.j <> 0 AND (a.j = 5 OR ((m.m >> (a.j - 1)) & 1) = 0))
+          GROUP BY m.m
+        )
+        SELECT 'n0' AS s, 'n5' AS t, CAST(min(c) AS BIGINT) AS maxflow
+        FROM cutcap
+    """,
+    }
+)

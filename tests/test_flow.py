@@ -149,3 +149,76 @@ def test_vertex_connectivity_guards(spark):
 
     with pytest.raises(ValueError, match="s != t"):
         st_vertex_connectivity(_graph(spark, [(0, 1)]), 0, 0)
+
+
+def test_max_flow_networkx_parity_directed(spark):
+    from linkgraph.algorithms.flow import max_flow
+
+    rng = random.Random(4)
+    arcs = sorted(
+        {
+            (a, b)
+            for _ in range(34)
+            for a, b in [(rng.randrange(10), rng.randrange(10))]
+            if a != b
+        }
+    )
+    caps = {(a, b): rng.randrange(1, 9) for a, b in arcs}
+    df = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in caps.items()],
+        "src long, dst long, weight long",
+    )
+    g = LinkGraph(df, keys={"directed": True})
+    G = nx.DiGraph()
+    for (a, b), c in caps.items():
+        G.add_edge(a, b, capacity=c)
+    s, t = 0, 9
+    want = nx.maximum_flow_value(G, s, t) if nx.has_path(G, s, t) else 0
+    res = max_flow(g, s, t)
+    assert res.flow == want
+    assert res.cut_capacity == want  # LP duality, computed independently
+    # cut validity: removing the crossing arcs kills all s->t paths
+    H = G.copy()
+    H.remove_edges_from(
+        [(r["src"], r["dst"]) for r in res.cut_edges.collect()]
+    )
+    assert not nx.has_path(H, s, t)
+
+
+def test_max_flow_undirected_parity(spark):
+    from linkgraph.algorithms.flow import max_flow
+
+    und = [(0, 1, 3), (1, 2, 2), (0, 2, 1), (2, 3, 4), (1, 3, 1)]
+    df = spark.createDataFrame(und, "src long, dst long, weight long")
+    g = LinkGraph(df, keys={"directed": False})
+    G = nx.Graph()
+    for a, b, c in und:
+        G.add_edge(a, b, capacity=c)
+    assert max_flow(g, 0, 3).flow == nx.maximum_flow_value(G, 0, 3)
+
+
+def test_max_flow_guards(spark):
+    from linkgraph.algorithms.flow import max_flow
+
+    df = spark.createDataFrame([(0, 1, 1.5)], "src long, dst long, weight double")
+    g = LinkGraph(df, keys={"directed": True})
+    with pytest.raises(ValueError, match="integer capacities"):
+        max_flow(g, 0, 1)
+    df2 = spark.createDataFrame([(0, 1, 2)], "src long, dst long, weight long")
+    g2 = LinkGraph(df2, keys={"directed": True})
+    with pytest.raises(ValueError, match="capacity column"):
+        max_flow(g2, 0, 1, capacity_col="nope")
+    with pytest.raises(ValueError, match="s != t"):
+        max_flow(g2, 0, 0)
+
+
+def test_max_flow_saturation(spark):
+    from linkgraph.algorithms.flow import max_flow
+
+    # two parallel routes: full answer needs 2 augmentations
+    arcs = [(0, 1, 5), (1, 3, 5), (0, 2, 5), (2, 3, 5)]
+    df = spark.createDataFrame(arcs, "src long, dst long, weight long")
+    g = LinkGraph(df, keys={"directed": True})
+    res = max_flow(g, 0, 3, max_augmentations=1)
+    assert res.saturated and res.flow == 5 and res.cut_edges is None
+    assert max_flow(g, 0, 3).flow == 10
