@@ -112,6 +112,7 @@ from linkgraph.algorithms.sssp import (
     shortest_paths_weighted,
     weighted_closeness_centrality,
 )
+from linkgraph.algorithms.kpaths import k_lightest_walks
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
@@ -285,6 +286,7 @@ __all__ = [
     "greedy_coloring",
     "shortest_path_lengths",
     "shortest_paths_weighted",
+    "k_lightest_walks",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",
     "betweenness_centrality",

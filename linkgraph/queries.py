@@ -9540,3 +9540,80 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_k_lightest_walks_nation(spark, sf_dir):
+    """k=3 lightest <=12-hop walk weights from n0 on the undirected weighted
+    10-node nation path (edge (i, i+1) weighted i+1 — the sssp_path_nation
+    fixture). Slot 1 IS weighted SSSP (dist(n_i) = i(i+1)/2 from n0); slots
+    2-3 are detour walks (+2x an adjacent edge, hop budget permitting), so
+    the query exercises revisit semantics, duplicate-weight slots, and the
+    per-node top-k beam. Oracle: DuckDB recursive-CTE brute enumeration of
+    ALL <=12-hop walks from n0 (branching <=2 on a path => <=2^12 rows),
+    top-3 per node — a fully independent derivation."""
+    from pyspark.sql import Window
+
+    from linkgraph.algorithms.kpaths import k_lightest_walks
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(10)
+    )
+    w = Window.orderBy("k")
+    p = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.lead(F.concat(F.lit("n"), F.col("k").cast("string"))).over(w).alias("nxt"),
+    )
+    edges = p.filter(F.col("nxt").isNotNull()).select(
+        F.col("id").alias("src"),
+        F.col("nxt").alias("dst"),
+        (F.col("pos") + 1).cast("double").alias("weight"),
+    )
+    g = LinkGraph(edges, keys={"directed": False})
+    out = k_lightest_walks(g, source="n0", k=3, max_hops=12)
+    return out.select(
+        "id", F.posexplode("walk_weights").alias("p", "val")
+    ).select(
+        "id",
+        (F.col("p") + 1).alias("slot"),
+        F.round("val").cast("long").alias("wt"),
+    )
+
+
+QUERIES.update({"k_lightest_walks_nation": q_k_lightest_walks_nation})
+ORACLE_SQL.update(
+    {
+        "k_lightest_walks_nation": """
+        WITH RECURSIVE
+        pp AS (SELECT * FROM (
+                 SELECT 'n' || n_nationkey AS id,
+                        row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                 FROM nation) WHERE pos < 10),
+        e AS (
+          SELECT a.id AS src, b.id AS dst, CAST(b.pos AS DOUBLE) AS w
+          FROM pp a JOIN pp b ON b.pos = a.pos + 1
+          UNION ALL
+          SELECT b.id, a.id, CAST(b.pos AS DOUBLE)
+          FROM pp a JOIN pp b ON b.pos = a.pos + 1
+        ),
+        walk(node, tot, hops) AS (
+          SELECT 'n0', CAST(0.0 AS DOUBLE), 0
+          UNION ALL
+          SELECT e.dst, walk.tot + e.w, walk.hops + 1
+          FROM walk JOIN e ON e.src = walk.node
+          WHERE walk.hops < 12
+        ),
+        ranked AS (
+          SELECT node, tot,
+                 row_number() OVER (PARTITION BY node ORDER BY tot) AS r
+          FROM walk
+        )
+        SELECT node AS id, CAST(r AS INT) AS slot,
+               CAST(round(tot) AS BIGINT) AS wt
+        FROM ranked WHERE r <= 3
+    """,
+    }
+)
