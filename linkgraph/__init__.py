@@ -113,6 +113,7 @@ from linkgraph.algorithms.sssp import (
     weighted_closeness_centrality,
 )
 from linkgraph.algorithms.kpaths import k_lightest_walks
+from linkgraph.algorithms.trustrank import spam_mass, trustrank
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
@@ -287,6 +288,8 @@ __all__ = [
     "shortest_path_lengths",
     "shortest_paths_weighted",
     "k_lightest_walks",
+    "trustrank",
+    "spam_mass",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",
     "betweenness_centrality",

@@ -9617,3 +9617,86 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_spam_mass_nation_region_4(spark, sf_dir):
+    """Spam-mass detection (Gyongyi et al. VLDB'06) at fixed 4 supersteps on
+    nation-region, good core = {r0} (1 of 30 nodes): uniform PageRank and
+    r0-seeded TrustRank run through the SAME distributed superstep, the
+    trust series is rescaled by n_g/N = 1/30 (PageRank's linearity in the
+    teleport vector), spam mass is the difference and relative mass the
+    ratio. The other four region components receive zero trust ->
+    rel_e4 = 10000 exactly; r0's own component orders seed < nations < 1.
+    Oracle unrolls BOTH series in one SQL and derives the ratio from the
+    ROUNDED integers on both sides (engine-independent last step)."""
+    from linkgraph import spam_mass
+
+    g = nation_region_graph(spark, sf_dir)
+    out = spam_mass(
+        g, ["r0"], damping=DAMPING, tol=0.0, max_iter=4, strategy="distributed"
+    )
+    sel = out.select(
+        "id",
+        F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_m"),
+        F.round(F.col("trustrank") * 1e6).cast("long").alias("tr_m"),
+        F.round(F.col("spam_mass") * 1e6).cast("long").alias("sm_m"),
+    )
+    return sel.withColumn(
+        "rel_e4",
+        F.round(
+            F.col("sm_m").cast("double") / F.col("pr_m").cast("double") * 1e4
+        ).cast("long"),
+    )
+
+
+def _spam_mass_unrolled_sql(n_iters: int = 4, damping: float = DAMPING) -> str:
+    """Unrolled uniform-PageRank (r-series) + r0-seeded TrustRank (t-series)
+    on nation-region; final columns derived exactly as the Spark side does
+    (scale = 1/nn.n, ratio from rounded integers)."""
+    d = damping
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "p AS (SELECT id, CASE WHEN id = 'r0' THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS p FROM nodes)",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn)",
+        "t0 AS (SELECT id, p AS t FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT nodes.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * coalesce(c.s, CAST(0 AS DOUBLE)) AS r "
+            f"FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(r{i-1}.r / deg.d) AS s "
+            f"FROM e JOIN r{i-1} ON e.src = r{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON nodes.id = c.id)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT p.id, p.p * (CAST(1.0 AS DOUBLE) - {d}) "
+            f"+ {d} * coalesce(c.s, CAST(0 AS DOUBLE)) AS t "
+            f"FROM p LEFT JOIN ("
+            f"SELECT e.dst AS id, sum(t{i-1}.t / deg.d) AS s "
+            f"FROM e JOIN t{i-1} ON e.src = t{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst) c ON p.id = c.id)"
+        )
+    ctes.append(
+        f"sel AS (SELECT r.id, "
+        f"CAST(round(r.r * 1000000) AS BIGINT) AS pr_m, "
+        f"CAST(round((t.t * (CAST(1.0 AS DOUBLE) / nn.n)) * 1000000) AS BIGINT) AS tr_m, "
+        f"CAST(round((r.r - (t.t * (CAST(1.0 AS DOUBLE) / nn.n))) * 1000000) AS BIGINT) AS sm_m "
+        f"FROM r{n_iters} r JOIN t{n_iters} t ON r.id = t.id CROSS JOIN nn)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT id, pr_m, tr_m, sm_m, "
+        "CAST(round(CAST(sm_m AS DOUBLE) / CAST(pr_m AS DOUBLE) * 10000) AS BIGINT)"
+        " AS rel_e4 FROM sel"
+    )
+
+
+QUERIES.update({"spam_mass_nation_region_4": q_spam_mass_nation_region_4})
+ORACLE_SQL.update({"spam_mass_nation_region_4": _spam_mass_unrolled_sql(4)})
