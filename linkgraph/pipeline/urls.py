@@ -1,0 +1,182 @@
+"""URL canonicalization and host/domain link-graph construction.
+
+NOT present in the reference (it consumes pre-built edge lists,
+``mercury/graph/core/graph.py``); added because a WEB link graph at scale
+never starts from clean node ids — it starts from ~100 TB of page-level
+(src_url, dst_url) pairs, and the first job is always: canonicalize URLs,
+roll pages up to hosts / registered domains, and build the weighted
+host-level graph that PageRank/TrustRank/HITS actually run on.
+
+Everything here is pure JVM Column expressions (regexp + string + array
+functions — no UDF, no shuffle except the single algebraic groupBy that
+builds the rolled-up edge list), so canonicalization fuses into the scan
+and survives whole-stage codegen. The regex grammar is RFC-3986's
+scheme://authority split, restricted to lookahead-free constructs so the
+DuckDB oracle can replay the same patterns under RE2.
+
+Canonicalization contract (documented subset, exactly replicable):
+  1. fragment dropped (``#...``),
+  2. scheme + host lowercased,
+  3. userinfo (``user:pass@``) stripped from the authority,
+  4. default ports dropped (http:80, https:443); other ports kept,
+  5. empty path canonicalized to ``/`` (``http://x.com`` == ``http://x.com/``),
+  6. non-URL strings (no ``scheme://``) yield NULL — the caller filters.
+Percent-decoding, dot-segment removal, and query-param sorting are out of
+scope (they change semantics per-site; do them upstream if you need them).
+
+``registered_domain`` uses a documented HEURISTIC subset of the public
+suffix list: a built-in set of common two-label suffixes (co.uk, com.au,
+co.jp, ...) selects three labels, anything else two. Pass the full PSL via
+``extra_suffixes`` for production exactness — the mechanism (last-2-label
+membership test over a broadcast-size literal set) is the scale path
+either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, SRC
+
+#: Common multi-label public suffixes (public knowledge; heuristic subset —
+#: see module docstring). Last-2-label matches here take 3 labels.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.in", "co.kr", "co.za", "co.il", "co.id", "co.th",
+)
+
+_SCHEME_RE = r"^([^:/?#]+)://"
+_AUTH_RE = r"^[^:/?#]+://([^/?#]*)"
+_TAIL_RE = r"^[^:/?#]+://[^/?#]*(.*)$"
+
+
+def url_scheme(url) -> Column:
+    """Lowercased scheme, '' when the string is not scheme://-shaped."""
+    return F.lower(F.regexp_extract(_c(url), _SCHEME_RE, 1))
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _auth(url) -> Column:
+    """Authority with fragment influence removed and userinfo stripped."""
+    base = F.regexp_replace(_c(url), r"#.*$", "")
+    return F.regexp_replace(F.regexp_extract(base, _AUTH_RE, 1), r"^[^@]*@", "")
+
+
+def url_host(url) -> Column:
+    """Lowercased host (no port, no userinfo); NULL for non-URL strings."""
+    host = F.lower(F.regexp_replace(_auth(url), r":[0-9]*$", ""))
+    return F.when(url_scheme(url) != "", F.nullif(host, F.lit(""))).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def url_port(url) -> Column:
+    """Explicit port string ('' when absent) — pre-default-stripping."""
+    return F.regexp_extract(_auth(url), r":([0-9]+)$", 1)
+
+
+def url_normalize(url) -> Column:
+    """Canonical URL per the module contract; NULL for non-URL strings."""
+    scheme = url_scheme(url)
+    host = F.lower(F.regexp_replace(_auth(url), r":[0-9]*$", ""))
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    base = F.regexp_replace(_c(url), r"#.*$", "")
+    tail = F.regexp_extract(base, _TAIL_RE, 1)
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(tail == "", F.lit("/")).otherwise(tail),
+    )
+    return F.when((scheme != "") & (host != ""), out).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def registered_domain(host, extra_suffixes: tuple = ()) -> Column:
+    """Registered (pay-level) domain of a host Column: 3 labels when the
+    last two match a known multi-label public suffix, else 2, else the host
+    itself (single-label hosts, e.g. 'localhost'). NULL propagates."""
+    h = _c(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
+    take3 = last2.isin(suffixes) & (n >= 3)
+    return (
+        F.when(n <= 1, h)
+        .when(
+            take3,
+            F.concat_ws(
+                ".",
+                F.element_at(labels, -3),
+                F.element_at(labels, -2),
+                F.element_at(labels, -1),
+            ),
+        )
+        .when(n >= 2, last2)
+    )
+
+
+def url_parts(
+    df: DataFrame, url_col: str = "url", prefix: str = ""
+) -> DataFrame:
+    """Adds scheme/host/registered_domain/normalized columns — one fused
+    projection over the scan (audit: a single Project node, codegen'd)."""
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            f"{prefix}scheme": F.nullif(url_scheme(u), F.lit("")),
+            f"{prefix}host": url_host(u),
+            f"{prefix}registered_domain": registered_domain(url_host(u)),
+            f"{prefix}url_normalized": url_normalize(u),
+        }
+    )
+
+
+def host_graph(
+    pages: DataFrame,
+    src_url: str = "src_url",
+    dst_url: str = "dst_url",
+    level: str = "host",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Page-level link pairs → weighted host- (or registered-domain-) level
+    edge list: DataFrame[src, dst, weight] with weight = page-pair count.
+
+    The 100 TB shape: canonicalization is scan-fused projection; the ONLY
+    shuffle is the final algebraic groupBy(src, dst) count (map-side
+    partial aggregation collapses each task's traffic to distinct host
+    pairs, which is what makes this tractable — host-pair cardinality is
+    tiny next to page-pair cardinality). Rows whose either side fails to
+    parse are dropped (counted nulls would poison the graph); intra-host
+    links are dropped by default since every downstream centrality here
+    ignores self-loops."""
+    if level not in ("host", "registered_domain"):
+        raise ValueError(f"level must be host|registered_domain, got {level!r}")
+    s, d = url_host(F.col(src_url)), url_host(F.col(dst_url))
+    if level == "registered_domain":
+        s, d = registered_domain(s), registered_domain(d)
+    out = (
+        pages.select(s.alias(SRC), d.alias(DST))
+        .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+    )
+    if drop_self_loops:
+        out = out.filter(F.col(SRC) != F.col(DST))
+    return out.groupBy(SRC, DST).agg(F.count(F.lit(1)).alias("weight"))

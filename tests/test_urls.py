@@ -1,0 +1,136 @@
+"""URL canonicalization + host/domain graph construction."""
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline.urls import (
+    host_graph,
+    registered_domain,
+    url_host,
+    url_normalize,
+    url_parts,
+)
+
+BATTERY = [
+    "HTTPS://Site7.Example.CO.UK:443/p/7#top",
+    "http://user:pw@site1.example.com:80",
+    "https://site2.example.com:8443/x?q=2",
+    "ftp://Host3.Org/path",
+    "http://singlelabel5",
+    "https://a.b.co.jp/",
+    "http://www.example.com/a/b?x=1&y=2#frag",
+]
+
+
+def _one_col(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "url string")
+
+
+def test_host_matches_stdlib(spark):
+    df = url_parts(_one_col(spark, BATTERY))
+    got = {r["url"]: r["host"] for r in df.collect()}
+    for u in BATTERY:
+        expect = urlsplit(u).hostname  # stdlib: lowercased, no port/userinfo
+        assert got[u] == expect, u
+
+
+def test_normalize_contract(spark):
+    expected = {
+        # default https port stripped, scheme+host lowercased, fragment gone
+        "HTTPS://Site7.Example.CO.UK:443/p/7#top": "https://site7.example.co.uk/p/7",
+        # userinfo stripped, default http port stripped, empty path -> /
+        "http://user:pw@site1.example.com:80": "http://site1.example.com/",
+        # non-default port kept, query kept
+        "https://site2.example.com:8443/x?q=2": "https://site2.example.com:8443/x?q=2",
+        "ftp://Host3.Org/path": "ftp://host3.org/path",
+        "http://singlelabel5": "http://singlelabel5/",
+        "https://a.b.co.jp/": "https://a.b.co.jp/",
+        "http://www.example.com/a/b?x=1&y=2#frag": "http://www.example.com/a/b?x=1&y=2",
+    }
+    df = _one_col(spark, BATTERY).select("url", url_normalize("url").alias("n"))
+    got = {r["url"]: r["n"] for r in df.collect()}
+    assert got == expected
+
+
+def test_non_urls_are_null(spark):
+    bad = ["not a url", "", "relative/path", "mailto:x@y.z", "http//missing.colon"]
+    df = url_parts(_one_col(spark, bad))
+    for r in df.collect():
+        assert r["host"] is None and r["url_normalized"] is None, r["url"]
+
+
+def test_registered_domain(spark):
+    cases = {
+        "site7.example.co.uk": "example.co.uk",
+        "a.b.co.jp": "b.co.jp",
+        "www.example.com": "example.com",
+        "example.com": "example.com",
+        "singlelabel5": "singlelabel5",
+        "deep.sub.tree.example.org": "example.org",
+        "co.uk": "co.uk",  # bare suffix: only 2 labels exist -> itself
+    }
+    df = _one_col(spark, list(cases)).select(
+        "url", registered_domain("url").alias("d")
+    )
+    got = {r["url"]: r["d"] for r in df.collect()}
+    assert got == cases
+
+
+def test_registered_domain_extra_suffixes(spark):
+    df = _one_col(spark, ["x.web.example"]).select(
+        registered_domain("url", extra_suffixes=("web.example",)).alias("d")
+    )
+    assert df.collect()[0]["d"] == "x.web.example"
+
+
+def test_host_graph_rollup_and_weights(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://A.com/1", "https://B.com/x"),
+            ("http://a.com:80/2", "https://b.com:443/y#f"),  # same host pair
+            ("http://a.com/3", "http://A.COM/4"),  # self-loop: dropped
+            ("garbage", "http://b.com/z"),  # unparseable: dropped
+            ("http://c.co.uk/", "http://b.com/"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in host_graph(pages).collect()}
+    assert got == {("a.com", "b.com"): 2, ("c.co.uk", "b.com"): 1}
+
+
+def test_host_graph_domain_level_and_self_loop_keep(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://x.shop.co.uk/1", "http://y.shop.co.uk/2"),
+            ("http://x.shop.co.uk/1", "http://other.com/"),
+        ],
+        "src_url string, dst_url string",
+    )
+    lvl = host_graph(pages, level="registered_domain", drop_self_loops=False)
+    got = {(r["src"], r["dst"]): r["weight"] for r in lvl.collect()}
+    assert got == {("shop.co.uk", "shop.co.uk"): 1, ("shop.co.uk", "other.com"): 1}
+    dropped = host_graph(pages, level="registered_domain")
+    assert {(r["src"], r["dst"]) for r in dropped.collect()} == {
+        ("shop.co.uk", "other.com")
+    }
+    with pytest.raises(ValueError, match="level"):
+        host_graph(pages, level="page")
+
+
+def test_plans_scan_fused_and_python_free(spark):
+    df = url_parts(_one_col(spark, BATTERY))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # canonicalization is a pure projection
+    hg = host_graph(
+        spark.createDataFrame(
+            [("http://a.com/", "http://b.com/")], "src_url string, dst_url string"
+        )
+    )
+    hplan = hg._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in hplan
+    # exactly the one algebraic shuffle, with a map-side partial aggregate
+    assert hplan.count("Exchange") == 1
+    assert "partial_count" in hplan
