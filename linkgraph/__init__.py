@@ -114,6 +114,7 @@ from linkgraph.algorithms.sssp import (
 )
 from linkgraph.algorithms.kpaths import k_lightest_walks
 from linkgraph.algorithms.trustrank import spam_mass, trustrank
+from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch, related_nodes
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
@@ -290,6 +291,8 @@ __all__ = [
     "k_lightest_walks",
     "trustrank",
     "spam_mass",
+    "personalized_pagerank_batch",
+    "related_nodes",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",
     "betweenness_centrality",

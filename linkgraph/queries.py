@@ -9830,3 +9830,87 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_URL_ORACLES)
+
+
+def q_ppr_batch_nation_region_4(spark, sf_dir):
+    """Batched multi-seed PPR (seeds n0 and r1) at fixed 4 supersteps on
+    nation-region: both seeds ride ONE superstep loop keyed (seed, node);
+    the sparse state never emits rows outside a seed's component. Oracle
+    unrolls the same 4 iterations densely per seed in SQL and keeps the
+    nonzero rows."""
+    from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch
+
+    g = nation_region_graph(spark, sf_dir)
+    out = personalized_pagerank_batch(
+        g, ["n0", "r1"], damping=DAMPING, tol=0.0, max_iter=4
+    )
+    return out.select(
+        "seed", "id", F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_m")
+    )
+
+
+def q_related_nodes_nation_region(spark, sf_dir):
+    """Top-3 related nodes per seed (n0, r1) from the batched PPR at fixed
+    4 supersteps — seed excluded, ties by ascending id (sibling nations tie
+    exactly: both engines compute the identical double from identical
+    inputs). Oracle replays the unrolled iterate + row_number ranking."""
+    from linkgraph.algorithms.ppr_batch import related_nodes
+
+    g = nation_region_graph(spark, sf_dir)
+    out = related_nodes(g, ["n0", "r1"], k=3, damping=DAMPING, tol=0.0, max_iter=4)
+    return out.select(
+        "seed", "id", "rank",
+        F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_m"),
+    )
+
+
+def _ppr_batch_unrolled_sql(n_iters: int = 4, damping: float = DAMPING) -> str:
+    d = damping
+    ctes = [
+        "e AS (SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation "
+        "UNION SELECT 'r' || n_regionkey, 'n' || n_nationkey FROM nation)",
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY src)",
+        "seeds(s) AS (VALUES ('n0'), ('r1'))",
+        "p AS (SELECT s.s AS seed, n.id, CASE WHEN n.id = s.s "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS p "
+        "FROM seeds s CROSS JOIN nodes n)",
+        "t0 AS (SELECT seed, id, p AS r FROM p)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"t{i} AS (SELECT p.seed, p.id, p.p * (CAST(1.0 AS DOUBLE) - {d}) "
+            f"+ {d} * coalesce(c.sm, CAST(0 AS DOUBLE)) AS r "
+            f"FROM p LEFT JOIN ("
+            f"SELECT t{i-1}.seed, e.dst AS id, sum(t{i-1}.r / deg.dg) AS sm "
+            f"FROM e JOIN t{i-1} ON e.src = t{i-1}.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY t{i-1}.seed, e.dst) c "
+            f"ON p.seed = c.seed AND p.id = c.id)"
+        )
+    return "WITH " + ",\n".join(ctes), f"t{n_iters}"
+
+
+_pb_ctes, _pb_last = _ppr_batch_unrolled_sql(4)
+_PPR_BATCH_ORACLES = {
+    "ppr_batch_nation_region_4": (
+        _pb_ctes
+        + f"\nSELECT seed, id, CAST(round(r * 1000000) AS BIGINT) AS pr_m "
+        f"FROM {_pb_last} WHERE r <> 0"
+    ),
+    "related_nodes_nation_region": (
+        _pb_ctes
+        + f",\nranked AS (SELECT seed, id, r, "
+        f"CAST(row_number() OVER (PARTITION BY seed ORDER BY r DESC, id ASC) AS INT) AS rank "
+        f"FROM {_pb_last} WHERE r <> 0 AND id <> seed)"
+        "\nSELECT seed, id, rank, CAST(round(r * 1000000) AS BIGINT) AS pr_m "
+        "FROM ranked WHERE rank <= 3"
+    ),
+}
+
+QUERIES.update(
+    {
+        "ppr_batch_nation_region_4": q_ppr_batch_nation_region_4,
+        "related_nodes_nation_region": q_related_nodes_nation_region,
+    }
+)
+ORACLE_SQL.update(_PPR_BATCH_ORACLES)
