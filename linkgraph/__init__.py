@@ -21,7 +21,7 @@ from linkgraph.algorithms.components import connected_components
 from linkgraph.algorithms.scc import condensation, strongly_connected_components
 from linkgraph.algorithms.bipartite import bipartite_coloring, is_bipartite
 from linkgraph.algorithms.salsa import salsa
-from linkgraph.algorithms.profile import graph_profile
+from linkgraph.algorithms.profile import degree_distribution, graph_profile
 from linkgraph.algorithms.cuts import articulation_points, bridges
 from linkgraph.algorithms.bridges import (
     bridges as distributed_bridges,
@@ -180,6 +180,7 @@ __all__ = [
     "bipartite_coloring",
     "salsa",
     "graph_profile",
+    "degree_distribution",
     "bridges",
     "distributed_bridges",
     "two_edge_connected_components",

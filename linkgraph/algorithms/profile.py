@@ -85,3 +85,35 @@ def graph_profile(graph: LinkGraph) -> DataFrame:
         "n_triangles long, transitivity_millionths long, max_degree long, "
         "avg_degree_millionths long",
     )
+
+
+def degree_distribution(graph: LinkGraph) -> DataFrame:
+    """DataFrame[degree, n_nodes, ccdf] — the undirected simple-degree
+    histogram with complementary CDF ccdf = P(D >= degree), isolated nodes
+    included at degree 0. The web-graph sanity plot (log-log ccdf) and the
+    input to :func:`powerlaw_alpha`.
+
+    Scale shape: one algebraic degree aggregate + one histogram groupBy;
+    the suffix-sum window runs over DISTINCT degrees only — a metadata-
+    sized table (the rich-club rationale, assortativity.py), never nodes
+    or edges."""
+    from pyspark.sql import Window
+
+    und = _canonical_undirected(graph)
+    deg = (
+        graph.nodes.select(ID)
+        .join(_degrees_of(und), ID, "left")
+        .select(F.coalesce("deg", F.lit(0)).cast("long").alias("degree"))
+    )
+    n_total = graph.number_of_nodes()
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        (F.sum("n_nodes").over(w).cast("double") / F.lit(float(n_total))).alias(
+            "ccdf"
+        ),
+    )

@@ -9914,3 +9914,45 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_PPR_BATCH_ORACLES)
+
+
+def q_degree_distribution_orders(spark, sf_dir):
+    """Degree histogram + ccdf on the bipartite customer-order graph:
+    per-customer order counts spread over ~25 distinct degrees while every
+    order has degree 1 — a real ccdf curve. ccdf reported at e6 rounding;
+    oracle replays the histogram and the suffix sum over distinct degrees
+    (a metadata-sized window, the operator's own plan shape)."""
+    from linkgraph import degree_distribution
+
+    o = _t(spark, sf_dir, "orders").select(
+        _tag("o_custkey", "c").alias("src"), _tag("o_orderkey", "o").alias("dst")
+    )
+    g = LinkGraph(o, keys={"directed": False})
+    return degree_distribution(g).select(
+        "degree",
+        "n_nodes",
+        F.round(F.col("ccdf") * 1e6).cast("long").alias("ccdf_e6"),
+    )
+
+
+QUERIES.update({"degree_distribution_orders": q_degree_distribution_orders})
+ORACLE_SQL.update(
+    {
+        "degree_distribution_orders": """
+        WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst
+                   FROM orders),
+        ends AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+        deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+                 FROM deg GROUP BY degree)
+        SELECT degree, n_nodes,
+               CAST(round(
+                 CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / (SELECT n FROM nn) * 1000000
+               ) AS BIGINT) AS ccdf_e6
+        FROM hist
+    """,
+    }
+)
