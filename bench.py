@@ -557,6 +557,45 @@ def main():
 
     timed("ic_spread_corpus", _ic_spread_corpus)
 
+    def _ppr_batch_corpus():
+        # 64 seeds through ONE superstep loop, 5 fixed rounds — the
+        # related-pages workload; state is sparse (seed, node), one
+        # shuffle per round keyed (_s, dst)
+        from linkgraph import personalized_pagerank_batch
+
+        seeds = [r["id"] for r in g.nodes.orderBy("id").limit(64).collect()]
+        n = personalized_pagerank_batch(g, seeds, tol=0.0, max_iter=5).count()
+        extra["ppr_batch_state_rows"] = n
+
+    timed("ppr_batch64_corpus", _ppr_batch_corpus)
+
+    def _host_graph_lineitem():
+        # page-level URL pairs synthesized from every lineitem row (messy
+        # case/ports/fragments), rolled up to the weighted host graph —
+        # canonicalization fuses into the scan, ONE algebraic pair-count
+        # shuffle
+        from linkgraph.pipeline.urls import host_graph
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pages = li.select(
+            F.concat(
+                F.lit("HTTPS://WWW.Supp-"),
+                (F.col("l_suppkey") % 997).cast("string"),
+                F.lit(".Example.CO.UK:443/l/"),
+                F.col("l_orderkey").cast("string"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("http://bot:x@Part-"),
+                (F.col("l_partkey") % 1009).cast("string"),
+                F.lit(".Example.COM:80/p/"),
+                F.col("l_partkey").cast("string"),
+                F.lit("#s"),
+            ).alias("dst_url"),
+        )
+        extra["host_graph_edges"] = host_graph(pages).count()
+
+    timed("host_graph_lineitem", _host_graph_lineitem)
+
     def _ws_generate():
         # generator throughput: 10M-edge small-world ring, pure projection
         from linkgraph import watts_strogatz_graph
