@@ -9956,3 +9956,74 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_resolve_redirects_nation(spark, sf_dir):
+    """Redirect resolution on a nation-key functional graph: a 10-hop chain
+    (n0->...->n9, terminal n9), two branches merging into it (n10,n11->n5),
+    a 3-cycle n20->n21->n22->n20 with feeder n23, and a self-redirect n24.
+    Pointer doubling resolves the chain in 4 rounds; cycle-bound nodes get
+    NULL target + on_cycle. Oracle: recursive-CTE step-by-step walk to the
+    first terminal (functional => unique), absent-within-bound = cycle."""
+    from linkgraph import resolve_redirects
+
+    k = F.col("n_nationkey").cast("long")
+    n = _t(spark, sf_dir, "nation").select(k.alias("k"))
+    tag = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    chain = n.filter(F.col("k") < 9).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 1).alias("dst")
+    )
+    merge = n.filter(F.col("k").isin(10, 11)).select(
+        tag(F.col("k")).alias("src"), tag(F.lit(5)).alias("dst")
+    )
+    cyc = n.filter(F.col("k").isin(20, 21)).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 1).alias("dst")
+    ).unionByName(
+        n.filter(F.col("k") == 22).select(
+            tag(F.col("k")).alias("src"), tag(F.lit(20)).alias("dst")
+        )
+    )
+    feeder = n.filter(F.col("k") == 23).select(
+        tag(F.col("k")).alias("src"), tag(F.lit(20)).alias("dst")
+    )
+    selfr = n.filter(F.col("k") == 24).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k")).alias("dst")
+    )
+    redirects = chain.unionByName(merge).unionByName(cyc).unionByName(feeder).unionByName(selfr)
+    return resolve_redirects(redirects)
+
+
+QUERIES.update({"resolve_redirects_nation": q_resolve_redirects_nation})
+ORACLE_SQL.update(
+    {
+        "resolve_redirects_nation": """
+        WITH RECURSIVE
+        nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        r AS (
+          SELECT 'n' || k AS src, 'n' || (k + 1) AS dst FROM nk WHERE k < 9
+          UNION ALL SELECT 'n' || k, 'n5' FROM nk WHERE k IN (10, 11)
+          UNION ALL SELECT 'n' || k, 'n' || (k + 1) FROM nk WHERE k IN (20, 21)
+          UNION ALL SELECT 'n22', 'n20' FROM nk WHERE k = 22
+          UNION ALL SELECT 'n23', 'n20' FROM nk WHERE k = 23
+          UNION ALL SELECT 'n24', 'n24' FROM nk WHERE k = 24
+        ),
+        nodes AS (SELECT DISTINCT id FROM
+                  (SELECT src AS id FROM r UNION ALL SELECT dst FROM r)),
+        walk(id, cur, hops) AS (
+          SELECT id, id, 0 FROM nodes
+          UNION ALL
+          SELECT w.id, r.dst, w.hops + 1
+          FROM walk w JOIN r ON r.src = w.cur
+          WHERE w.hops < 30
+        ),
+        term AS (
+          SELECT w.id, w.cur AS target, w.hops
+          FROM walk w LEFT JOIN r ON r.src = w.cur
+          WHERE r.src IS NULL
+        )
+        SELECT n.id, t.target, CAST(t.hops AS BIGINT) AS hops,
+               t.target IS NULL AS on_cycle
+        FROM nodes n LEFT JOIN term t ON n.id = t.id
+    """,
+    }
+)
