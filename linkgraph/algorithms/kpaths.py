@@ -37,6 +37,20 @@ from linkgraph.graph import DST, ID, SRC, LinkGraph
 from linkgraph.session import pin_partitioned, static_plans
 
 
+def _topk_fold(cand: DataFrame, k: int) -> DataFrame:
+    """Per-node top-k of (id, val) candidates folded to (id, ws array) —
+    factored out so the plan-audit test asserts the REAL superstep plans as
+    a map-side Partial WindowGroupLimit (rank-limited window + filter),
+    never a full per-node sort."""
+    win = Window.partitionBy(ID).orderBy(F.asc("val"))
+    return (
+        cand.withColumn("_r", F.row_number().over(win))
+        .filter(F.col("_r") <= k)
+        .groupBy(ID)
+        .agg(F.sort_array(F.collect_list("val")).alias("ws"))
+    )
+
+
 def k_lightest_walks(
     graph: LinkGraph,
     source,
@@ -93,7 +107,6 @@ def k_lightest_walks(
         seed = spark.createDataFrame([(source,)], f"{ID} {id_t}").select(
             ID, F.lit(0.0).alias("val")
         )
-        win = Window.partitionBy(ID).orderBy(F.asc("val"))
         for _ in range(max_hops):
             ext = (
                 state.join(edges, state[ID] == edges["u"])
@@ -105,13 +118,7 @@ def k_lightest_walks(
                 )
             )
             cand = ext.unionByName(seed)
-            nxt = (
-                cand.withColumn("_r", F.row_number().over(win))
-                .filter(F.col("_r") <= k)
-                .groupBy(ID)
-                .agg(F.sort_array(F.collect_list("val")).alias("ws"))
-                .localCheckpoint(eager=True)
-            )
+            nxt = _topk_fold(cand, k).localCheckpoint(eager=True)
             changed = (
                 nxt.join(
                     state.withColumnRenamed("ws", "_old"), ID, "left"

@@ -112,3 +112,16 @@ def test_plan_is_python_free(spark):
     out = k_lightest_walks(g, "a", k=2, max_hops=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_superstep_topk_plans_as_window_group_limit(spark):
+    # the REAL per-round fold (not a lookalike): rank-limited window must
+    # plan as Partial+Final WindowGroupLimit, never a full per-node sort
+    from linkgraph.algorithms.kpaths import _topk_fold
+
+    cand = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], "id string, val double"
+    )
+    plan = _topk_fold(cand, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "EvalPython" not in plan

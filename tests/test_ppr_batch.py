@@ -128,3 +128,10 @@ def test_plan_no_python(spark):
     out = personalized_pagerank_batch(g, ["a"], tol=0.0, max_iter=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_related_topk_plans_as_window_group_limit(spark):
+    g = _g(spark, [("a", "b"), ("b", "a")])
+    out = related_nodes(g, ["a"], k=1, tol=0.0, max_iter=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
