@@ -10027,3 +10027,66 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_streaming_incremental_cc(spark, sf_dir):
+    """Incremental CC over an edge STREAM (foreachBatch + warm-start label
+    folding): the nation cut fixture's 17 edges split deterministically
+    (md5 parity) into two parquet files, streamed one file per micro-batch.
+    Final labels must equal a cold batch solve — the oracle derives min-
+    reachable-id per node through an INDEPENDENT recursive-CTE closure."""
+    import os
+    import shutil
+    import tempfile
+
+    from linkgraph.streaming import streaming_components
+
+    edges = _bridge_fixture_edges(spark, sf_dir).withColumn(
+        "_h", F.conv(F.substring(F.md5(F.concat("src", "dst")), 1, 4), 16, 10)
+        .cast("long") % 2
+    )
+    src_dir = tempfile.mkdtemp(prefix="lg_scc_src_")
+    lab_dir = tempfile.mkdtemp(prefix="lg_scc_lab_")
+    ckpt = tempfile.mkdtemp(prefix="lg_scc_ckpt_")
+    labels_path = os.path.join(lab_dir, "labels")
+    try:
+        for part in (0, 1):
+            edges.filter(F.col("_h") == part).select("src", "dst").coalesce(
+                1
+            ).write.parquet(f"{src_dir}/b{part}")
+        stream = (
+            spark.readStream.schema("src string, dst string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            streaming_components(stream, labels_path, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not drain in 300s")
+        return spark.read.parquet(labels_path).select("id", "component")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+QUERIES.update({"streaming_incremental_cc": q_streaming_incremental_cc})
+ORACLE_SQL.update(
+    {
+        "streaming_incremental_cc": """
+        WITH RECURSIVE
+        """ + _BRIDGE_FIXTURE_SQL + """,
+        ue AS (SELECT x AS a, y AS b FROM e0 UNION ALL SELECT y, x FROM e0),
+        cnodes AS (SELECT DISTINCT a AS id FROM ue),
+        reach(id, r) AS (
+          SELECT id, id FROM cnodes
+          UNION
+          SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+    }
+)

@@ -201,3 +201,64 @@ def session_stats(
             "n_events",
         )
     )
+
+
+def streaming_components(
+    edge_stream: DataFrame,
+    labels_path: str,
+    checkpoint_path: str,
+    max_iter: int = 50,
+):
+    """Incremental connected components over an edge stream: a
+    ``foreachBatch`` sink that folds each micro-batch of NEW edges into a
+    maintained label table (parquet at ``labels_path``) through
+    ``connected_components(initial_labels=...)`` — every labeled node
+    carries a virtual shortcut to its old representative, so each batch
+    pays two-star rounds only for what its edges MERGE, never for
+    re-solving history. State is the n-node label table, not the edge
+    history — the only incremental-CC design that survives an unbounded
+    stream. Additive streams only (the warm start's documented contract:
+    deletions can split components and must trigger a cold re-run).
+
+    Labels after any prefix of batches are IDENTICAL to a cold batch run
+    over the union of those batches' edges (min-id per component), which
+    is what makes the operator oracle-checkable.
+
+    Returns the ``StreamingQuery``; callers read ``labels_path`` between
+    or after triggers."""
+    import os
+
+    from linkgraph.algorithms.components import connected_components
+    from linkgraph.graph import LinkGraph
+
+    def fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        edges = batch_df.select(
+            F.col(batch_df.columns[0]).alias("src"),
+            F.col(batch_df.columns[1]).alias("dst"),
+        )
+        prev = None
+        ends = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        if os.path.exists(labels_path):
+            prev = spark.read.parquet(labels_path).select("id", "component")
+            # the solve's node set must be batch ∪ history: CC emits labels
+            # only for its node table, and a history node absent from this
+            # batch still RELABELS when the batch merges its component —
+            # restricting to batch nodes would freeze it at a stale rep
+            ends = ends.unionByName(prev.select("id")).distinct()
+        g = LinkGraph(edges, nodes=ends, keys={"directed": False})
+        labels = connected_components(
+            g, max_iter=max_iter, with_sizes=False, initial_labels=prev
+        )
+        out = labels.localCheckpoint(eager=True)  # sever lineage before overwrite
+        out.write.mode("overwrite").parquet(labels_path)
+
+    return (
+        edge_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
