@@ -180,3 +180,51 @@ def host_graph(
     if drop_self_loops:
         out = out.filter(F.col(SRC) != F.col(DST))
     return out.groupBy(SRC, DST).agg(F.count(F.lit(1)).alias("weight"))
+
+
+def anchor_profile(
+    pages: DataFrame,
+    dst_url: str = "dst_url",
+    anchor: str = "anchor",
+    k: int = 10,
+    level: str = "host",
+) -> DataFrame:
+    """DataFrame[dst, term, n, rank] — each target host's (or registered
+    domain's) k most frequent anchor-text terms, the classic off-page
+    indexing signal ("what the web calls this page"). Terms are lowercased
+    word tokens (``[a-z0-9]+`` runs); rows with unparseable targets or
+    empty anchors drop; ties break by ascending term.
+
+    Scale shape: canonicalization + tokenization fuse into the scan; ONE
+    algebraic (dst, term) count shuffle (map-side partial agg collapses
+    repeated anchors per task — anchor text is extremely repetitive, which
+    is exactly why the count matters); the per-target top-k is a
+    rank-limited window (plans as Partial WindowGroupLimit, never a full
+    per-target sort)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if level not in ("host", "registered_domain"):
+        raise ValueError(f"level must be host|registered_domain, got {level!r}")
+    d = url_host(F.col(dst_url))
+    if level == "registered_domain":
+        d = registered_domain(d)
+    terms = (
+        pages.select(
+            d.alias("dst"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(anchor)), F.lit("[a-z0-9]+"), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        terms.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

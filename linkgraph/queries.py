@@ -10090,3 +10090,49 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_anchor_profile_parts(spark, sf_dir):
+    """Per-target-host top-3 anchor terms: each part links to its brand's
+    page (messy-case URL; the '#' in p_brand is sanitized to '-' — raw it
+    would read as a fragment delimiter and collapse every host) with its
+    p_type as anchor text. 25 brand hosts x the type vocabulary; ties break
+    by ascending term. The oracle derives hosts straight from p_brand (no
+    regex shared) and tokenizes p_type with its own regexp — both sides
+    exact integer counts."""
+    from linkgraph.pipeline.urls import anchor_profile
+
+    pages = _t(spark, sf_dir, "part").select(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.regexp_replace(F.col("p_brand"), "#", "-"),
+            F.lit(".Example.COM/p/"),
+            F.col("p_partkey").cast("string"),
+        ).alias("dst_url"),
+        F.col("p_type").alias("anchor"),
+    )
+    return anchor_profile(pages, k=3)
+
+
+QUERIES.update({"anchor_profile_parts": q_anchor_profile_parts})
+ORACLE_SQL.update(
+    {
+        "anchor_profile_parts": """
+        WITH terms AS (
+          SELECT lower(replace(p_brand, '#', '-')) || '.example.com' AS dst,
+                 unnest(regexp_extract_all(lower(p_type), '[a-z0-9]+')) AS term
+          FROM part
+        ),
+        counts AS (
+          SELECT dst, term, count(*) AS n FROM terms GROUP BY dst, term
+        ),
+        ranked AS (
+          SELECT dst, term, n,
+                 CAST(row_number() OVER (PARTITION BY dst
+                        ORDER BY n DESC, term ASC) AS INT) AS rank
+          FROM counts
+        )
+        SELECT dst, term, n, rank FROM ranked WHERE rank <= 3
+    """,
+    }
+)

@@ -134,3 +134,57 @@ def test_plans_scan_fused_and_python_free(spark):
     # exactly the one algebraic shuffle, with a map-side partial aggregate
     assert hplan.count("Exchange") == 1
     assert "partial_count" in hplan
+
+
+def test_anchor_profile_topk_and_ties(spark):
+    from linkgraph.pipeline.urls import anchor_profile
+
+    pages = spark.createDataFrame(
+        [
+            ("http://A.com/x", "Click Here"),
+            ("http://a.com:80/y", "click now!"),
+            ("http://a.com/z", "best widgets here"),
+            ("garbage", "never counted"),
+            ("http://b.co.uk/", "Widgets"),
+        ],
+        "dst_url string, anchor string",
+    )
+    out = anchor_profile(pages, k=2)
+    got = {(r["dst"], r["rank"]): (r["term"], r["n"]) for r in out.collect()}
+    # a.com terms: click=2, here=2, best=1, now=1, widgets=1
+    # rank1 tie click/here -> 'click' by term asc
+    assert got[("a.com", 1)] == ("click", 2)
+    assert got[("a.com", 2)] == ("here", 2)
+    assert got[("b.co.uk", 1)] == ("widgets", 1)
+    assert all(r[1] <= 2 for r in got)
+
+
+def test_anchor_profile_domain_level_merges_hosts(spark):
+    from linkgraph.pipeline.urls import anchor_profile
+
+    pages = spark.createDataFrame(
+        [
+            ("http://x.shop.co.uk/1", "deal"),
+            ("http://y.shop.co.uk/2", "deal"),
+        ],
+        "dst_url string, anchor string",
+    )
+    out = anchor_profile(pages, k=1, level="registered_domain").collect()
+    assert len(out) == 1 and out[0]["dst"] == "shop.co.uk" and out[0]["n"] == 2
+
+
+def test_anchor_profile_plans_window_group_limit(spark):
+    import pytest as _pytest
+
+    from linkgraph.pipeline.urls import anchor_profile
+
+    pages = spark.createDataFrame(
+        [("http://a.com/", "x")], "dst_url string, anchor string"
+    )
+    plan = (
+        anchor_profile(pages, k=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan and ", Partial" in plan
+    assert "EvalPython" not in plan
+    with _pytest.raises(ValueError, match="k must"):
+        anchor_profile(pages, k=0)
