@@ -573,7 +573,11 @@ def main():
         # page-level URL pairs synthesized from every lineitem row (messy
         # case/ports/fragments), rolled up to the weighted host graph —
         # canonicalization fuses into the scan, ONE algebraic pair-count
-        # shuffle
+        # shuffle. The synthesized pages are MATERIALIZED first: a real
+        # crawl reads URL strings from storage, and feeding the parser an
+        # inline concat instead lets CollapseProject clone the
+        # string-build into every regex call site (measured 5.4x:
+        # 35 s -> 6.4 s at this size)
         from linkgraph.pipeline.urls import host_graph
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -591,7 +595,7 @@ def main():
                 F.col("l_partkey").cast("string"),
                 F.lit("#s"),
             ).alias("dst_url"),
-        )
+        ).localCheckpoint(eager=True)
         extra["host_graph_edges"] = host_graph(pages).count()
 
     timed("host_graph_lineitem", _host_graph_lineitem)

@@ -142,7 +142,7 @@ from linkgraph.algorithms.mst import (
     minimum_spanning_weight,
 )
 from linkgraph.algorithms.toposort import critical_path, topological_layers
-from linkgraph.algorithms.kcore import core_number, k_core, onion_layers
+from linkgraph.algorithms.kcore import core_number, k_core, onion_layers, s_core
 from linkgraph.algorithms.ktruss import k_truss
 from linkgraph.algorithms.linkpred import (
     link_prediction_scores,
@@ -200,6 +200,7 @@ __all__ = [
     "k_core",
     "core_number",
     "onion_layers",
+    "s_core",
     "link_prediction_scores",
     "link_prediction_top_k",
     "write_edges_bucketed",

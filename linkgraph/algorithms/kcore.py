@@ -196,3 +196,68 @@ def onion_layers(graph: LinkGraph, max_iter: int = 100_000) -> DataFrame:
         for r in results[1:]:
             out = out.unionByName(r)
         return out
+
+
+def _weighted_pairs(graph: LinkGraph) -> DataFrame:
+    """Symmetric (u, v, w) pairs: canonical-ordered distinct edges summed
+    per pair (reciprocal directed arcs ADD; the reversed copies an
+    undirected LinkGraph materializes dedup via distinct, same convention
+    as ``_undirected_pairs``), then both orientations, no self-loops."""
+    w = graph.weight_col()
+    canon = (
+        graph.edges.select(
+            F.least(SRC, DST).alias("u"),
+            F.greatest(SRC, DST).alias("v"),
+            w.alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    return canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+
+
+def s_core(graph: LinkGraph, s: float, max_iter: int = 10_000) -> DataFrame:
+    """DataFrame[id] — the s-core (Eidsaa & Almaas, PRL 2013, public): the
+    maximal subgraph where every node's WEIGHTED degree (sum of incident
+    undirected edge weights) is >= s. The weighted generalization of
+    k-core for graphs where edge strength, not edge count, defines
+    participation — on a host link graph, "hosts exchanging at least s
+    link mass with other core members".
+
+    Same peel plan as ``k_core`` (pinned generations, per-round degree agg
+    + two semi-joins, lineage truncated per phase); only the aggregate
+    changes from count to sum(w). s <= 0 returns all nodes (every weighted
+    degree, including 0 for isolates, qualifies)."""
+    if s <= 0:
+        return graph.nodes.select(ID)
+    npart = int(graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    with static_plans(graph.edges.sparkSession):
+        gens = PinnedGenerations()
+        pairs = gens.pin(_weighted_pairs(graph).repartition(npart, "u"))
+        n_pairs = pairs.count()
+        for _ in range(max_iter):
+            if n_pairs == 0:
+                break
+            keep = (
+                pairs.groupBy("u")
+                .agg(F.sum("w").alias("_wd"))
+                .filter(F.col("_wd") >= s)
+                .select("u")
+            )
+            nxt = gens.pin(
+                pairs.join(keep, "u", "left_semi")
+                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                .select("u", "v", "w")
+                .repartition(npart, "u")
+            )
+            n_next = nxt.count()
+            if n_next == n_pairs:
+                break
+            pairs, n_pairs = nxt, n_next
+        out = pairs.localCheckpoint(eager=True)
+        gens.release()
+        return out.select(F.col("u").alias(ID)).distinct()

@@ -10208,3 +10208,61 @@ def _host_pagerank_unrolled_sql(n_iters: int = 4, damping: float = DAMPING) -> s
 
 QUERIES.update({"host_pagerank_orders": q_host_pagerank_orders})
 ORACLE_SQL.update({"host_pagerank_orders": _host_pagerank_unrolled_sql(4)})
+
+
+def q_s_core_region_clique(spark, sf_dir):
+    """Weighted s-core on a K4 region clique (edge weight 3 => clique
+    weighted degree 9) with weight-1 nation tails: s=5 peels every tail in
+    round 1 and the clique survives round 2's induced recheck (9 >= 5) —
+    a provable 2-round fixpoint the oracle unrolls literally."""
+    from linkgraph import s_core
+
+    r1 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k1"))
+    r2 = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k2"))
+    clique = r1.join(
+        r2, (F.col("k1") < F.col("k2")) & (F.col("k1") < 4) & (F.col("k2") < 4)
+    ).select(
+        F.concat(F.lit("r"), F.col("k1").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("k2").cast("string")).alias("dst"),
+        F.lit(3.0).alias("weight"),
+    )
+    tails = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 10)
+        .select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(
+                F.lit("r"), (F.col("n_nationkey") % 4).cast("string")
+            ).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    g = LinkGraph(clique.unionByName(tails), keys={"directed": False})
+    return s_core(g, 5.0)
+
+
+QUERIES.update({"s_core_region_clique": q_s_core_region_clique})
+ORACLE_SQL.update(
+    {
+        "s_core_region_clique": """
+        WITH e0 AS (
+          SELECT 'r' || a.r_regionkey AS u, 'r' || b.r_regionkey AS v,
+                 CAST(3.0 AS DOUBLE) AS w
+          FROM region a JOIN region b
+            ON a.r_regionkey < b.r_regionkey
+           AND a.r_regionkey < 4 AND b.r_regionkey < 4
+          UNION ALL
+          SELECT 'n' || n_nationkey, 'r' || (n_nationkey % 4),
+                 CAST(1.0 AS DOUBLE)
+          FROM nation WHERE n_nationkey < 10
+        ),
+        sym0 AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+        wd0 AS (SELECT u, sum(w) AS wd FROM sym0 GROUP BY u),
+        a1 AS (SELECT u FROM wd0 WHERE wd >= 5),
+        sym1 AS (SELECT s.u, s.v, s.w FROM sym0 s
+                 JOIN a1 x ON s.u = x.u JOIN a1 y ON s.v = y.u),
+        wd1 AS (SELECT u, sum(w) AS wd FROM sym1 GROUP BY u)
+        SELECT u AS id FROM wd1 WHERE wd >= 5
+    """,
+    }
+)

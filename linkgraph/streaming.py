@@ -226,7 +226,7 @@ def streaming_components(
 
     Returns the ``StreamingQuery``; callers read ``labels_path`` between
     or after triggers."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from linkgraph.algorithms.components import connected_components
     from linkgraph.graph import LinkGraph
@@ -243,8 +243,14 @@ def streaming_components(
             .unionByName(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-        if os.path.exists(labels_path):
+        try:
+            # probe via the session's filesystem, not os.path — the label
+            # table lives wherever the cluster writes (HDFS/S3/local alike)
             prev = spark.read.parquet(labels_path).select("id", "component")
+            prev.schema  # force analysis so a missing path raises HERE
+        except AnalysisException:
+            prev = None
+        if prev is not None:
             # the solve's node set must be batch ∪ history: CC emits labels
             # only for its node table, and a history node absent from this
             # batch still RELABELS when the batch merges its component —
