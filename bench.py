@@ -576,8 +576,9 @@ def main():
         # shuffle. The synthesized pages are MATERIALIZED first: a real
         # crawl reads URL strings from storage, and feeding the parser an
         # inline concat instead lets CollapseProject clone the
-        # string-build into every regex call site (measured 5.4x:
-        # 35 s -> 6.4 s at this size)
+        # string-build into every regex call site (33.7 s -> 10.4 s
+        # total with the Generate barrier inside host_graph; see
+        # pipeline/urls.py)
         from linkgraph.pipeline.urls import host_graph
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -24,13 +24,18 @@ Canonicalization contract (documented subset, exactly replicable):
 Percent-decoding, dot-segment removal, and query-param sorting are out of
 scope (they change semantics per-site; do them upstream if you need them).
 
-Performance boundary (measured): feed these parsers URL columns read from
-STORAGE (or materialized once). Handing them an inline-computed URL
-expression (e.g. a ``concat(...)`` synthesizer) lets CollapseProject clone
-the string-build into every regex call site — measured 5.4× slower
-(35 s → 6.4 s for 1.2M URLs on 32 threads) with identical results. A real
-crawl always reads stored strings, so the fast path is the natural one;
-the bench entry materializes its synthetic pages for the same reason.
+Performance boundary (measured, 1.2M URLs / 32 threads): two duplication
+traps surround these regex chains, both fixed structurally here.
+(1) Predicate pushdown: Catalyst pushes key-column predicates below
+projections and THROUGH aggregates, rewriting them over the full regex
+chains — the null/self-loop filters then re-evaluate both hosts per page
+row (24.9 s vs 5.8 s). ``host_graph``/``anchor_profile`` therefore emit
+hosts through an ``explode(array(struct(...)))`` Generate barrier:
+predicates on generator output cannot be pushed below it, so each chain
+runs exactly once per row. (2) Projection collapse: feeding the parser an
+inline-computed URL expression (e.g. a ``concat`` synthesizer) clones the
+string-build into every regex call site — read URLs from storage or
+materialize them once (the bench entry does; 33.7 s → 10.4 s combined).
 
 ``registered_domain`` uses a documented HEURISTIC subset of the public
 suffix list: a built-in set of common two-label suffixes (co.uk, com.au,
@@ -181,13 +186,26 @@ def host_graph(
     s, d = url_host(F.col(src_url)), url_host(F.col(dst_url))
     if level == "registered_domain":
         s, d = registered_domain(s), registered_domain(d)
+    # The explode(array(struct(...))) is a deliberate Generate BARRIER:
+    # Catalyst pushes key-column predicates below projections AND through
+    # aggregates, rewriting them in terms of the full regex chains — each
+    # condition then re-evaluates both hosts per page row (measured 4.3x:
+    # 24.9 s -> 5.8 s on 1.2M URLs). Predicates on generator output cannot
+    # be pushed below the Generate, so each host chain is evaluated
+    # EXACTLY once per row, and the null/self-loop drop runs on host-pair
+    # cardinality after the aggregate.
     out = (
-        pages.select(s.alias(SRC), d.alias(DST))
+        pages.select(
+            F.explode(F.array(F.struct(s.alias(SRC), d.alias(DST)))).alias("_e")
+        )
+        .select(f"_e.{SRC}", f"_e.{DST}")
+        .groupBy(SRC, DST)
+        .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
     )
     if drop_self_loops:
         out = out.filter(F.col(SRC) != F.col(DST))
-    return out.groupBy(SRC, DST).agg(F.count(F.lit(1)).alias("weight"))
+    return out
 
 
 def anchor_profile(
@@ -218,18 +236,26 @@ def anchor_profile(
     d = url_host(F.col(dst_url))
     if level == "registered_domain":
         d = registered_domain(d)
+    # same Generate barrier as host_graph (see its comment): dst must BE
+    # generator output, else the post-agg null predicate pushes below the
+    # term explode and re-evaluates the host chain as a row filter
+    base = pages.select(
+        F.explode(
+            F.array(F.struct(d.alias("dst"), F.col(anchor).alias("_a")))
+        ).alias("_e")
+    ).select("_e.dst", "_e._a")
     terms = (
-        pages.select(
-            d.alias("dst"),
+        base.select(
+            "dst",
             F.explode(
                 F.regexp_extract_all(
-                    F.lower(F.col(anchor)), F.lit("[a-z0-9]+"), F.lit(0)
+                    F.lower(F.col("_a")), F.lit("[a-z0-9]+"), F.lit(0)
                 )
             ).alias("term"),
         )
-        .filter(F.col("dst").isNotNull())
         .groupBy("dst", "term")
         .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("dst").isNotNull())
     )
     win = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
     return (
