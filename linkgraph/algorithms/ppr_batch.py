@@ -42,12 +42,37 @@ def personalized_pagerank_batch(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """DataFrame[seed, id, pagerank] — for every seed, its personalized
     PageRank vector (sums to 1 per seed; only nonzero rows). ``seeds`` is a
     driver-small list of node ids (the broadcastable query set); duplicate
     seeds are an error, phantom seeds (absent from the graph) too — a
-    silent empty result per phantom would read as "seed has no neighbors"."""
+    silent empty result per phantom would read as "seed has no neighbors".
+
+    Physical gate: while the sparse state holds ≤ ``broadcast_max_rows``
+    rows (tracked each round by the SAME aggregate that reads the L1
+    delta — no extra action), the contribution join BROADCASTS the state:
+    a superstep is then one edge-table scan + the small (_s, dst) contrib
+    shuffle, with no per-round state exchange at all. On this engine's
+    single-host bench the fallback (shuffled-hash join against the pinned
+    edge table) measures the same — the superstep is bound by the 24M-row
+    cached scan, which is memory-bandwidth-limited (the capacity-
+    normalization analysis in BENCH/BASELINE.md) — but on a multi-node
+    cluster the broadcast removes a network round-trip per superstep.
+    When the state outgrows the gate, rounds fall back to the partitioned
+    join.
+
+    Honest boundary, and the named upgrade when frontiers are tiny
+    relative to the graph (64 seeds × local reach vs 100 TB of edges):
+    every superstep still SCANS the full edge table — the probe side of
+    any join must. Making per-round work proportional to the frontier
+    requires a storage-pruned edge table: write edges partitioned by
+    ``pmod(hash(src), B)`` and join against the frontier's bucket set so
+    dynamic partition pruning skips untouched buckets (the same
+    design already applied to the IVF inverted lists,
+    ``pipeline/similarity.py``). That is an IO-layout decision the caller
+    owns; this operator stays correct either way."""
     if not seeds:
         raise ValueError("seeds must be non-empty")
     if len(set(seeds)) != len(seeds):
@@ -85,17 +110,23 @@ def personalized_pagerank_batch(
         state = seed_df.select("_s", ID, F.lit(1.0).alias("r")).localCheckpoint(
             eager=True
         )
+        state_rows = len(seeds)
         converged = False
         try:
             for _ in range(max_iter):
+                st = (
+                    F.broadcast(state)
+                    if state_rows <= broadcast_max_rows
+                    else state
+                )
                 contrib = (
-                    state.join(edges, state[ID] == edges["u"])
+                    st.join(edges, st[ID] == edges["u"])
                     .select("_s", F.col("v").alias(ID), (F.col("r") * F.col("frac")).alias("c"))
                     .groupBy("_s", ID)
                     .agg(F.sum("c").alias("c"))
                 )
                 dmass = (
-                    state.join(dangling, ID, "left_semi")
+                    dangling.join(st, ID)
                     .groupBy("_s")
                     .agg(F.sum("r").alias("D"))
                 )
@@ -118,8 +149,9 @@ def personalized_pagerank_batch(
                     .filter(F.col("r") != 0.0)
                     .localCheckpoint(eager=True)
                 )
-                # worst-seed L1 delta, one fused aggregate over the full join
-                delta = (
+                # worst-seed L1 delta AND the new state's row count (feeds
+                # the broadcast gate) in one fused aggregate — one action
+                row = (
                     nxt.withColumnRenamed("r", "rn")
                     .join(state, ["_s", ID], "full")
                     .groupBy("_s")
@@ -129,11 +161,13 @@ def personalized_pagerank_batch(
                                 F.coalesce("rn", F.lit(0.0))
                                 - F.coalesce("r", F.lit(0.0))
                             )
-                        ).alias("l1")
+                        ).alias("l1"),
+                        F.count("rn").alias("nr"),
                     )
-                    .agg(F.max("l1"))
-                    .collect()[0][0]
+                    .agg(F.max("l1").alias("mx"), F.sum("nr").alias("rows"))
+                    .collect()[0]
                 )
+                delta, state_rows = row["mx"], int(row["rows"] or 0)
                 state = nxt
                 if delta is not None and delta <= tol:
                     converged = True
