@@ -262,3 +262,61 @@ def anchor_profile(
         terms.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def url_path_segments(url) -> Column:
+    """Array of path segments of a URL Column (query/fragment excluded,
+    empty segments from '//' dropped); empty array for no-path URLs, NULL
+    for non-URLs."""
+    base = F.regexp_replace(_c(url), r"[?#].*$", "")
+    path = F.regexp_extract(base, _TAIL_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    return F.when(url_scheme(url) != "", segs).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+
+
+def path_prefix_counts(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 4,
+) -> DataFrame:
+    """DataFrame[host, prefix, depth, n_pages] — page counts per (host,
+    path-prefix) up to ``max_depth`` segments: the sitemap/site-structure
+    rollup ("how big is /docs vs /blog on each host"). Depth 0 is the host
+    root (every parsed page counts there). Unparseable URLs drop.
+
+    Scale shape: segments + prefixes are pure array exprs (transform over
+    sequence — no UDF); one explode multiplies each page by at most
+    ``max_depth`` + 1 rows; ONE algebraic count shuffle. The host/prefix
+    computation rides the same Generate barrier as host_graph, so the
+    regex chains evaluate once per page."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    u = F.col(url_col)
+    segs = url_path_segments(u)
+    capped = F.slice(segs, 1, max_depth)
+    # 0-based sequence: Spark's sequence(1, 0) DESCENDS ([1, 0]) for an
+    # empty path, which would fabricate phantom depth-1/2 root rows;
+    # sequence(0, n) is ascending for every n >= 0
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.size(capped)),
+        lambda i: F.when(i == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/"), F.array_join(F.slice(capped, 1, i), "/"))
+        ),
+    )
+    base = (
+        df.select(
+            F.explode(
+                F.array(F.struct(url_host(u).alias("host"), prefixes.alias("_p")))
+            ).alias("_e")
+        )
+        .select("_e.host", "_e._p")
+        .filter(F.col("host").isNotNull())
+    )
+    return (
+        base.select("host", F.posexplode("_p").alias("depth", "prefix"))
+        .groupBy("host", "prefix", "depth")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select("host", "prefix", F.col("depth").cast("int").alias("depth"), "n_pages")
+    )

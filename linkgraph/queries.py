@@ -10266,3 +10266,46 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_path_prefix_counts_orders(spark, sf_dir):
+    """Sitemap rollup: each order is a page at
+    /cat-<okey%3>/item/<okey> on its customer-bucket shop host; depth<=2
+    prefixes counted per host. The oracle builds the segment lists
+    directly from keys (no URL code) and expands depths via a range
+    join."""
+    from linkgraph.pipeline.urls import path_prefix_counts
+
+    pages = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://shop-"), (F.col("o_custkey") % 5).cast("string"),
+            F.lit(".example.com/cat-"), (F.col("o_orderkey") % 3).cast("string"),
+            F.lit("/item/"), F.col("o_orderkey").cast("string"),
+        ).alias("url")
+    ).localCheckpoint(eager=True)
+    return path_prefix_counts(pages, max_depth=2)
+
+
+QUERIES.update({"path_prefix_counts_orders": q_path_prefix_counts_orders})
+ORACLE_SQL.update(
+    {
+        "path_prefix_counts_orders": """
+        WITH p AS (
+          SELECT 'shop-' || (o_custkey % 5) || '.example.com' AS host,
+                 ['cat-' || (o_orderkey % 3), 'item',
+                  CAST(o_orderkey AS VARCHAR)] AS segs
+          FROM orders
+        ),
+        d AS (SELECT CAST(r AS INT) AS depth FROM range(0, 3) t(r)),
+        rows_ AS (
+          SELECT p.host, d.depth,
+                 CASE WHEN d.depth = 0 THEN '/'
+                      ELSE '/' || array_to_string(segs[1:d.depth], '/')
+                 END AS prefix
+          FROM p JOIN d ON d.depth <= least(len(p.segs), 2)
+        )
+        SELECT host, prefix, depth, count(*) AS n_pages
+        FROM rows_ GROUP BY host, prefix, depth
+    """,
+    }
+)

@@ -188,3 +188,57 @@ def test_anchor_profile_plans_window_group_limit(spark):
     assert "EvalPython" not in plan
     with _pytest.raises(ValueError, match="k must"):
         anchor_profile(pages, k=0)
+
+
+def test_url_path_segments(spark):
+    from linkgraph.pipeline.urls import url_path_segments
+
+    cases = {
+        "http://a.com/x/y/z": ["x", "y", "z"],
+        "http://a.com//x///y": ["x", "y"],  # empty segments collapse
+        "http://a.com/x?q=1/notpath": ["x"],  # query excluded
+        "http://a.com/x#frag/no": ["x"],  # fragment excluded
+        "http://a.com": [],
+        "garbage": None,
+    }
+    df = _one_col(spark, list(cases)).select(
+        "url", url_path_segments("url").alias("s")
+    )
+    got = {r["url"]: r["s"] for r in df.collect()}
+    assert got == cases
+
+
+def test_path_prefix_counts(spark):
+    from linkgraph.pipeline.urls import path_prefix_counts
+
+    urls = [
+        "http://a.com/docs/api/v1",
+        "http://A.com/docs/api/v2",
+        "http://a.com/docs/guide",
+        "http://a.com/blog",
+        "http://a.com/",
+        "http://b.com/x",
+        "garbage",
+    ]
+    out = path_prefix_counts(_one_col(spark, urls), max_depth=2)
+    got = {(r["host"], r["prefix"], r["depth"]): r["n_pages"] for r in out.collect()}
+    assert got == {
+        ("a.com", "/", 0): 5,
+        ("a.com", "/docs", 1): 3,
+        ("a.com", "/docs/api", 2): 2,
+        ("a.com", "/docs/guide", 2): 1,
+        ("a.com", "/blog", 1): 1,
+        ("b.com", "/", 0): 1,
+        ("b.com", "/x", 1): 1,
+    }
+
+
+def test_path_prefix_counts_depth_zero_and_validation(spark):
+    from linkgraph.pipeline.urls import path_prefix_counts
+
+    out = path_prefix_counts(
+        _one_col(spark, ["http://a.com/x/y"]), max_depth=0
+    ).collect()
+    assert len(out) == 1 and out[0]["prefix"] == "/" and out[0]["n_pages"] == 1
+    with pytest.raises(ValueError, match="max_depth"):
+        path_prefix_counts(_one_col(spark, ["http://a.com/"]), max_depth=-1)
