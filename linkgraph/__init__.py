@@ -108,7 +108,9 @@ from linkgraph.algorithms.random_walker import random_walks
 from linkgraph.algorithms.node2vec import Node2Vec, node2vec_walks
 from linkgraph.algorithms.spectral import spectral_clustering
 from linkgraph.algorithms.sssp import (
+    reconstruct_path,
     shortest_path_lengths_weighted,
+    shortest_path_tree,
     shortest_paths_weighted,
     weighted_closeness_centrality,
 )
@@ -291,6 +293,8 @@ __all__ = [
     "greedy_coloring",
     "shortest_path_lengths",
     "shortest_paths_weighted",
+    "shortest_path_tree",
+    "reconstruct_path",
     "k_lightest_walks",
     "trustrank",
     "spam_mass",

@@ -238,3 +238,142 @@ def weighted_closeness_centrality(
             .alias("closeness"),
         )
     )
+
+
+def shortest_path_tree(
+    graph: LinkGraph,
+    source,
+    max_iter: int = 200,
+) -> DataFrame:
+    """DataFrame[id, dist, parent] — the single-source shortest-path TREE:
+    besides the distance, each reached node carries the predecessor on a
+    cheapest path from ``source`` (the source itself has parent NULL).
+    This is the "show me the actual route" companion to
+    :func:`shortest_paths_weighted`, which only returns distances.
+
+    Ties are deterministic: among equal-cost predecessors the minimum
+    parent id wins, enforced by an ALGEBRAIC ``min(struct(d, parent))``
+    aggregate per superstep — no window, no nondeterministic first().
+
+    Same frontier-pruned Bellman-Ford plan as ``shortest_paths_weighted``
+    (one join + min-struct aggregate + full-outer merge per superstep,
+    edges pinned src-partitioned, only the frontier shuffles). Use
+    :func:`reconstruct_path` to walk routes out of the tree."""
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = graph.weight_col()
+    with static_plans(spark):
+        edges = pin_partitioned(
+            graph.edges.select(
+                F.col(SRC).alias("u"), F.col(DST).alias("v"),
+                w.cast("double").alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+            .repartition(npart, "u")
+        )
+        id_t = graph.nodes.schema[ID].dataType.simpleString()
+        state = (
+            spark.createDataFrame([(source,)], f"{ID} {id_t}")
+            .join(graph.nodes.select(ID), ID, "left_semi")
+            .select(
+                ID,
+                F.lit(0.0).alias("dist"),
+                F.lit(None).cast(id_t).alias("parent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = state
+        for _ in range(max_iter):
+            cand = (
+                frontier.join(edges, frontier[ID] == edges["u"])
+                .select(
+                    F.col("v").alias(ID),
+                    F.struct(
+                        (F.col("dist") + F.col("w")).alias("d"),
+                        F.col("u").alias("p"),
+                    ).alias("dp"),
+                )
+                .groupBy(ID)
+                .agg(F.min("dp").alias("dp"))  # (min d, then min parent id)
+            )
+            merged = (
+                state.join(cand, ID, "full")
+                .select(
+                    ID,
+                    F.when(
+                        F.col("dp").isNotNull()
+                        & (
+                            F.col("dist").isNull()
+                            | (F.col("dp.d") < F.col("dist"))
+                            | (
+                                (F.col("dp.d") == F.col("dist"))
+                                & (F.col("dp.p") < F.col("parent"))
+                            )
+                        ),
+                        F.struct(
+                            F.col("dp.d").alias("dist"),
+                            F.col("dp.p").alias("parent"),
+                            F.lit(True).alias("imp"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.col("dist"),
+                            F.col("parent"),
+                            F.lit(False).alias("imp"),
+                        )
+                    )
+                    .alias("s"),
+                )
+                .select(ID, "s.dist", "s.parent", F.col("s.imp").alias("_imp"))
+                .localCheckpoint(eager=False)
+            )
+            n_imp = merged.filter("_imp").count()
+            if n_imp == 0:
+                state = merged.select(ID, "dist", "parent")
+                break
+            frontier = merged.filter("_imp").select(ID, "dist").localCheckpoint(
+                eager=False
+            )
+            state = merged.select(ID, "dist", "parent")
+        else:
+            edges.unpersist()
+            raise RuntimeError(
+                f"shortest_path_tree did not converge within max_iter="
+                f"{max_iter} supersteps — negative cycle, or raise max_iter"
+            )
+        edges.unpersist()
+    return state.join(graph.nodes.select(ID), ID, "left_semi")
+
+
+def reconstruct_path(tree: DataFrame, target, max_hops: int = 1_000) -> list:
+    """The route source→``target`` as a list of node ids, walked out of a
+    :func:`shortest_path_tree` result by following parent pointers.
+
+    One filtered single-row lookup per hop — NEVER a full-tree collect
+    (the tree is node-sized; a route is human-sized). Persist the tree
+    first when walking several routes, so each hop is a cached point
+    lookup; reconstructing a LARGE batch of routes belongs in an iterative
+    self-join against the tree, not a loop over this. Returns [] when
+    ``target`` has no row (unreachable); ``max_hops`` guards against a
+    corrupt (cyclic) parent table."""
+    idc = tree.columns[0]
+    path = [target]
+    cur = target
+    for _ in range(max_hops):
+        row = tree.filter(F.col(idc) == cur).select("parent").limit(1).collect()
+        if not row:
+            if cur == target:
+                return []  # unreachable
+            raise RuntimeError(
+                f"parent {cur!r} has no tree row — corrupt tree?"
+            )
+        parent = row[0]["parent"]
+        if parent is None:
+            return path[::-1]
+        path.append(parent)
+        cur = parent
+    raise RuntimeError(
+        f"parent chain exceeded max_hops={max_hops} — corrupt tree?"
+    )

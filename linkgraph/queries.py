@@ -10309,3 +10309,60 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_sp_tree_nation(spark, sf_dir):
+    """Shortest-path TREE from n0 on the weighted nation path (edge
+    (i,i+1) weight i+1) plus a shortcut n0-n2 of weight 3 that TIES the
+    2-hop route (1+2): deterministic min-parent tie-break must pick n0.
+    Closed-form oracle: dist(n_i) = i(i+1)/2, parent(n_i) = n_{i-1} except
+    parent(n2) = n0 (the tie) and parent(n0) = NULL."""
+    from pyspark.sql import Window
+
+    from linkgraph import shortest_path_tree
+
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("k"))
+        .orderBy("k")
+        .limit(10)
+    )
+    w = Window.orderBy("k")
+    p = n.select(
+        F.concat(F.lit("n"), F.col("k").cast("string")).alias("id"),
+        (F.row_number().over(w) - 1).alias("pos"),
+        F.lead(F.concat(F.lit("n"), F.col("k").cast("string"))).over(w).alias("nxt"),
+    )
+    path = p.filter(F.col("nxt").isNotNull()).select(
+        F.col("id").alias("src"), F.col("nxt").alias("dst"),
+        (F.col("pos") + 1).cast("double").alias("weight"),
+    )
+    shortcut = p.filter(F.col("pos") == 0).select(
+        F.col("id").alias("src"),
+        F.concat(F.lit("n"), F.lit(2).cast("string")).alias("dst"),
+        F.lit(3.0).alias("weight"),
+    )
+    g = LinkGraph(path.unionByName(shortcut), keys={"directed": False})
+    t = shortest_path_tree(g, "n0")
+    return t.select(
+        "id", F.round("dist").cast("long").alias("dist_l"), "parent"
+    )
+
+
+QUERIES.update({"sp_tree_nation": q_sp_tree_nation})
+ORACLE_SQL.update(
+    {
+        "sp_tree_nation": """
+        WITH p AS (SELECT * FROM (
+                     SELECT 'n' || n_nationkey AS id,
+                            row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+                     FROM nation) WHERE pos < 10)
+        SELECT id,
+               CAST(pos * (pos + 1) / 2 AS BIGINT) AS dist_l,
+               CASE WHEN pos = 0 THEN NULL
+                    WHEN pos = 2 THEN 'n0'
+                    ELSE 'n' || (pos - 1) END AS parent
+        FROM p
+    """,
+    }
+)
