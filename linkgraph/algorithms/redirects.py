@@ -119,3 +119,61 @@ def resolve_redirects(redirects: DataFrame, max_rounds: int | None = None) -> Da
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         (~F.col("done")).alias("on_cycle"),
     )
+
+
+def rewrite_edges(
+    edges: DataFrame,
+    resolved: DataFrame,
+    drop_cycles: bool = True,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Rewrite a link table through a resolved redirect map: every endpoint
+    that appears in ``resolved`` (a :func:`resolve_redirects` result) is
+    replaced by its final target, parallel links collapse with summed
+    weight — the step that turns a raw crawl's edge list into the graph
+    over CANONICAL pages. Endpoints absent from the map pass through
+    unchanged (not every URL redirects).
+
+    ``drop_cycles``: links touching a cycle-bound endpoint (NULL target)
+    are dropped — the crawler's quarantine semantics; with False the
+    cycle-bound endpoint keeps its original un-rewritten id instead.
+    Self-loops created BY rewriting (a page linking to a redirect of
+    itself) drop by default.
+
+    Plan: two broadcast-or-shuffle joins (one per endpoint — Spark picks by
+    the map's size stats) + ONE algebraic (src, dst) sum shuffle. The third
+    column of ``edges``, if present, is the weight; otherwise weight 1 per
+    link."""
+    cols = edges.columns
+    a, b = cols[0], cols[1]
+    wcol = F.col(cols[2]).cast("double") if len(cols) > 2 else F.lit(1.0)
+    e = edges.select(F.col(a).alias(SRC), F.col(b).alias(DST), wcol.alias("w"))
+    m = resolved.select(
+        F.col(resolved.columns[0]).alias("_k"),
+        F.col("target").alias("_t"),
+        F.col("on_cycle").alias("_c"),
+    )
+    for side in (SRC, DST):
+        # a cycle-bound endpoint becomes NULL (quarantine) or, with
+        # drop_cycles=False, keeps its ORIGINAL un-rewritten id
+        on_cycle_value = F.lit(None) if drop_cycles else F.col(side)
+        e = (
+            e.join(
+                m.withColumnsRenamed(
+                    {"_k": f"_k{side}", "_t": f"_t{side}", "_c": f"_c{side}"}
+                ),
+                e[side] == F.col(f"_k{side}"),
+                "left",
+            )
+            .withColumn(
+                side,
+                F.when(F.col(f"_c{side}") == True, on_cycle_value)  # noqa: E712
+                .otherwise(F.coalesce(f"_t{side}", side)),
+            )
+            .drop(f"_k{side}", f"_t{side}", f"_c{side}")
+        )
+    if drop_cycles:
+        e = e.filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+    if drop_self_loops:
+        e = e.filter(F.col(SRC) != F.col(DST))
+    return e.groupBy(SRC, DST).agg(F.sum("w").alias("weight"))

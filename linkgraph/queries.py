@@ -10366,3 +10366,65 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_rewrite_edges_nation(spark, sf_dir):
+    """Edge canonicalization through the resolved nation redirect map:
+    pages p0/p1/p2 each link to every n_k (k<25, k%3 spread). Chain +
+    merge endpoints (k<12) all canonicalize to n9 and collapse to weight-4
+    links; unmapped endpoints (12<=k<20) pass through; cycle-bound
+    endpoints (k in 20..24) are quarantined. Closed-form oracle."""
+    from linkgraph import resolve_redirects, rewrite_edges
+
+    resolved = resolve_redirects(_redirect_fixture(spark, sf_dir))
+    k = F.col("n_nationkey").cast("long")
+    links = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("src"),
+        F.concat(F.lit("n"), k.cast("string")).alias("dst"),
+    )
+    return rewrite_edges(links, resolved)
+
+
+def _redirect_fixture(spark, sf_dir):
+    k = F.col("n_nationkey").cast("long")
+    n = _t(spark, sf_dir, "nation").select(k.alias("k"))
+    tag = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+    chain = n.filter(F.col("k") < 9).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 1).alias("dst")
+    )
+    merge = n.filter(F.col("k").isin(10, 11)).select(
+        tag(F.col("k")).alias("src"), tag(F.lit(5)).alias("dst")
+    )
+    cyc = n.filter(F.col("k").isin(20, 21)).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k") + 1).alias("dst")
+    ).unionByName(
+        n.filter(F.col("k") == 22).select(
+            tag(F.col("k")).alias("src"), tag(F.lit(20)).alias("dst")
+        )
+    )
+    feeder = n.filter(F.col("k") == 23).select(
+        tag(F.col("k")).alias("src"), tag(F.lit(20)).alias("dst")
+    )
+    selfr = n.filter(F.col("k") == 24).select(
+        tag(F.col("k")).alias("src"), tag(F.col("k")).alias("dst")
+    )
+    return (
+        chain.unionByName(merge).unionByName(cyc)
+        .unionByName(feeder).unionByName(selfr)
+    )
+
+
+QUERIES.update({"rewrite_edges_nation": q_rewrite_edges_nation})
+ORACLE_SQL.update(
+    {
+        "rewrite_edges_nation": """
+        WITH nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation)
+        SELECT 'p' || (k % 3) AS src, 'n9' AS dst,
+               CAST(count(*) AS DOUBLE) AS weight
+        FROM nk WHERE k < 12 GROUP BY 1
+        UNION ALL
+        SELECT 'p' || (k % 3), 'n' || k, CAST(1.0 AS DOUBLE)
+        FROM nk WHERE k BETWEEN 12 AND 19
+    """,
+    }
+)

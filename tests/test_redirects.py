@@ -69,3 +69,57 @@ def test_plan_python_free(spark):
     out = resolve_redirects(_df(spark, [("a", "b")]))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_rewrite_edges_canonicalizes_and_collapses(spark):
+    from linkgraph import rewrite_edges
+
+    # redirects: a->b->T, c->T; cycle x->y->x
+    resolved = resolve_redirects(
+        _df(spark, [("a", "b"), ("b", "T"), ("c", "T"), ("x", "y"), ("y", "x")])
+    )
+    edges = spark.createDataFrame(
+        [
+            ("p", "a", 2.0),   # -> (p, T, 2)
+            ("p", "c", 3.0),   # -> (p, T, 3): collapses with above -> 5
+            ("a", "q", 1.0),   # src rewrites -> (T, q, 1)
+            ("p", "x", 9.0),   # cycle-bound dst: dropped
+            ("T", "b", 4.0),   # -> (T, T): self-loop, dropped
+            ("m", "n", 7.0),   # neither endpoint in map: unchanged
+        ],
+        "src string, dst string, weight double",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in rewrite_edges(edges, resolved).collect()
+    }
+    assert got == {("p", "T"): 5.0, ("T", "q"): 1.0, ("m", "n"): 7.0}
+
+
+def test_rewrite_edges_keep_cycles_and_loops(spark):
+    from linkgraph import rewrite_edges
+
+    resolved = resolve_redirects(_df(spark, [("x", "y"), ("y", "x"), ("a", "T")]))
+    edges = spark.createDataFrame(
+        [("p", "x", 1.0), ("T", "a", 1.0)], "src string, dst string, weight double"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in rewrite_edges(
+            edges, resolved, drop_cycles=False, drop_self_loops=False
+        ).collect()
+    }
+    # cycle endpoint keeps its original id; T->a rewrites to the T self-loop
+    assert got == {("p", "x"): 1.0, ("T", "T"): 1.0}
+
+
+def test_rewrite_edges_unweighted_counts(spark):
+    from linkgraph import rewrite_edges
+
+    resolved = resolve_redirects(_df(spark, [("a", "T")]))
+    edges = _df(spark, [("p", "a"), ("p", "T")])
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in rewrite_edges(edges, resolved).collect()
+    }
+    assert got == {("p", "T"): 2.0}
