@@ -10428,3 +10428,80 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_streaming_host_cc(spark, sf_dir):
+    """Three families end-to-end on a STREAM: messy page-URL pairs (the
+    cut-fixture graph dressed as URLs) replayed as a 2-file stream ->
+    stateless url_host canonicalization ON THE STREAM -> incremental CC
+    label folding. Final labels = cold CC over the host graph, derived by
+    the oracle through a recursive-CTE closure on hosts built straight
+    from the fixture keys (no URL code shared)."""
+    import os
+    import shutil
+    import tempfile
+
+    from linkgraph.pipeline.urls import url_host
+    from linkgraph.streaming import streaming_components
+
+    mess = _bridge_fixture_edges(spark, sf_dir).select(
+        F.concat(
+            F.lit("HTTPS://"), F.upper("src"), F.lit(".Example.COM:443/a#f")
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://user:p@"), F.col("dst"), F.lit(".example.com:80/b")
+        ).alias("dst_url"),
+        (F.xxhash64("src", "dst") % 2 == 0).cast("int").alias("_h"),
+    )
+    src_dir = tempfile.mkdtemp(prefix="lg_shcc_src_")
+    lab_dir = tempfile.mkdtemp(prefix="lg_shcc_lab_")
+    ckpt = tempfile.mkdtemp(prefix="lg_shcc_ckpt_")
+    labels_path = os.path.join(lab_dir, "labels")
+    try:
+        for part in (0, 1):
+            mess.filter(F.col("_h") == part).select(
+                "src_url", "dst_url"
+            ).coalesce(1).write.parquet(f"{src_dir}/b{part}")
+        stream = (
+            spark.readStream.schema("src_url string, dst_url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src_dir}/*")
+        )
+        hosts = stream.select(
+            url_host(F.col("src_url")).alias("src"),
+            url_host(F.col("dst_url")).alias("dst"),
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        q = (
+            streaming_components(hosts, labels_path, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow stream did not drain in 300s")
+        return spark.read.parquet(labels_path).select("id", "component")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+QUERIES.update({"streaming_host_cc": q_streaming_host_cc})
+ORACLE_SQL.update(
+    {
+        "streaming_host_cc": """
+        WITH RECURSIVE
+        """ + _BRIDGE_FIXTURE_SQL + """,
+        he AS (SELECT lower(x) || '.example.com' AS a,
+                      lower(y) || '.example.com' AS b FROM e0),
+        ue AS (SELECT a, b FROM he UNION ALL SELECT b, a FROM he),
+        cnodes AS (SELECT DISTINCT id FROM
+                   (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)),
+        reach(id, r) AS (
+          SELECT id, id FROM cnodes
+          UNION
+          SELECT reach.id, ue.b FROM reach JOIN ue ON ue.a = reach.r
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id
+    """,
+    }
+)
