@@ -43,6 +43,7 @@ def personalized_pagerank_batch(
     tol: float = 1e-6,
     max_iter: int = 100,
     broadcast_max_rows: int = 500_000,
+    transition_path: str | None = None,
 ) -> DataFrame:
     """DataFrame[seed, id, pagerank] — for every seed, its personalized
     PageRank vector (sums to 1 per seed; only nonzero rows). ``seeds`` is a
@@ -63,16 +64,17 @@ def personalized_pagerank_batch(
     When the state outgrows the gate, rounds fall back to the partitioned
     join.
 
-    Honest boundary, and the named upgrade when frontiers are tiny
-    relative to the graph (64 seeds × local reach vs 100 TB of edges):
-    every superstep still SCANS the full edge table — the probe side of
-    any join must. Making per-round work proportional to the frontier
-    requires a storage-pruned edge table: write edges partitioned by
-    ``pmod(hash(src), B)`` and join against the frontier's bucket set so
-    dynamic partition pruning skips untouched buckets (the same
-    design already applied to the IVF inverted lists,
-    ``pipeline/similarity.py``). That is an IO-layout decision the caller
-    owns; this operator stays correct either way."""
+    Frontier pruning: without ``transition_path`` every superstep SCANS
+    the full (pinned) edge table — the probe side of any join must. Pass
+    ``transition_path`` (a table written by
+    :func:`linkgraph.io.write_transition_pruned` — normalized fracs
+    partitioned by ``pmod(xxhash64(u), B)``) and each round instead scans
+    ONLY the buckets the current frontier's sources hash into (the
+    frontier's bucket ids — ≤ B ints — become a literal partition filter),
+    so per-round work tracks the frontier, not the graph: the design
+    already applied to the IVF inverted lists
+    (``pipeline/similarity.py``). Results are bit-identical either way
+    (normalization happens once at write time)."""
     if not seeds:
         raise ValueError("seeds must be non-empty")
     if len(set(seeds)) != len(seeds):
@@ -82,22 +84,33 @@ def personalized_pagerank_batch(
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        w = graph.weight_col()
-        raw = graph.edges.select(
-            F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
-        )
-        outw = raw.groupBy("u").agg(F.sum("w").alias("wsum"))
-        edges = pin_partitioned(
-            raw.join(outw, "u")
-            .select("u", "v", (F.col("w") / F.col("wsum")).alias("frac"))
-            .repartition(npart, "u")
-        )
-        # dangling = nodes with NO out-edges (matches pagerank.py semantics)
-        dangling = pin_partitioned(
-            graph.nodes.select(ID).join(
-                edges.select(F.col("u").alias(ID)).distinct(), ID, "left_anti"
+        if transition_path is not None:
+            from linkgraph.io import transition_meta
+
+            edges = None
+            n_buckets = transition_meta(spark, transition_path)
+            dangling = pin_partitioned(
+                spark.read.parquet(f"{transition_path}/dangling")
             )
-        )
+        else:
+            w = graph.weight_col()
+            raw = graph.edges.select(
+                F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
+            )
+            outw = raw.groupBy("u").agg(F.sum("w").alias("wsum"))
+            edges = pin_partitioned(
+                raw.join(outw, "u")
+                .select("u", "v", (F.col("w") / F.col("wsum")).alias("frac"))
+                .repartition(npart, "u")
+            )
+            # dangling = nodes with NO out-edges (pagerank.py semantics)
+            dangling = pin_partitioned(
+                graph.nodes.select(ID).join(
+                    edges.select(F.col("u").alias(ID)).distinct(),
+                    ID,
+                    "left_anti",
+                )
+            )
         id_t = graph.nodes.schema[ID].dataType.simpleString()
         seed_rows = [(int(i), s) for i, s in enumerate(seeds)]
         seed_df = pin_partitioned(
@@ -119,8 +132,16 @@ def personalized_pagerank_batch(
                     if state_rows <= broadcast_max_rows
                     else state
                 )
+                if transition_path is not None:
+                    from linkgraph.io import scan_transition_for_frontier
+
+                    edges_r = scan_transition_for_frontier(
+                        spark, transition_path, state.select(ID), n_buckets
+                    )
+                else:
+                    edges_r = edges
                 contrib = (
-                    st.join(edges, st[ID] == edges["u"])
+                    st.join(edges_r, st[ID] == edges_r["u"])
                     .select("_s", F.col("v").alias(ID), (F.col("r") * F.col("frac")).alias("c"))
                     .groupBy("_s", ID)
                     .agg(F.sum("c").alias("c"))
@@ -173,7 +194,8 @@ def personalized_pagerank_batch(
                     converged = True
                     break
         finally:
-            edges.unpersist()
+            if edges is not None:
+                edges.unpersist()
             dangling.unpersist()
             seed_df.unpersist()
         # non-converged runs return the max_iter iterate — same contract as

@@ -60,3 +60,84 @@ def read_edges_bucketed(
     """LinkGraph over a bucketed edge table. Joins/aggregations keyed on the
     bucket column plan exchange-free (asserted by tests/test_plans.py)."""
     return LinkGraph(spark.table(table), keys=keys)
+
+
+def write_transition_pruned(
+    graph: LinkGraph, path: str, buckets: int = 256
+) -> None:
+    """Write a graph's NORMALIZED transition edges (u, v, frac = w/W(u))
+    partitioned by ``_b = pmod(xxhash64(u), buckets)`` — the layout that
+    makes frontier-sparse superstep algorithms (batched PPR, BFS from few
+    seeds) scan only the buckets their frontier touches instead of the
+    whole edge table. The dangling-node set (no out-edges) is co-written;
+    both are plain parquet directories, filesystem-agnostic:
+
+        path/edges/_b=<k>/...   path/dangling/...   path/_lg_meta/...
+
+    Normalization happens HERE, once at write time, because w/W needs a
+    global per-source aggregate a pruned scan could never see."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import DST, ID
+
+    if buckets <= 0:
+        raise ValueError(f"buckets must be > 0, got {buckets}")
+    w = graph.weight_col()
+    raw = graph.edges.select(
+        F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
+    )
+    outw = raw.groupBy("u").agg(F.sum("w").alias("wsum"))
+    (
+        raw.join(outw, "u")
+        .select(
+            "u", "v", (F.col("w") / F.col("wsum")).alias("frac"),
+            F.pmod(F.xxhash64("u"), F.lit(buckets)).cast("int").alias("_b"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(f"{path}/edges")
+    )
+    (
+        graph.nodes.select(ID)
+        .join(raw.select(F.col("u").alias(ID)).distinct(), ID, "left_anti")
+        .write.mode("overwrite")
+        .parquet(f"{path}/dangling")
+    )
+    spark = graph.edges.sparkSession
+    spark.createDataFrame([(buckets,)], "buckets int").write.mode(
+        "overwrite"
+    ).json(f"{path}/_lg_meta")
+
+
+def transition_meta(spark: SparkSession, path: str) -> int:
+    """Bucket count a pruned transition table was written with."""
+    return int(spark.read.json(f"{path}/_lg_meta").collect()[0]["buckets"])
+
+
+def scan_transition_for_frontier(
+    spark: SparkSession, path: str, frontier: DataFrame, buckets: int | None = None
+) -> DataFrame:
+    """DataFrame[u, v, frac] — ONLY the transition-edge buckets the
+    frontier's source nodes can live in: the frontier's distinct bucket
+    ids (≤ ``buckets`` ints, driver-tiny by construction) become a literal
+    partition filter, so the scan file-prunes everything else. Per-round
+    work then tracks the frontier, not the graph — the upgrade path named
+    in ``ppr_batch``'s docstring."""
+    from pyspark.sql import functions as F
+
+    if buckets is None:
+        buckets = transition_meta(spark, path)
+    fcol = frontier.columns[0]
+    bids = [
+        r["_b"]
+        for r in frontier.select(
+            F.pmod(F.xxhash64(fcol), F.lit(buckets)).cast("int").alias("_b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(f"{path}/edges")
+        .filter(F.col("_b").isin(bids))
+        .select("u", "v", "frac")
+    )

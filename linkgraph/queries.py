@@ -10505,3 +10505,43 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_ppr_batch_pruned_nation_region_4(spark, sf_dir):
+    """The frontier-PRUNED batched-PPR path: the nation-region transition
+    table is written partitioned by pmod(xxhash64(u), 8) (io.py), each
+    superstep scans only the frontier's buckets, and the result must be
+    bit-identical to the pinned-table run — same unrolled oracle as
+    ppr_batch_nation_region_4."""
+    import shutil
+    import tempfile
+
+    from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch
+    from linkgraph.io import write_transition_pruned
+
+    g = nation_region_graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lg_ppr_pruned_")
+    try:
+        write_transition_pruned(g, f"{d}/t", buckets=8)
+        out = personalized_pagerank_batch(
+            g, ["n0", "r1"], damping=DAMPING, tol=0.0, max_iter=4,
+            transition_path=f"{d}/t",
+        )
+        return out.select(
+            "seed", "id",
+            F.round(F.col("pagerank") * 1e6).cast("long").alias("pr_m"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+QUERIES.update(
+    {"ppr_batch_pruned_nation_region_4": q_ppr_batch_pruned_nation_region_4}
+)
+ORACLE_SQL.update(
+    {
+        "ppr_batch_pruned_nation_region_4": ORACLE_SQL[
+            "ppr_batch_nation_region_4"
+        ],
+    }
+)
