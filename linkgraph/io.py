@@ -72,7 +72,7 @@ def write_transition_pruned(
     whole edge table. The dangling-node set (no out-edges) is co-written;
     both are plain parquet directories, filesystem-agnostic:
 
-        path/edges/_b=<k>/...   path/dangling/...   path/_lg_meta/...
+        path/edges/_b=<k>/...   path/dangling/...   path/meta/...
 
     Normalization happens HERE, once at write time, because w/W needs a
     global per-source aggregate a pruned scan could never see."""
@@ -106,12 +106,12 @@ def write_transition_pruned(
     spark = graph.edges.sparkSession
     spark.createDataFrame([(buckets,)], "buckets int").write.mode(
         "overwrite"
-    ).json(f"{path}/_lg_meta")
+    ).json(f"{path}/meta")
 
 
 def transition_meta(spark: SparkSession, path: str) -> int:
     """Bucket count a pruned transition table was written with."""
-    return int(spark.read.json(f"{path}/_lg_meta").collect()[0]["buckets"])
+    return int(spark.read.json(f"{path}/meta").collect()[0]["buckets"])
 
 
 def scan_transition_for_frontier(
