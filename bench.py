@@ -569,6 +569,31 @@ def main():
 
     timed("ppr_batch64_corpus", _ppr_batch_corpus)
 
+    def _ppr_batch_pruned():
+        # same job through the frontier-pruned transition table: per-round
+        # scans touch only the frontier's hash buckets (A/B at 24M edges:
+        # 2.1x and weather-stable — BENCH/ppr_batch_scaling_r4.md)
+        import shutil
+        import tempfile
+
+        from linkgraph import personalized_pagerank_batch
+        from linkgraph.io import write_transition_pruned
+
+        d = tempfile.mkdtemp(prefix="lg_bench_trans_")
+        try:
+            t0 = time.time()
+            write_transition_pruned(g, f"{d}/t", buckets=256)
+            extra["ppr_pruned_write_sec"] = round(time.time() - t0, 2)
+            seeds = [r["id"] for r in g.nodes.orderBy("id").limit(64).collect()]
+            n = personalized_pagerank_batch(
+                g, seeds, tol=0.0, max_iter=5, transition_path=f"{d}/t"
+            ).count()
+            extra["ppr_pruned_state_rows"] = n
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed("ppr_batch64_pruned_corpus", _ppr_batch_pruned)
+
     def _host_graph_lineitem():
         # page-level URL pairs synthesized from every lineitem row (messy
         # case/ports/fragments), rolled up to the weighted host graph —
