@@ -93,6 +93,12 @@ def write_transition_pruned(
             "u", "v", (F.col("w") / F.col("wsum")).alias("frac"),
             F.pmod(F.xxhash64("u"), F.lit(buckets)).cast("int").alias("_b"),
         )
+        # one task per bucket ⇒ ONE file per partition directory — without
+        # this every writer task emits a file into every bucket dir
+        # (tasks × buckets tiny files), and the per-round pruned scans pay
+        # the listing bill every superstep (measured 9 s/round at 2.3M
+        # edges from listing alone)
+        .repartition(buckets, "_b")
         .write.mode("overwrite")
         .partitionBy("_b")
         .parquet(f"{path}/edges")
