@@ -86,3 +86,61 @@ def test_triangle_count_orientation_invariant(spark, edges, data):
                                          ["src", "dst"]))
     g2 = LinkGraph(spark.createDataFrame(oriented, ["src", "dst"]))
     assert triangle_count(g1) == triangle_count(g2)
+
+
+# ---------------------------------------------------------------- URLs
+
+_scheme = st.sampled_from(["http", "HTTPS", "ftp", "Ws"])
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=6,
+)
+_host = st.lists(_label, min_size=1, max_size=4).map(".".join)
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":1"])
+_user = st.sampled_from(["", "u@", "user:pw@"])
+_path = st.sampled_from(["", "/", "/a", "/a/b?q=1", "/x#frag", "//y", "/%20z"])
+_url = st.builds(
+    lambda s, u, h, p, t: f"{s}://{u}{h}{p}{t}", _scheme, _user, _host, _port, _path
+)
+_garbage = st.text(
+    alphabet="abc:/#?@. ", min_size=0, max_size=12
+)
+
+
+@given(urls=st.lists(st.one_of(_url, _garbage), min_size=5, max_size=30))
+@PROP
+def test_url_parser_matches_stdlib_and_normalize_is_idempotent(spark, urls):
+    from urllib.parse import urlsplit
+
+    from linkgraph.pipeline.urls import registered_domain, url_host, url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        url_host("url").alias("h"),
+        url_normalize("url").alias("n"),
+        registered_domain(url_host("url")).alias("d"),
+    ).collect()
+    renorm = {
+        r["n"]: r["n2"]
+        for r in spark.createDataFrame(
+            [(r["n"],) for r in out if r["n"] is not None] or [("http://x/",)],
+            "n string",
+        )
+        .select("n", url_normalize("n").alias("n2"))
+        .collect()
+    }
+    for r in out:
+        if r["h"] is not None:
+            try:
+                expect = urlsplit(r["url"]).hostname
+            except ValueError:
+                expect = None
+            if expect is not None:
+                assert r["h"] == expect, r["url"]
+            # registered domain is a dot-suffix of the host
+            assert r["h"] == r["d"] or r["h"].endswith("." + r["d"]), r["url"]
+        if r["n"] is not None:
+            # canonicalization is a fixpoint
+            assert renorm[r["n"]] == r["n"], r["url"]
