@@ -118,6 +118,7 @@ from linkgraph.algorithms.kpaths import k_lightest_walks
 from linkgraph.algorithms.trustrank import spam_mass, trustrank
 from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch, related_nodes
 from linkgraph.algorithms.redirects import resolve_redirects, rewrite_edges
+from linkgraph.algorithms.metapath import metapath_walks
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
@@ -302,6 +303,7 @@ __all__ = [
     "related_nodes",
     "resolve_redirects",
     "rewrite_edges",
+    "metapath_walks",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",
     "betweenness_centrality",

@@ -1,0 +1,155 @@
+"""Metapath-constrained random walks over typed (heterogeneous) graphs.
+
+NOT present in the reference (its walks are homogeneous —
+``spark_randomwalker.py`` / node2vec); added because real link graphs are
+typed (page/host/domain, repo/file/commit, user/product) and the standard
+embedding recipe for them is metapath2vec (Dong, Chawla, Swami, KDD 2017,
+public): walks that follow a caller-chosen TYPE SEQUENCE, e.g.
+supplier → part → order, so the sampled contexts respect the schema
+instead of diffusing across it.
+
+Sampling is exact weighted-categorical via the GUMBEL-MAX trick on
+md5-deterministic noise (the DSIR resampler's construction,
+``pipeline/text.py``): per (walk, step, candidate),
+
+    u60    = first 15 hex chars of md5("mp:<seed>:<walk>:<step>:<dst>")
+    u      = (u60 + 0.5) / 2^60
+    key    = ln(w) + (−ln(−ln u))
+
+and the next node is argmax(key) — an ALGEBRAIC max(struct(key, dst)) per
+walk, never a per-node window, so hub fan-outs spill across tasks under
+the aggregate's partial combine. Deterministic: same graph + seed ⇒ same
+walks on any engine (the DuckDB oracle replays the draws digit-for-digit).
+
+Plan per step: one join of the walk state against the pinned TYPED edge
+table (filtered to the step's (from_type → to_type) slice) + one
+max-struct aggregate keyed by walk id. Steps = len(metapath) − 1; state is
+one row per walk. Dead ends freeze (completed = false) rather than
+resample — metapath2vec's convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import DST, ID, SRC, LinkGraph
+from linkgraph.session import pin_partitioned, static_plans
+
+
+def metapath_walks(
+    graph: LinkGraph,
+    node_types: DataFrame,
+    metapath: list,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[walk_id, start, path: array<string>, completed] — one row
+    per (start-node-of-type-metapath[0] × replica). ``node_types``'s first
+    two columns are (id, type); ``metapath`` is the type sequence (length
+    ≥ 2). Edge weights bias the choice (gumbel-max over ln(w)); weights
+    must be > 0 where a step can use the edge."""
+    if len(metapath) < 2:
+        raise ValueError("metapath needs at least two types")
+    if walks_per_node <= 0:
+        raise ValueError(f"walks_per_node must be > 0, got {walks_per_node}")
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tcols = node_types.columns
+    types = node_types.select(
+        F.col(tcols[0]).cast("string").alias("_tid"),
+        F.col(tcols[1]).cast("string").alias("_tt"),
+    )
+    with static_plans(spark):
+        w = graph.weight_col()
+        tedges = pin_partitioned(
+            graph.edges.select(
+                F.col(SRC).cast("string").alias("u"),
+                F.col(DST).cast("string").alias("v"),
+                w.cast("double").alias("w"),
+            )
+            .join(
+                types.select(F.col("_tid").alias("u"), F.col("_tt").alias("ut")),
+                "u",
+            )
+            .join(
+                types.select(F.col("_tid").alias("v"), F.col("_tt").alias("vt")),
+                "v",
+            )
+            .repartition(npart, "u")
+        )
+        reps = spark.range(walks_per_node).select(
+            F.col("id").cast("int").alias("_rep")
+        )
+        state = (
+            types.filter(F.col("_tt") == str(metapath[0]))
+            .select(F.col("_tid").alias("start"))
+            .crossJoin(F.broadcast(reps))
+            .select(
+                F.concat_ws("#", "start", "_rep").alias("walk_id"),
+                "start",
+                F.array("start").alias("path"),
+                F.col("start").alias("curr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            for step in range(len(metapath) - 1):
+                ft, tt = str(metapath[step]), str(metapath[step + 1])
+                cand = state.filter(F.col("curr").isNotNull()).join(
+                    tedges.filter(
+                        (F.col("ut") == ft) & (F.col("vt") == tt)
+                    ),
+                    state["curr"] == tedges["u"],
+                )
+                u60 = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("mp"),
+                                F.lit(seed),
+                                F.col("walk_id"),
+                                F.lit(step),
+                                F.col("v"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                u = (u60.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+                key = F.log(F.col("w")) + (-F.log(-F.log(u)))
+                pick = (
+                    cand.select(
+                        "walk_id", F.struct(key.alias("k"), F.col("v")).alias("kv")
+                    )
+                    .groupBy("walk_id")
+                    .agg(F.max("kv").alias("kv"))
+                    .select("walk_id", F.col("kv.v").alias("_next"))
+                )
+                state = (
+                    state.join(pick, "walk_id", "left")
+                    .select(
+                        "walk_id",
+                        "start",
+                        F.when(
+                            F.col("_next").isNotNull(),
+                            F.concat("path", F.array("_next")),
+                        )
+                        .otherwise(F.col("path"))
+                        .alias("path"),
+                        F.col("_next").alias("curr"),  # null freezes the walk
+                    )
+                    .localCheckpoint(eager=True)
+                )
+        finally:
+            tedges.unpersist()
+    return state.select(
+        "walk_id",
+        "start",
+        "path",
+        (F.size("path") == len(metapath)).alias("completed"),
+    )

@@ -10545,3 +10545,101 @@ ORACLE_SQL.update(
         ],
     }
 )
+
+
+def q_metapath_walks_lineitem(spark, sf_dir):
+    """metapath2vec-style typed walks supplier→part→order on the lineitem
+    tripartite graph (S→P weight = lineitem count, P→O weight 1), one walk
+    per supplier, md5-gumbel sampling. The oracle replays every draw
+    digit-for-digit in SQL (the DSIR md5-u60 pattern) and argmaxes per
+    step — full path equality, hash."""
+    from linkgraph.algorithms.metapath import metapath_walks
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_orderkey"
+    )
+    e1 = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            "weight",
+        )
+    )
+    e2 = (
+        li.select("l_partkey", "l_orderkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    g = LinkGraph(e1.unionByName(e2), keys={"directed": True})
+    types = (
+        g.nodes.select(
+            F.col("id"),
+            F.upper(F.substring("id", 1, 1)).alias("type"),
+        )
+    )
+    walks = metapath_walks(g, types, ["S", "P", "O"], 1, seed=11)
+    return walks.select(
+        "walk_id",
+        "start",
+        F.array_join("path", ">").alias("path_s"),
+        "completed",
+    )
+
+
+def _metapath_gumbel_sql(arg: str) -> str:
+    h60 = _neg_h60_sql(arg)
+    return f"(-ln(-ln((CAST({h60} AS DOUBLE) + 0.5) / 1152921504606846976)))"
+
+
+_MP_K0 = _metapath_gumbel_sql("'mp:11:' || e1.u || '#0:0:' || e1.v")
+_MP_K1 = _metapath_gumbel_sql("'mp:11:' || p0.start || '#0:1:' || e2.v")
+
+QUERIES.update({"metapath_walks_lineitem": q_metapath_walks_lineitem})
+ORACLE_SQL.update(
+    {
+        "metapath_walks_lineitem": f"""
+        WITH e1 AS (
+          SELECT 's' || l_suppkey AS u, 'p' || l_partkey AS v,
+                 CAST(count(*) AS DOUBLE) AS w
+          FROM lineitem GROUP BY 1, 2
+        ),
+        e2 AS (
+          SELECT DISTINCT 'p' || l_partkey AS u, 'o' || l_orderkey AS v,
+                 CAST(1.0 AS DOUBLE) AS w
+          FROM lineitem
+        ),
+        k0 AS (
+          SELECT e1.u, e1.v, ln(e1.w) + {_MP_K0} AS key FROM e1
+        ),
+        p0 AS (
+          SELECT u AS start, v AS part FROM (
+            SELECT u, v,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY key DESC, v DESC) AS rn
+            FROM k0) WHERE rn = 1
+        ),
+        k1 AS (
+          SELECT p0.start, p0.part, e2.v AS ord,
+                 ln(e2.w) + {_MP_K1} AS key
+          FROM p0 JOIN e2 ON e2.u = p0.part
+        ),
+        p1 AS (
+          SELECT start, part, ord FROM (
+            SELECT start, part, ord,
+                   row_number() OVER (PARTITION BY start
+                                      ORDER BY key DESC, ord DESC) AS rn
+            FROM k1) WHERE rn = 1
+        )
+        SELECT start || '#0' AS walk_id, start,
+               start || '>' || part || '>' || ord AS path_s,
+               TRUE AS completed
+        FROM p1
+    """,
+    }
+)

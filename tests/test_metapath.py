@@ -1,0 +1,117 @@
+"""metapath_walks — typed walks, md5-gumbel replay parity."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms.metapath import metapath_walks
+from linkgraph.graph import LinkGraph
+
+EDGES = [
+    # A -> B
+    ("a1", "b1", 1.0), ("a1", "b2", 100.0),
+    ("a2", "b2", 1.0), ("a2", "b3", 1.0),
+    # B -> C (b3 is a dead end for step 2)
+    ("b1", "c1", 1.0), ("b1", "c2", 2.0), ("b2", "c1", 1.0),
+    # noise that must never be walked: wrong types / directions
+    ("c1", "a1", 9.0), ("b2", "a2", 9.0),
+]
+TYPES = {
+    "a1": "A", "a2": "A", "b1": "B", "b2": "B", "b3": "B",
+    "c1": "C", "c2": "C",
+}
+
+
+def _g(spark):
+    g = LinkGraph(
+        spark.createDataFrame(EDGES, "src string, dst string, weight double"),
+        keys={"directed": True},
+    )
+    t = spark.createDataFrame(list(TYPES.items()), "id string, type string")
+    return g, t
+
+
+def _key(seed, walk, step, dst, w):
+    u60 = int(
+        hashlib.md5(f"mp:{seed}:{walk}:{step}:{dst}".encode()).hexdigest()[:15],
+        16,
+    )
+    u = (u60 + 0.5) / 2**60
+    return math.log(w) + (-math.log(-math.log(u)))
+
+
+def _replay(seed, walks_per_node, metapath):
+    """Independent pure-python replay of the sampler."""
+    out = {}
+    adj = {}
+    for s, d, w in EDGES:
+        adj.setdefault(s, []).append((d, w))
+    starts = [n for n, t in sorted(TYPES.items()) if t == metapath[0]]
+    for start in starts:
+        for rep in range(walks_per_node):
+            wid = f"{start}#{rep}"
+            path, curr = [start], start
+            for step in range(len(metapath) - 1):
+                cands = [
+                    (d, w)
+                    for d, w in adj.get(curr, [])
+                    if TYPES[d] == metapath[step + 1]
+                ]
+                if not cands:
+                    curr = None
+                    break
+                curr = max(
+                    cands, key=lambda c: (_key(seed, wid, step, c[0], c[1]), c[0])
+                )[0]
+                path.append(curr)
+            out[wid] = path
+    return out
+
+
+@pytest.mark.parametrize("seed,reps", [(42, 1), (7, 3)])
+def test_walks_match_pure_python_replay(spark, seed, reps):
+    g, t = _g(spark)
+    got = {
+        r["walk_id"]: list(r["path"])
+        for r in metapath_walks(g, t, ["A", "B", "C"], reps, seed=seed).collect()
+    }
+    assert got == _replay(seed, reps, ["A", "B", "C"])
+
+
+def test_types_and_dead_ends_respected(spark):
+    g, t = _g(spark)
+    rows = {
+        r["walk_id"]: r
+        for r in metapath_walks(g, t, ["A", "B", "C"], 1, seed=1).collect()
+    }
+    assert set(rows) == {"a1#0", "a2#0"}
+    for r in rows.values():
+        p = list(r["path"])
+        assert TYPES[p[0]] == "A"
+        for i, node in enumerate(p):
+            assert TYPES[node] == ["A", "B", "C"][i]
+        # a walk through b3 has no B->C edge: frozen, incomplete
+        assert r["completed"] == (len(p) == 3)
+
+
+def test_determinism_across_runs(spark):
+    g, t = _g(spark)
+    a = sorted(
+        (r["walk_id"], tuple(r["path"]))
+        for r in metapath_walks(g, t, ["A", "B"], 2, seed=9).collect()
+    )
+    b = sorted(
+        (r["walk_id"], tuple(r["path"]))
+        for r in metapath_walks(g, t, ["A", "B"], 2, seed=9).collect()
+    )
+    assert a == b
+
+
+def test_validation(spark):
+    g, t = _g(spark)
+    with pytest.raises(ValueError, match="two types"):
+        metapath_walks(g, t, ["A"])
+    with pytest.raises(ValueError, match="walks_per_node"):
+        metapath_walks(g, t, ["A", "B"], 0)
