@@ -119,6 +119,7 @@ from linkgraph.algorithms.trustrank import spam_mass, trustrank
 from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch, related_nodes
 from linkgraph.algorithms.redirects import resolve_redirects, rewrite_edges
 from linkgraph.algorithms.metapath import metapath_walks
+from linkgraph.algorithms.bowtie import bowtie_decomposition
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
     diameter_lower_bound,
@@ -304,6 +305,7 @@ __all__ = [
     "resolve_redirects",
     "rewrite_edges",
     "metapath_walks",
+    "bowtie_decomposition",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",
     "betweenness_centrality",

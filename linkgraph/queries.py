@@ -10643,3 +10643,116 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_bowtie_nation(spark, sf_dir):
+    """Broder bow-tie decomposition on a planted nation-key web: 3-cycle
+    CORE (n0-n2), IN chain (n3->n4->n0), OUT chain (n2->n5->n6), a TUBE
+    (n4->n7->n5), both TENDRIL kinds (n4->n8 dead end; n9->n5 from
+    nowhere), an OTHER node pointing into a tendril (n10->n8), and a
+    DISCONNECTED pair (n20->n21). The oracle derives EVERYTHING
+    generically — reachability closure, SCC labels by mutual reach,
+    largest-SCC core, region set algebra — through recursive CTEs, no
+    closed-form shortcuts."""
+    from linkgraph import bowtie_decomposition
+
+    k = F.col("n_nationkey").cast("long")
+    n = _t(spark, sf_dir, "nation").select(k.alias("k"))
+    tag = lambda c: F.concat(F.lit("n"), c.cast("string"))  # noqa: E731
+
+    def pick(pairs):
+        dfs = []
+        for a, b in pairs:
+            dfs.append(
+                n.filter(F.col("k") == a).select(
+                    tag(F.lit(a)).alias("src"), tag(F.lit(b)).alias("dst")
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    edges = pick(
+        [(0, 1), (1, 2), (2, 0), (4, 0), (3, 4), (2, 5), (5, 6),
+         (4, 7), (7, 5), (4, 8), (9, 5), (10, 8), (20, 21)]
+    )
+    g = LinkGraph(edges, keys={"directed": True})
+    return bowtie_decomposition(g)
+
+
+QUERIES.update({"bowtie_nation": q_bowtie_nation})
+ORACLE_SQL.update(
+    {
+        "bowtie_nation": """
+        WITH RECURSIVE
+        nk AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        r AS (
+          SELECT 'n' || a AS src, 'n' || b AS dst
+          FROM (VALUES (0,1),(1,2),(2,0),(4,0),(3,4),(2,5),(5,6),
+                       (4,7),(7,5),(4,8),(9,5),(10,8),(20,21)) p(a, b)
+          JOIN nk ON nk.k = p.a
+        ),
+        nodes AS (SELECT DISTINCT id FROM
+                  (SELECT src AS id FROM r UNION ALL SELECT dst FROM r)),
+        reach(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT reach.a, r.dst FROM reach JOIN r ON r.src = reach.b
+        ),
+        ur AS (SELECT src AS x, dst AS y FROM r
+               UNION ALL SELECT dst, src FROM r),
+        wreach(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT wreach.a, ur.y FROM wreach JOIN ur ON ur.x = wreach.b
+        ),
+        sccl AS (
+          SELECT r1.a AS id, min(r1.b) AS l
+          FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+          GROUP BY r1.a
+        ),
+        corel AS (
+          SELECT l FROM (SELECT l, count(*) AS n FROM sccl GROUP BY l)
+          ORDER BY n DESC, l LIMIT 1
+        ),
+        core AS (SELECT id FROM sccl WHERE l = (SELECT l FROM corel)),
+        fwd AS (SELECT DISTINCT reach.b AS id
+                FROM reach JOIN core ON reach.a = core.id),
+        bwd AS (SELECT DISTINCT reach.a AS id
+                FROM reach JOIN core ON reach.b = core.id),
+        ins AS (SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM core)),
+        outs AS (SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM core)),
+        rest AS (SELECT id FROM nodes
+                 WHERE id NOT IN (SELECT id FROM fwd)
+                   AND id NOT IN (SELECT id FROM bwd)),
+        from_in AS (
+          SELECT DISTINCT reach.b AS id
+          FROM reach JOIN ins ON reach.a = ins.id
+          WHERE reach.b IN (SELECT id FROM rest)
+        ),
+        to_out AS (
+          SELECT DISTINCT reach.a AS id
+          FROM reach JOIN outs ON reach.b = outs.id
+          WHERE reach.a IN (SELECT id FROM rest)
+        ),
+        attached AS (
+          SELECT DISTINCT wreach.a AS id
+          FROM wreach JOIN core ON wreach.b = core.id
+        )
+        SELECT id,
+               CASE
+                 WHEN id IN (SELECT id FROM core) THEN 'CORE'
+                 WHEN id IN (SELECT id FROM ins) THEN 'IN'
+                 WHEN id IN (SELECT id FROM outs) THEN 'OUT'
+                 WHEN id IN (SELECT id FROM from_in)
+                  AND id IN (SELECT id FROM to_out) THEN 'TUBE'
+                 WHEN id IN (SELECT id FROM from_in)
+                   OR id IN (SELECT id FROM to_out) THEN 'TENDRIL'
+                 WHEN id IN (SELECT id FROM attached) THEN 'OTHER'
+                 ELSE 'DISCONNECTED'
+               END AS region
+        FROM nodes
+    """,
+    }
+)
