@@ -118,7 +118,7 @@ from linkgraph.algorithms.kpaths import k_lightest_walks
 from linkgraph.algorithms.trustrank import spam_mass, trustrank
 from linkgraph.algorithms.ppr_batch import personalized_pagerank_batch, related_nodes
 from linkgraph.algorithms.redirects import resolve_redirects, rewrite_edges
-from linkgraph.algorithms.metapath import metapath_walks
+from linkgraph.algorithms.metapath import metapath_walks, pathsim
 from linkgraph.algorithms.bowtie import bowtie_decomposition
 from linkgraph.algorithms.closeness import (
     closeness_centrality,
@@ -305,6 +305,7 @@ __all__ = [
     "resolve_redirects",
     "rewrite_edges",
     "metapath_walks",
+    "pathsim",
     "bowtie_decomposition",
     "shortest_path_lengths_weighted",
     "weighted_closeness_centrality",

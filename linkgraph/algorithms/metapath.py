@@ -153,3 +153,103 @@ def metapath_walks(
         "path",
         (F.size("path") == len(metapath)).alias("completed"),
     )
+
+
+def pathsim(
+    graph: LinkGraph,
+    node_types: DataFrame,
+    metapath: list,
+    k: int | None = None,
+    bridge_cap: int | None = None,
+) -> DataFrame:
+    """PathSim (Sun et al., VLDB 2011, public) — similarity between nodes
+    of the SAME type under a symmetric 3-type metapath [T, B, T]:
+
+        sim(x, y) = 2·C(x, y) / (C(x, x) + C(y, y)),
+        C(x, y)   = Σ_b  n(x, b) · n(y, b)
+
+    where n(x, b) counts T→B edges (parallel edges add). The standard
+    "who is like me through shared collaborators/parts/hosts" measure —
+    normalization by self-path counts removes the raw-degree bias that
+    makes plain co-occurrence counts rank hubs first.
+
+    EXACT (no sampling): C is one self-join of the (T, B, n) count table
+    on the bridge column + one algebraic sum — the inverted-index shape
+    every co-occurrence operator here uses. A bridge node shared by d
+    T-nodes fans out d² pairs, so ``bridge_cap`` (drop bridges with
+    > cap distinct T-neighbors — stop-word bridges carry no similarity
+    signal anyway, exactly the dedup family's frequency-cap argument)
+    bounds the join at scale; None keeps exactness. Only pairs with
+    C > 0 emit — in canonical x < y order, or, with ``k`` set, expanded to
+    BOTH orientations first so every node's top-k ranks over ALL its
+    partners (sim desc, partner asc, rank-limited window)."""
+    if len(metapath) != 3 or metapath[0] != metapath[2]:
+        raise ValueError(
+            f"pathsim needs a symmetric 3-type metapath [T, B, T], got {metapath}"
+        )
+    if k is not None and k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    tcols = node_types.columns
+    types = node_types.select(
+        F.col(tcols[0]).cast("string").alias("_tid"),
+        F.col(tcols[1]).cast("string").alias("_tt"),
+    )
+    t_t, t_b = str(metapath[0]), str(metapath[1])
+    e = (
+        graph.edges.select(
+            F.col(SRC).cast("string").alias("x"),
+            F.col(DST).cast("string").alias("b"),
+        )
+        .join(
+            types.select(F.col("_tid").alias("x"), F.col("_tt").alias("xt")), "x"
+        )
+        .join(
+            types.select(F.col("_tid").alias("b"), F.col("_tt").alias("bt")), "b"
+        )
+        .filter((F.col("xt") == t_t) & (F.col("bt") == t_b))
+        .groupBy("x", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    if bridge_cap is not None:
+        keep = (
+            e.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= bridge_cap)
+            .select("b")
+        )
+        e = e.join(keep, "b", "left_semi")
+    selfc = e.groupBy("x").agg(F.sum(F.col("n") * F.col("n")).alias("cself"))
+    other = e.select(F.col("x").alias("y"), "b", F.col("n").alias("m"))
+    cross = (
+        e.join(other, "b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.sum(F.col("n") * F.col("m")).alias("cxy"))
+    )
+    out = (
+        cross.join(selfc, "x")
+        .join(
+            selfc.select(F.col("x").alias("y"), F.col("cself").alias("cy")), "y"
+        )
+        .select(
+            "x",
+            "y",
+            (2.0 * F.col("cxy") / (F.col("cself") + F.col("cy"))).alias(
+                "pathsim"
+            ),
+        )
+    )
+    if k is not None:
+        from pyspark.sql import Window
+
+        both = out.unionByName(
+            out.select(
+                F.col("y").alias("x"), F.col("x").alias("y"), "pathsim"
+            )
+        )
+        win = Window.partitionBy("x").orderBy(F.desc("pathsim"), F.asc("y"))
+        out = (
+            both.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+        )
+    return out

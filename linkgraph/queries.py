@@ -10756,3 +10756,65 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def q_pathsim_suppliers(spark, sf_dir):
+    """PathSim between suppliers through shared parts (metapath S-P-S) on
+    the lineitem bipartite counts: similarity normalized by self-path
+    counts, top-3 partners per supplier. Oracle replays the formula in SQL
+    (count table -> bridge self-join -> normalization -> both-orientation
+    rank)."""
+    from linkgraph.algorithms.metapath import pathsim
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    g = LinkGraph(edges, keys={"directed": True})
+    types = g.nodes.select(
+        "id", F.upper(F.substring("id", 1, 1)).alias("type")
+    )
+    out = pathsim(g, types, ["S", "P", "S"], k=3)
+    return out.select(
+        "x", "y", "rank",
+        F.round(F.col("pathsim") * 1e6).cast("long").alias("sim_e6"),
+    )
+
+
+QUERIES.update({"pathsim_suppliers": q_pathsim_suppliers})
+ORACLE_SQL.update(
+    {
+        "pathsim_suppliers": """
+        WITH n AS (
+          SELECT 's' || l_suppkey AS x, 'p' || l_partkey AS b,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM lineitem GROUP BY 1, 2
+        ),
+        selfc AS (SELECT x, sum(n * n) AS c FROM n GROUP BY x),
+        cross_ AS (
+          SELECT a.x AS x, c.x AS y, sum(a.n * c.n) AS cxy
+          FROM n a JOIN n c ON a.b = c.b AND a.x < c.x
+          GROUP BY a.x, c.x
+        ),
+        sim AS (
+          SELECT cr.x, cr.y,
+                 2.0 * cr.cxy / (sx.c + sy.c) AS s
+          FROM cross_ cr
+          JOIN selfc sx ON sx.x = cr.x
+          JOIN selfc sy ON sy.x = cr.y
+        ),
+        both_ AS (
+          SELECT x, y, s FROM sim UNION ALL SELECT y, x, s FROM sim
+        ),
+        ranked AS (
+          SELECT x, y, s,
+                 CAST(row_number() OVER (PARTITION BY x
+                        ORDER BY s DESC, y ASC) AS INT) AS rank
+          FROM both_
+        )
+        SELECT x, y, rank, CAST(round(s * 1000000) AS BIGINT) AS sim_e6
+        FROM ranked WHERE rank <= 3
+    """,
+    }
+)

@@ -115,3 +115,72 @@ def test_validation(spark):
         metapath_walks(g, t, ["A"])
     with pytest.raises(ValueError, match="walks_per_node"):
         metapath_walks(g, t, ["A", "B"], 0)
+
+
+def _ps_expect():
+    """Pure-python PathSim over EDGES for metapath [A, B, A]."""
+    from collections import defaultdict
+
+    n = defaultdict(float)
+    for s, d, _ in EDGES:
+        if TYPES[s] == "A" and TYPES[d] == "B":
+            n[(s, d)] += 1
+    xs = sorted({x for (x, _) in n})
+    bs = sorted({b for (_, b) in n})
+    C = {}
+    for x in xs:
+        for y in xs:
+            C[(x, y)] = sum(n.get((x, b), 0) * n.get((y, b), 0) for b in bs)
+    out = {}
+    for x in xs:
+        for y in xs:
+            if x < y and C[(x, y)] > 0:
+                out[(x, y)] = 2 * C[(x, y)] / (C[(x, x)] + C[(y, y)])
+    return out
+
+
+def test_pathsim_matches_formula(spark):
+    from linkgraph.algorithms.metapath import pathsim
+
+    g, t = _g(spark)
+    got = {
+        (r["x"], r["y"]): r["pathsim"]
+        for r in pathsim(g, t, ["A", "B", "A"]).collect()
+    }
+    expect = _ps_expect()
+    assert set(got) == set(expect)
+    for kk, v in expect.items():
+        assert got[kk] == pytest.approx(v, rel=1e-12), kk
+
+
+def test_pathsim_topk_covers_both_orientations(spark):
+    from linkgraph.algorithms.metapath import pathsim
+
+    g, t = _g(spark)
+    got = {
+        (r["x"], r["y"]): r["rank"]
+        for r in pathsim(g, t, ["A", "B", "A"], k=5).collect()
+    }
+    # every canonical pair appears in BOTH nodes' lists
+    for x, y in _ps_expect():
+        assert (x, y) in got and (y, x) in got
+
+
+def test_pathsim_bridge_cap_drops_hub_bridges(spark):
+    from linkgraph.algorithms.metapath import pathsim
+
+    g, t = _g(spark)
+    # b2 is shared by a1 and a2 (2 distinct A-neighbors); cap=1 kills it,
+    # removing the only a1~a2 bridge
+    out = pathsim(g, t, ["A", "B", "A"], bridge_cap=1).collect()
+    assert out == []
+
+
+def test_pathsim_validation(spark):
+    from linkgraph.algorithms.metapath import pathsim
+
+    g, t = _g(spark)
+    with pytest.raises(ValueError, match="symmetric"):
+        pathsim(g, t, ["A", "B", "C"])
+    with pytest.raises(ValueError, match="k must"):
+        pathsim(g, t, ["A", "B", "A"], k=0)
