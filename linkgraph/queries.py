@@ -10818,3 +10818,79 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+# ------------------------------------------------------------------ round 5
+# Driver-window curation (VERDICT r4, task #1).
+#
+# The correctness driver hard-verifies only the FIRST 50 keys of QUERIES in
+# insertion order.  Through round 4 that window contained 9 rows-only
+# protocol entries (whose hashed siblings were mostly *also* in the window)
+# while 195 value-hash-backed queries -- every flagship since round 1 -- sat
+# outside it.  This block is pure dict-ordering: the curated window keeps the
+# 41 hashed survivors of the historical first-50 and promotes nine hashed
+# flagships spanning the newest families (fuzzy-dedup pipeline, bow-tie,
+# metapaths, host-graph PageRank, PathSim, incremental streaming CC, bridges,
+# max-flow, batched PPR).  Every demoted query remains in QUERIES and in the
+# full oracle sweep (scripts/check_oracles.py); nothing is removed.
+# tests/test_driver_window.py pins the invariants.
+
+DRIVER_WINDOW = [
+    "out_degree_customers",
+    "in_degree_parts",
+    "weighted_degree_lineitem",
+    "degree_events",
+    "cc_nation_region",
+    "triangle_count_copurchase",
+    "pagerank_nation_region_5",
+    "transition_events",
+    "closeness_nation_region",
+    "pagerank_copurchase",
+    "dedup_exact_documents",
+    "token_count_documents",
+    "alpha_ratio_documents",
+    "ann_cosine_top10",
+    "lang_id_documents",
+    "quality_documents",
+    "fingerprint_documents",
+    "ngram_jaccard_documents",
+    "spread_activation_events",
+    "transition_power2_events",
+    "walker_nation_region",
+    "betweenness_nation_region",
+    "ego_supplier_depth2",
+    "louvain_modularity_nation_region",
+    "streaming_running_degree",
+    "checkpoint_roundtrip_degree",
+    "cc_resume_nation_region",
+    "bpe_token_count_documents",
+    "rolling_fingerprint_documents",
+    "ivf_cosine_top10",
+    "lpa_events_2",
+    "minhash_pairs_md5_documents",
+    "louvain_canonical_nation_region",
+    "spectral_two_clique",
+    "simhash_md5_documents",
+    "streaming_dedup_documents",
+    "media_image_stats",
+    "media_audio_stats",
+    "media_video_frame_stats",
+    "node2vec_forced_cycle",
+    "louvain_two_clique",
+    "dedup_pipeline_md5_documents",
+    "bowtie_nation",
+    "metapath_walks_lineitem",
+    "host_pagerank_orders",
+    "pathsim_suppliers",
+    "streaming_incremental_cc",
+    "bridges_nation_fixture",
+    "max_flow_nation_fixture",
+    "ppr_batch_nation_region_4",
+]
+
+_window = set(DRIVER_WINDOW)
+_reordered = {k: QUERIES[k] for k in DRIVER_WINDOW}
+_reordered.update({k: v for k, v in QUERIES.items() if k not in _window})
+QUERIES.clear()
+QUERIES.update(_reordered)
+del _window, _reordered
