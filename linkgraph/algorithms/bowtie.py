@@ -108,16 +108,27 @@ def bowtie_decomposition(graph: LinkGraph, max_iter: int = 200) -> DataFrame:
                 .distinct()
                 .join(tube, ID, "left_anti")
             )
+            # nodes= is load-bearing: without it an ISOLATED largest SCC
+            # (a singleton core with no incident edge, possible under the
+            # min-label tiebreak) has no wcc row and the collect below
+            # would IndexError (ADVICE r4). With it, isolated nodes get
+            # their own singleton component.
             wcc = connected_components(
                 LinkGraph(
-                    graph.edges.select(SRC, DST), keys={"directed": False}
+                    graph.edges.select(SRC, DST),
+                    nodes=graph.nodes.select(ID),
+                    keys={"directed": False},
                 ),
                 with_sizes=False,
             )
-            core_wcc = (
-                wcc.join(core, ID, "left_semi").limit(1).collect()[0]["component"]
-            )
-            attached = wcc.filter(F.col("component") == core_wcc).select(ID)
+            core_row = wcc.join(core, ID, "left_semi").limit(1).collect()
+            if core_row:
+                core_wcc = core_row[0]["component"]
+                attached = wcc.filter(
+                    F.col("component") == core_wcc
+                ).select(ID)
+            else:  # pragma: no cover - defense in depth behind nodes= fix
+                attached = core.select(ID)
             labeled = (
                 core.select(ID, F.lit("CORE").alias("region"))
                 .unionByName(in_.select(ID, F.lit("IN").alias("region")))

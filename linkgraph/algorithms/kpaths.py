@@ -93,10 +93,15 @@ def k_lightest_walks(
             .repartition(npart, "u")
         )
         id_t = graph.nodes.schema[ID].dataType.simpleString()
-        state = spark.createDataFrame(
-            [(source,)], f"{ID} {id_t}"
-        ).select(ID, F.array(F.lit(0.0)).alias("ws")).localCheckpoint(
-            eager=True
+        # phantom-source restriction (same left_semi convention as
+        # shortest_paths_weighted, sssp.py): a source absent from the
+        # graph must yield zero rows, not a fabricated [0.0] row
+        # (ADVICE r4).
+        state = (
+            spark.createDataFrame([(source,)], f"{ID} {id_t}")
+            .join(graph.nodes.select(ID), ID, "left_semi")
+            .select(ID, F.array(F.lit(0.0)).alias("ws"))
+            .localCheckpoint(eager=True)
         )
         # the exact DP is S_h[v] = top-k({0 if v=source} ⊎ extensions of
         # S_{h-1}); unioning S_{h-1}[v] itself would DOUBLE-COUNT — every
@@ -104,8 +109,12 @@ def k_lightest_walks(
         # (which stays top-k at its end node, else k lighter extensions
         # would displace the walk here), so only the empty walk at the
         # source needs explicit re-seeding
-        seed = spark.createDataFrame([(source,)], f"{ID} {id_t}").select(
-            ID, F.lit(0.0).alias("val")
+        # restricted like `state`: a phantom source must not be re-seeded
+        # into every iteration's candidate union either
+        seed = (
+            spark.createDataFrame([(source,)], f"{ID} {id_t}")
+            .join(graph.nodes.select(ID), ID, "left_semi")
+            .select(ID, F.lit(0.0).alias("val"))
         )
         for _ in range(max_hops):
             ext = (

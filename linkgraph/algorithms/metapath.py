@@ -68,6 +68,15 @@ def metapath_walks(
                 F.col(DST).cast("string").alias("v"),
                 w.cast("double").alias("w"),
             )
+            # multigraph convention: parallel (u, v) edges collapse to
+            # their SUMMED weight before sampling — the draw probability is
+            # then proportional to total(w), matching a true categorical
+            # over distinct destinations. Without this, parallel edges to
+            # the same dst share identical (walk, step, dst)-keyed gumbel
+            # noise and the argmax degrades to max(w) semantics (ADVICE
+            # r4). Same collapse convention as sssp/kpaths (which use min).
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
             .join(
                 types.select(F.col("_tid").alias("u"), F.col("_tt").alias("ut")),
                 "u",

@@ -91,8 +91,23 @@ def spam_mass(
     ``relative_spam_mass`` = spam_mass/pagerank (in (−∞, 1]; ~1 ⇒ rank
     arrives almost entirely from outside the trusted core, ≤0 ⇒ the core
     over-supplies it). Uniform-teleport PageRank gives every node positive
-    rank, so the ratio is always defined."""
+    rank, so the ratio is always defined.
+
+    ``good_seeds`` must be UNIFORMLY weighted (a list/set, or a dict whose
+    values are all equal): the paper's n_good/N rescale converts the
+    core-uniform teleport into the per-node (1−d)/N budget of the full
+    PageRank, and that conversion is only exact under uniform core
+    teleport. A weighted dict would silently produce a ``trustrank``
+    column that is not PR_good (ADVICE r4) — rejected. Use
+    :func:`trustrank` directly for weighted trust propagation."""
     seed_d = _seed_dict(good_seeds)
+    if len(set(seed_d.values())) > 1:
+        raise ValueError(
+            "spam_mass requires uniformly-weighted good seeds (the "
+            "n_good/N mass rescale is only correct for the paper's "
+            "uniform good-core teleport); pass a list/set, or use "
+            "trustrank() for weighted seeds"
+        )
     # seeds absent from the node table carry no teleport mass (pagerank
     # reindexes over graph nodes) — they must not inflate the n_g/N rescale
     node_ids = graph.nodes.select(ID)

@@ -72,3 +72,19 @@ def test_chain_around_largest_scc(spark):
     )
     got = {r["id"]: r["region"] for r in bowtie_decomposition(g).collect()}
     assert got == {"a": "CORE", "b": "CORE", "x": "OUT", "y": "OUT"}
+
+
+def test_isolated_largest_scc_singleton(spark):
+    # ADVICE r4 repro: nodes {a, b, c} with the single edge b->c. Every SCC
+    # is a singleton; the min-label tiebreak picks 'a' as the core, and 'a'
+    # is ISOLATED (no incident edge), so the wcc built from edges alone had
+    # no row for it and region labeling raised IndexError.
+    g = LinkGraph(
+        spark.createDataFrame([("b", "c")], "src string, dst string"),
+        nodes=spark.createDataFrame([("a",), ("b",), ("c",)], "id string"),
+        keys={"directed": True},
+    )
+    got = {r["id"]: r["region"] for r in bowtie_decomposition(g).collect()}
+    assert got["a"] == "CORE"
+    # b and c are in a different weak component than the isolated core
+    assert got["b"] == "DISCONNECTED" and got["c"] == "DISCONNECTED"

@@ -125,3 +125,11 @@ def test_superstep_topk_plans_as_window_group_limit(spark):
     plan = _topk_fold(cand, 2)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and ", Partial" in plan
     assert "EvalPython" not in plan
+
+
+def test_phantom_source_yields_no_rows(spark):
+    # ADVICE r4: a source absent from the graph must return an empty
+    # result (sssp.py's left_semi convention), not a fabricated
+    # walk_weights=[0.0] row.
+    g = _g(spark, [("a", "b", 1.0)], directed=True)
+    assert k_lightest_walks(g, "ghost", k=2, max_hops=3).count() == 0

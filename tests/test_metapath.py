@@ -184,3 +184,38 @@ def test_pathsim_validation(spark):
         pathsim(g, t, ["A", "B", "C"])
     with pytest.raises(ValueError, match="k must"):
         pathsim(g, t, ["A", "B", "A"], k=0)
+
+
+def test_parallel_edges_sum_before_sampling(spark):
+    # ADVICE r4: parallel (u, v) edges share (walk, step, dst)-keyed gumbel
+    # noise, so without pre-aggregation the draw is proportional to max(w)
+    # instead of sum(w). The documented multigraph convention is SUM:
+    # a1 with edges {b1: 60+60 (parallel), b2: 100} must sample exactly as
+    # a simple graph with {b1: 120, b2: 100}.
+    t = spark.createDataFrame(
+        [("a1", "A"), ("b1", "B"), ("b2", "B")], "id string, type string"
+    )
+    multi = LinkGraph(
+        spark.createDataFrame(
+            [("a1", "b1", 60.0), ("a1", "b1", 60.0), ("a1", "b2", 100.0)],
+            "src string, dst string, weight double",
+        ),
+        keys={"directed": True},
+    )
+    simple = LinkGraph(
+        spark.createDataFrame(
+            [("a1", "b1", 120.0), ("a1", "b2", 100.0)],
+            "src string, dst string, weight double",
+        ),
+        keys={"directed": True},
+    )
+    for seed in (1, 7, 23):
+        got_m = sorted(
+            (r["walk_id"], tuple(r["path"]))
+            for r in metapath_walks(multi, t, ["A", "B"], 4, seed=seed).collect()
+        )
+        got_s = sorted(
+            (r["walk_id"], tuple(r["path"]))
+            for r in metapath_walks(simple, t, ["A", "B"], 4, seed=seed).collect()
+        )
+        assert got_m == got_s

@@ -98,3 +98,24 @@ def test_validation(spark):
         spam_mass(g, ["phantom"])
     with pytest.raises(ValueError, match="no mass"):
         trustrank(g, ["phantom"])
+
+
+def test_spam_mass_rejects_weighted_seed_dict(spark):
+    # ADVICE r4: the n_good/N rescale is only the paper's PR_good under
+    # UNIFORM good-core teleport; a weighted dict must be rejected, not
+    # silently miscomputed.
+    import pytest as _pytest
+
+    from linkgraph.algorithms.trustrank import spam_mass
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+        ),
+        keys={"directed": True},
+    )
+    with _pytest.raises(ValueError, match="uniform"):
+        spam_mass(g, {"a": 0.9, "b": 0.1}, max_iter=3)
+    # equal-weight dicts are uniform — allowed (equivalent to a list)
+    cols = spam_mass(g, {"a": 1.0, "b": 1.0}, max_iter=3).columns
+    assert "spam_mass" in cols
