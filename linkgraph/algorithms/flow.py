@@ -14,8 +14,9 @@ Algorithm (unit capacities make Edmonds–Karp honest at scale):
   unit arcs; parallel edges accumulate cap — multigraph semantics);
 - augment: shortest-path BFS from ``s`` over residual arcs (frontier join
   per hop, deterministic min-parent tie-break), stop on reaching ``t``;
-  the augmenting path is walked back t→s with one single-row join per hop
-  (path length is BFS-depth-bounded — the only driver-side state is the
+  the augmenting path is recovered from the parent table by a
+  POINTER-DOUBLING ancestor closure of {t} — O(log depth) jobs + one
+  collect of the ≤depth+1 path rows (the only driver-side state is the
   O(path) arc list, NOT a node table); the residual update is one
   full-outer join against the ±1 deltas of the path's arcs;
 - terminate: when BFS exhausts without reaching ``t``, max-flow = number
@@ -60,13 +61,16 @@ class STCutResult:
 
 def _bfs_parents(
     residual: DataFrame, s, t, id_t: str, budget: int
-) -> tuple[DataFrame, bool]:
-    """BFS over residual arcs from s → (settled[id, parent], reached_t)."""
+) -> tuple[DataFrame, bool, int]:
+    """BFS over residual arcs from s →
+    (settled[id, parent], reached_t, levels). ``levels`` is the number of
+    expansions performed — when ``reached_t`` it is exactly t's BFS depth
+    (= the augmenting path's hop count)."""
     spark = residual.sparkSession
     settled = spark.createDataFrame([(s, None)], f"{ID} {id_t}, parent {id_t}")
     settled = settled.localCheckpoint(eager=True)
     frontier = settled.select(ID)
-    for _ in range(budget):
+    for level in range(1, budget + 1):
         nxt = (
             frontier.join(residual, frontier[ID] == residual["u"])
             .select(F.col("v").alias(ID), F.col("u").alias("_p"))
@@ -76,12 +80,85 @@ def _bfs_parents(
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
-            return settled, False
+            return settled, False, level - 1
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         if nxt.filter(F.col(ID) == F.lit(t)).limit(1).count() > 0:
-            return settled, True
+            return settled, True, level
         frontier = nxt.select(ID)
-    return settled, False
+    return settled, False, budget
+
+
+def _augmenting_path(settled: DataFrame, s, t, id_t: str, levels: int) -> list:
+    """[(u, v), ...] — the arcs of the shortest augmenting path encoded in
+    the BFS parent table, recovered in O(log levels) Spark jobs plus ONE
+    driver collect of ≤ levels+1 rows (the path nodes — never the settled
+    table).
+
+    Pointer-doubling ancestor closure of {t} (the redirects.py recipe):
+    after k rounds ``reach`` holds t's ancestor at every hop offset in
+    [0, 2^k) and ``jump`` holds exact 2^k-step parent pointers, so the
+    full chain materializes in ⌈log₂ levels⌉ rounds. Replaces the per-hop
+    single-row collect (O(depth) full-table filter jobs per augmentation —
+    the round-4 verdict's scale finding #2): at cluster scale a deep BFS
+    made the walk-back latency-bound."""
+    spark = settled.sparkSession
+    if levels <= 0:
+        return []
+    reach = spark.createDataFrame([(t, 0)], f"n {id_t}, off int")
+    jump = settled.filter(F.col("parent").isNotNull()).select(
+        F.col(ID).alias("n"),
+        F.col("parent").alias("a"),
+        F.lit(1).alias("d"),
+    )
+    span = 1  # reach covers hop offsets [0, span)
+    while span <= levels:
+        # round k extends reach by jump's 2^(k-1)-step pointers: new
+        # offsets land exactly in [2^(k-1), 2^k) — disjoint from reach's
+        # [0, 2^(k-1)), so no distinct is needed. reach is ≤ levels+1 rows
+        # (one node per offset — the parent map is a forest): broadcast
+        # it and keep it LAZY; only the data-sized jump table checkpoints,
+        # so the whole closure runs in ⌈log₂ levels⌉−1 squaring jobs plus
+        # the final collect.
+        ext = (
+            F.broadcast(reach)
+            .join(jump, "n")
+            .filter((F.col("off") + F.col("d")) <= levels)
+            .select(
+                F.col("a").alias("n"),
+                (F.col("off") + F.col("d")).alias("off"),
+            )
+        )
+        reach = reach.unionByName(ext)
+        if 2 * span <= levels:  # the last round needs no longer jumps
+            jump = (
+                jump.alias("x")
+                .join(
+                    jump.select(
+                        F.col("n").alias("m"),
+                        F.col("a").alias("aa"),
+                        F.col("d").alias("dd"),
+                    ),
+                    F.col("x.a") == F.col("m"),
+                )
+                .select(
+                    F.col("x.n").alias("n"),
+                    F.col("aa").alias("a"),
+                    (F.col("x.d") + F.col("dd")).alias("d"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        span *= 2
+    by_off = {r["off"]: r["n"] for r in reach.collect()}
+    if (
+        len(by_off) != levels + 1
+        or by_off.get(0) != t
+        or by_off.get(levels) != s
+    ):
+        raise RuntimeError(
+            "augmenting-path walk did not reach s — BFS parent table is "
+            "inconsistent; engine bug"
+        )
+    return [(by_off[i + 1], by_off[i]) for i in range(levels)]
 
 
 def min_st_cut(
@@ -115,7 +192,7 @@ def min_st_cut(
 
         flow = 0
         while flow < max_flow_cap:
-            settled, reached = _bfs_parents(
+            settled, reached, levels = _bfs_parents(
                 residual.select("u", "v"), s, t, id_t, budget
             )
             if not reached:
@@ -138,26 +215,9 @@ def min_st_cut(
                 residual.unpersist()
                 return STCutResult(flow=flow, saturated=False, cut_edges=cut)
 
-            # walk the augmenting path t -> s (one single-row join per hop;
-            # only the O(path-length) arc list ever reaches the driver)
-            path: list[tuple] = []
-            cur = t
-            for _ in range(budget + 1):
-                row = (
-                    settled.filter(F.col(ID) == F.lit(cur))
-                    .select("parent")
-                    .collect()
-                )
-                if not row or row[0]["parent"] is None:
-                    break
-                p = row[0]["parent"]
-                path.append((p, cur))
-                cur = p
-            if cur != s:
-                raise RuntimeError(
-                    "augmenting-path walk did not reach s — BFS parent "
-                    "table is inconsistent; engine bug"
-                )
+            # recover the augmenting path t -> s: pointer-doubling closure,
+            # O(log depth) jobs + one ≤depth+1-row collect
+            path = _augmenting_path(settled, s, t, id_t, levels)
             deltas = spark.createDataFrame(
                 [(u, v, -1) for u, v in path]
                 + [(v, u, 1) for u, v in path],
@@ -309,7 +369,7 @@ def max_flow(
 
         flow = 0
         for _ in range(max_augmentations):
-            settled, reached = _bfs_parents(
+            settled, reached, levels = _bfs_parents(
                 residual.select("u", "v"), s, t, id_t, budget
             )
             if not reached:
@@ -334,23 +394,7 @@ def max_flow(
                     cut_edges=cut,
                     cut_capacity=int(cut_cap),
                 )
-            path: list[tuple] = []
-            cur = t
-            for _ in range(budget + 1):
-                row = (
-                    settled.filter(F.col(ID) == F.lit(cur))
-                    .select("parent")
-                    .collect()
-                )
-                if not row or row[0]["parent"] is None:
-                    break
-                p = row[0]["parent"]
-                path.append((p, cur))
-                cur = p
-            if cur != s:
-                raise RuntimeError(
-                    "augmenting-path walk did not reach s — engine bug"
-                )
+            path = _augmenting_path(settled, s, t, id_t, levels)
             pdf = spark.createDataFrame(path, f"u {id_t}, v {id_t}")
             bottleneck = (
                 residual.join(pdf, ["u", "v"], "left_semi")

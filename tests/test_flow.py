@@ -222,3 +222,45 @@ def test_max_flow_saturation(spark):
     res = max_flow(g, 0, 3, max_augmentations=1)
     assert res.saturated and res.flow == 5 and res.cut_edges is None
     assert max_flow(g, 0, 3).flow == 10
+
+
+def test_walk_back_is_one_collect_and_log_jobs(spark):
+    # Round-4 verdict scale finding #2: the t->s walk-back used one
+    # single-row collect per hop (O(depth) full-table filter jobs per
+    # augmentation). The pointer-doubling closure must recover a 40-hop
+    # path in O(log depth) jobs, correctly.
+    from linkgraph.algorithms.flow import _augmenting_path
+    from linkgraph.session import static_plans
+
+    depth = 40
+    # parent chain 0 <- 1 <- ... <- 40 (settled[id, parent]; source=0)
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, depth + 1)]
+    settled = spark.createDataFrame(rows, "id long, parent long")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("walkback", "pointer-doubling walk-back")
+    try:
+        # production call sites (min_st_cut / max_flow) run under
+        # static_plans: AQE's per-stage job splitting is off
+        with static_plans(spark):
+            path = _augmenting_path(settled, 0, depth, "long", depth)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("walkback")
+    # exact chain, t->s orientation: [(parent, child), ...] from t down
+    assert path == [(depth - 1 - i, depth - i) for i in range(depth)]
+    # doubling: ceil(log2(41)) - 1 = 5 squaring checkpoints + 1 collect
+    # (+ broadcast materializations). The old per-hop walk issued one
+    # full-table filter job PER HOP (>= 40).
+    assert len(jobs) < 15, len(jobs)
+
+
+def test_walk_back_detects_broken_parent_table(spark):
+    from linkgraph.algorithms.flow import _augmenting_path
+
+    # chain missing its middle link: closure cannot span offset 2
+    settled = spark.createDataFrame(
+        [(0, None), (2, 1)], "id long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        _augmenting_path(settled, 0, 2, "long", 2)
