@@ -275,34 +275,65 @@ def learn_bpe_merges(
     return spark.createDataFrame(merges, out_schema)
 
 
+#: nested-HOF rounds the driver JVM stack provably survives (overflow
+#: measured between 41 and 48 nested rounds on the default driver stack);
+#: 32 leaves real headroom; above it, auto routes to the Arrow kernel
+_HOF_MERGE_CAP = 32
+
+
 def bpe_segment(
     df: DataFrame,
     merges,
     text_col: str = "text",
     out: str = "bpe_tokens",
     word_pattern: str = "^[a-z]+$",
+    engine: str = "auto",
 ) -> DataFrame:
     """Tokenize with a learned merge table: split to whitespace words (those
     matching ``word_pattern``, mirroring :func:`learn_bpe_merges`), explode
-    each to characters, apply every merge in rank order, and flatten to one
+    each to characters, apply the merges, and flatten to one
     ``array<string>`` per row. ``merges`` is the DataFrame from
     :func:`learn_bpe_merges` (collected — it is merge-table-sized, not
     data-sized) or a ``[(left, right), ...]`` list in rank order.
 
-    Each merge compiles to one nested ``transform``+``aggregate`` HOF, so
-    the expression tree grows linearly with the merge count — fine for the
-    capped tables this trains (≤ a few hundred merges), and guarded: a
-    production-vocabulary table (30k+ merges) belongs in an Arrow kernel,
-    not a single codegen expression, so > 512 merges raises."""
+    Two kernels (``engine``):
+
+    - ``"hof"``: each merge compiles to one nested ``transform`` +
+      ``aggregate`` HOF — pure JVM whole-stage codegen, zero Python. The
+      expression tree grows linearly with the merge count, and Spark's
+      ColumnNode→Expression conversion recurses over it, so deep tables
+      overflow the JVM stack (measured: between 41 and 48 nested merges
+      on a default driver stack) — > 32 merges raises.
+    - ``"arrow"``: one ``mapInPandas`` stage running canonical
+      greedy-by-rank BPE (the GPT-2 ``bpe.py`` loop, public) with a
+      per-partition word cache — production vocabularies (30k+ merges)
+      at merge-count-independent per-word cost. For WELL-FORMED merge
+      tables (every pair's symbols are single characters or products of
+      strictly earlier merges — anything :func:`learn_bpe_merges`
+      produces) greedy-by-rank is exactly sequential rank-order
+      application, so the two kernels agree symbol-for-symbol (pinned in
+      tests). A hand-written table whose later merge manufactures an
+      EARLIER merge's pair is not well-formed; the kernels may then
+      differ (the HOF never revisits a passed rank).
+    - ``"auto"`` (default): HOF when the table fits its guard, else
+      Arrow — small tables stay JVM-side, big ones scale.
+    """
+    if engine not in ("auto", "hof", "arrow"):
+        raise ValueError(f"engine must be auto|hof|arrow, got {engine!r}")
     if isinstance(merges, DataFrame):
         merges = [
             (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
         ]
-    merges = list(merges)
-    if len(merges) > 512:
+    merges = [(str(a), str(b)) for a, b in merges]
+    if engine == "auto":
+        engine = "hof" if len(merges) <= _HOF_MERGE_CAP else "arrow"
+    if engine == "arrow":
+        return _bpe_segment_arrow(df, merges, text_col, out, word_pattern)
+    if len(merges) > _HOF_MERGE_CAP:
         raise ValueError(
             f"{len(merges)} merges would compile to an oversized expression "
-            "tree; segment with an Arrow kernel at production vocab sizes"
+            "tree (JVM-stack-bound above ~40 nested HOF rounds); pass "
+            "engine='arrow' beyond toy vocab sizes"
         )
     wsyms = F.transform(
         F.filter(
@@ -318,6 +349,92 @@ def bpe_segment(
     for pair in merges:
         wsyms = F.transform(wsyms, _round(pair))
     return df.withColumn(out, F.flatten(wsyms))
+
+
+def _bpe_segment_arrow(
+    df: DataFrame,
+    merges: list,
+    text_col: str,
+    out: str,
+    word_pattern: str,
+) -> DataFrame:
+    """One Arrow-batched ``mapInPandas`` stage: greedy-by-rank BPE with a
+    per-partition word→tokens cache (corpora repeat word types heavily, so
+    the kernel runs once per TYPE per partition, not per token). The merge
+    table ships to executors inside the task closure — it is vocab-sized
+    (30k pairs ≈ 1 MB), far under broadcast thresholds, and read-only.
+
+    Scale shape: no shuffle, schema = input + one array<string> column,
+    batches stream through Arrow — at 100 TB this is a scan-bound map
+    stage exactly like the HOF path, with Python cost amortized per word
+    type."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # lowest rank wins on duplicate pairs, matching sequential application
+    ranks: dict = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out, ArrayType(StringType()), True)]
+    )
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists")
+    pat_src = word_pattern
+
+    def _segment(iterator):
+        pat = _re.compile(pat_src)
+        cache: dict = {}
+
+        def word_tokens(w: str) -> list:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                left, right = best
+                fused = left + right
+                nxt: list = []
+                # greedy left-to-right non-overlapping, byte-for-byte the
+                # _merge_pair_fold convention (a symbol produced by a merge
+                # is never re-merged in the same pass: fused != left)
+                for x in syms:
+                    if nxt and nxt[-1] == left and x == right:
+                        nxt[-1] = fused
+                    else:
+                        nxt.append(x)
+                syms = nxt
+            cache[w] = syms
+            return syms
+
+        for pdf in iterator:
+            col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    col.append(None)  # HOF: null text -> null tokens
+                    continue
+                col.append(
+                    [
+                        t
+                        for w in _re.split(r"\s+", text.strip())
+                        if pat.search(w)
+                        for t in word_tokens(w)
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf[out] = col
+            yield pdf
+
+    return df.mapInPandas(_segment, schema=out_schema)
 
 
 # ------------------------------------------------------------- repetition
