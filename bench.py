@@ -626,6 +626,64 @@ def main():
 
     timed("host_graph_lineitem", _host_graph_lineitem)
 
+    def _metapath_corpus():
+        # typed-walk throughput at corpus scale (VERDICT r4 task #8): the
+        # lineitem tripartite supplier→part→order graph (~same shape as the
+        # hashed oracle query, 600k lineitem rows at sf0.1), 4 walks per
+        # supplier, md5-gumbel draws. Plan: per step one join of walk state
+        # against the pinned typed-edge slice + one max-struct aggregate.
+        from linkgraph.algorithms.metapath import metapath_walks
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_suppkey", "l_partkey", "l_orderkey"
+        )
+        e1 = (
+            li.groupBy("l_suppkey", "l_partkey")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+            .select(
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+                "weight",
+            )
+        )
+        e2 = (
+            li.select("l_partkey", "l_orderkey")
+            .distinct()
+            .select(
+                F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+                F.concat(F.lit("o"), F.col("l_orderkey")).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+        tg = LinkGraph(e1.unionByName(e2), keys={"directed": True})
+        types = tg.nodes.select(
+            "id", F.upper(F.substring("id", 1, 1)).alias("type")
+        )
+        walks = metapath_walks(tg, types, ["S", "P", "O"], 4, seed=11)
+        extra["metapath_walks_completed"] = walks.filter("completed").count()
+
+    timed("metapath_walks_corpus", _metapath_corpus)
+
+    def _pathsim_corpus():
+        # PathSim top-5 similar suppliers through shared parts, bridge_cap
+        # engaged (drop stop-word parts with > 64 distinct suppliers) — the
+        # capped inverted-index self-join shape at sf0.1 scale.
+        from linkgraph.algorithms.metapath import pathsim
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        tg = LinkGraph(e, keys={"directed": True})
+        types = tg.nodes.select(
+            "id", F.upper(F.substring("id", 1, 1)).alias("type")
+        )
+        out = pathsim(tg, types, ["S", "P", "S"], k=5, bridge_cap=64)
+        extra["pathsim_pairs"] = out.count()
+
+    timed("pathsim_suppliers_corpus", _pathsim_corpus)
+
     def _ws_generate():
         # generator throughput: 10M-edge small-world ring, pure projection
         from linkgraph import watts_strogatz_graph

@@ -588,3 +588,229 @@ def sample_frames(
             ).alias("frame_idx"),
         )
     )
+
+
+# ------------------------------------------------- perceptual image hashing
+# Near-duplicate image detection without a codec stack: decode (BMP),
+# grayscale, nearest-neighbor downsample, threshold — aHash / dHash (public
+# recipes; e.g. the classic pHash.org / Krawetz descriptions). All integer
+# arithmetic, so the synthesized fixture's closed-form pixels make every
+# hash SQL-replayable bit-for-bit.
+
+
+def _gray1000(img: np.ndarray) -> np.ndarray:
+    """Integer luma ×1000: 299·R + 587·G + 114·B (the ITU-R BT.601 weights
+    scaled to integers — exact, oracle-replayable; no float rounding)."""
+    p = img.astype(np.int64)
+    return 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+
+
+def _nn_grid(src: int, dst: int) -> np.ndarray:
+    """Nearest-neighbor index map (the resize_images convention):
+    position i of dst samples source index (i*src)//dst."""
+    return (np.arange(dst) * src) // dst
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Row-major bit-pack to a SIGNED 64-bit int (bit k of flat position k;
+    two's-complement wrap for bit 63 — matches BIGINT in Spark/DuckDB)."""
+    flat = bits.reshape(-1).astype(np.uint64)
+    val = 0
+    for k, b in enumerate(flat):
+        if b:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_phash(
+    df: DataFrame,
+    method: str = "dhash",
+    hash_size: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash from a real BMP decode. Returns
+    [<id_col>, width, height, phash bigint].
+
+    - ``dhash``: NN-downsample the integer luma to (hash_size+1) ×
+      hash_size, set bit (row·hash_size + col) iff gray[row][col+1] >
+      gray[row][col] — the gradient hash; robust to uniform brightness
+      shifts.
+    - ``ahash``: NN-downsample to hash_size × hash_size, set each bit iff
+      the cell exceeds the image's mean cell value (strict >; integer
+      compare ``cell · N > Σcells`` avoids any float mean).
+
+    hash_size must satisfy hash_size² ≤ 64 (one BIGINT). The kernel is the
+    standard fused decode+reduce shape: mapInPandas over (id, payload),
+    shuffle-free, per-row working set."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"method must be dhash|ahash, got {method!r}")
+    if hash_size < 2 or hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size must be in [2, 8] (hash_size^2 <= 64 bits), "
+            f"got {hash_size}"
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {id_col: [], "width": [], "height": [], "phash": []}
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                img = _parse_bmp(bytes(buf))
+                h, w, _ = img.shape
+                gray = _gray1000(img)
+                ys = _nn_grid(h, hash_size)
+                if method == "dhash":
+                    xs = _nn_grid(w, hash_size + 1)
+                    cells = gray[np.ix_(ys, xs)]
+                    bits = cells[:, 1:] > cells[:, :-1]
+                else:
+                    xs = _nn_grid(w, hash_size)
+                    cells = gray[np.ix_(ys, xs)]
+                    bits = cells * cells.size > cells.sum()
+                rows[id_col].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["phash"].append(_pack_bits(bits))
+            yield pd.DataFrame(rows)
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, width int, height int, phash bigint"
+    )
+
+
+def phash_duplicates(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    num_bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over 64-bit perceptual
+    hashes — the banded-LSH shape (the MinHash dedup recipe applied to
+    bit-space): split each hash into ``num_bands`` contiguous bit bands,
+    bucket-join on (band, band_value), then verify candidates with
+    ``bit_count(h1 XOR h2) <= max_distance``. By pigeonhole the recall is
+    EXACT when ``max_distance < num_bands`` (fewer flipped bits than bands
+    ⇒ at least one band untouched); larger distances degrade to LSH recall
+    and are rejected. Returns [id_a, id_b, hamming] with id_a < id_b,
+    deduplicated across bands.
+
+    Scale shape: one short-key shuffle on the band buckets (64/num_bands
+    bits each), candidate verification is a JVM bit op — no all-pairs step
+    anywhere; identical to the text MinHash banding already proven at
+    scale (dedup.py)."""
+    if not 0 <= max_distance < num_bands:
+        raise ValueError(
+            f"exact recall needs max_distance < num_bands "
+            f"(got d={max_distance}, bands={num_bands})"
+        )
+    if 64 % num_bands != 0:
+        raise ValueError(f"num_bands must divide 64, got {num_bands}")
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("_id", "_h", "bv.band", "bv.val")
+    left = bands.select(
+        "band", "val", F.col("_id").alias("id_a"), F.col("_h").alias("h_a")
+    )
+    right = bands.select(
+        "band", "val", F.col("_id").alias("id_b"), F.col("_h").alias("h_b")
+    )
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()  # a close pair can collide in several bands
+    )
+    return pairs
+
+
+# ------------------------------------------------------ audio quality flags
+# The WAV-side analog of the text quality filters: cheap per-clip integer
+# statistics that decide keep/drop for a training corpus — silence and
+# clipping fractions, peak, and total energy. Exact integers, so the
+# synthesized fixture's closed-form samples make every value
+# SQL-replayable.
+
+
+def audio_quality(
+    df: DataFrame,
+    silence_threshold: int = 100,
+    clip_threshold: int = 32000,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-clip quality flags from a real WAV PCM-16 decode. Returns
+    [<id_col>, sample_rate, n_samples, n_silent, n_clipped, peak,
+    energy, silence_ratio, clipping_ratio]:
+
+    - ``n_silent``  = #{i : |s(i)| ≤ silence_threshold}
+    - ``n_clipped`` = #{i : |s(i)| ≥ clip_threshold} (near-full-scale —
+      the standard clipping detector for 16-bit PCM, where true clipping
+      pins samples at ±32767/-32768)
+    - ``peak``      = max |s(i)| (0 for an empty clip)
+    - ``energy``    = Σ s(i)² (int64-exact: ≤ 2³⁰ per sample)
+    - ratios are the counts over n_samples (0.0 for an empty clip)."""
+    if silence_threshold < 0 or clip_threshold <= silence_threshold:
+        raise ValueError(
+            "need 0 <= silence_threshold < clip_threshold, got "
+            f"{silence_threshold} / {clip_threshold}"
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {
+                id_col: [], "sample_rate": [], "n_samples": [],
+                "n_silent": [], "n_clipped": [], "peak": [], "energy": [],
+            }
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = _parse_wav(bytes(buf))
+                a = np.abs(s.astype(np.int64))
+                rows[id_col].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["n_silent"].append(int((a <= silence_threshold).sum()))
+                rows["n_clipped"].append(int((a >= clip_threshold).sum()))
+                rows["peak"].append(int(a.max()) if len(s) else 0)
+                rows["energy"].append(int((a * a).sum()))
+            yield pd.DataFrame(rows)
+
+    id_type = dict(df.dtypes)[id_col]
+    base = df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_type}, sample_rate int, n_samples int, "
+        "n_silent bigint, n_clipped bigint, peak bigint, energy bigint",
+    )
+    n = F.col("n_samples")
+    ratio = lambda c: F.when(n > 0, F.col(c).cast("double") / n).otherwise(0.0)  # noqa: E731
+    return base.select(
+        "*",
+        ratio("n_silent").alias("silence_ratio"),
+        ratio("n_clipped").alias("clipping_ratio"),
+    )

@@ -10894,3 +10894,153 @@ _reordered.update({k: v for k, v in QUERIES.items() if k not in _window})
 QUERIES.clear()
 QUERIES.update(_reordered)
 del _window, _reordered
+
+
+# ------------------------------------------------------------------ round 5
+# Multimodal OPERATORS beyond stats (VERDICT r4 task #7): perceptual image
+# hashing + banded near-dup pairs, and audio quality flags — all over the
+# real BMP/WAV decoders, all value-hash-checked against the synthesized
+# fixture's closed-form generative formulas replayed in pure SQL.
+
+
+def q_media_image_dhash(spark, sf_dir):
+    """64-bit dHash per synthesized BMP (decode → integer luma ×1000 →
+    9×8 nearest-neighbor grid → horizontal gradient bits). The oracle
+    recomputes every bit from the generative pixel formula and packs with
+    HUGEINT shifts — a hash match proves decoder, luma weights, NN grid,
+    and two's-complement packing all agree bit-for-bit."""
+    from linkgraph.pipeline.multimodal import image_phash, synthesize_media
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    return image_phash(media.filter(F.col("kind") == "image"))
+
+
+def q_media_phash_dup_pairs(spark, sf_dir):
+    """Near-duplicate image pairs by banded pHash LSH (8 bands × 8 bits,
+    Hamming ≤ 7 — exact by pigeonhole since 7 < 8 bands). The oracle is a
+    BRUTE-FORCE all-pairs Hamming join over the closed-form hashes, so a
+    hash match proves the banding loses no pair."""
+    from linkgraph.pipeline.multimodal import (
+        image_phash,
+        phash_duplicates,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    hashes = image_phash(media.filter(F.col("kind") == "image"))
+    return phash_duplicates(hashes, max_distance=7, num_bands=8).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_media_audio_quality(spark, sf_dir):
+    """Per-clip audio quality flags (silence ≤100, clipping ≥900 on the
+    ±1001-range synthesized samples) — integer counts, peak, energy, and
+    floor-e6 ratios (floor, not round: half-up vs banker's rounding can
+    differ between engines; floor of these doubles is exact because the
+    fractional part is ≥ 1/n_samples, far above one ulp)."""
+    from linkgraph.pipeline.multimodal import audio_quality, synthesize_media
+
+    media = synthesize_media(spark, n_rows=MEDIA_ROWS, seed=MEDIA_SEED)
+    out = audio_quality(
+        media.filter(F.col("kind") == "audio"),
+        silence_threshold=100,
+        clip_threshold=900,
+    )
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "n_silent",
+        "n_clipped",
+        "peak",
+        "energy",
+        F.floor(F.col("silence_ratio") * 1e6).cast("long").alias("silence_e6"),
+        F.floor(F.col("clipping_ratio") * 1e6).cast("long").alias("clipping_e6"),
+    )
+
+
+def _phash_closed_form_sql() -> str:
+    """CTE chain ending in ``hs(media_id, width, height, phash)`` — the
+    closed-form dHash of every synthesized image, HUGEINT-packed and
+    wrapped to signed 64-bit."""
+    s, n = MEDIA_SEED, MEDIA_ROWS
+    return f"""
+        img AS (SELECT id, 13 + id % 5 AS w, 7 + id % 4 AS h
+                FROM range(0, {n}) t(id) WHERE id % 3 = 0),
+        cells AS (
+          SELECT id, w, h, i, j,
+                 299*(({s} +   id +  3*((j*w)//9) +  7*((i*h)//8)) % 256)
+               + 587*(({s} + 2*id +  5*((j*w)//9) + 11*((i*h)//8)) % 256)
+               + 114*(({s} + 3*id + 13*((j*w)//9) + 17*((i*h)//8)) % 256) AS g
+          FROM img CROSS JOIN range(0, 8) ri(i) CROSS JOIN range(0, 9) rj(j)
+        ),
+        bits AS (
+          SELECT a.id, a.w, a.h, a.i, a.j,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM cells a
+          JOIN cells b ON b.id = a.id AND b.i = a.i AND b.j = a.j + 1
+          WHERE a.j < 8
+        ),
+        packed AS (
+          SELECT id, w, h,
+                 sum(CASE WHEN bit = 1
+                     THEN (1::HUGEINT << CAST(i*8 + j AS INT))
+                     ELSE 0::HUGEINT END) AS hsum
+          FROM bits GROUP BY id, w, h
+        ),
+        hs AS (
+          SELECT CAST(id AS BIGINT) AS media_id,
+                 CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                 CAST(hsum - CASE WHEN hsum >= 9223372036854775808::HUGEINT
+                      THEN 18446744073709551616::HUGEINT
+                      ELSE 0::HUGEINT END AS BIGINT) AS phash
+          FROM packed
+        )
+    """
+
+
+_ROUND5_MEDIA_ORACLES = {
+    "media_image_dhash": f"""
+        WITH {_phash_closed_form_sql()}
+        SELECT media_id, width, height, phash FROM hs
+    """,
+    "media_phash_dup_pairs": f"""
+        WITH {_phash_closed_form_sql()}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM hs a JOIN hs b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """,
+    "media_audio_quality": f"""
+        WITH aud AS (SELECT id, 100 + id % 50 AS n
+                     FROM range(0, {MEDIA_ROWS}) t(id) WHERE id % 3 = 1),
+        samp AS (SELECT id, n, abs(({MEDIA_SEED} + 31*id + 17*i) % 2003 - 1001) AS a
+                 FROM aud CROSS JOIN range(0, 149) r(i) WHERE i < n),
+        agg AS (
+          SELECT id, n,
+                 sum(CASE WHEN a <= 100 THEN 1 ELSE 0 END) AS n_silent,
+                 sum(CASE WHEN a >= 900 THEN 1 ELSE 0 END) AS n_clipped,
+                 max(a) AS peak, sum(a * a) AS energy
+          FROM samp GROUP BY id, n
+        )
+        SELECT CAST(id AS BIGINT) AS media_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS INT) AS n_samples,
+               CAST(n_silent AS BIGINT) AS n_silent,
+               CAST(n_clipped AS BIGINT) AS n_clipped,
+               CAST(peak AS BIGINT) AS peak,
+               CAST(energy AS BIGINT) AS energy,
+               CAST(floor(1000000.0 * n_silent / n) AS BIGINT) AS silence_e6,
+               CAST(floor(1000000.0 * n_clipped / n) AS BIGINT) AS clipping_e6
+        FROM agg
+    """,
+}
+
+QUERIES.update(
+    {
+        "media_image_dhash": q_media_image_dhash,
+        "media_phash_dup_pairs": q_media_phash_dup_pairs,
+        "media_audio_quality": q_media_audio_quality,
+    }
+)
+ORACLE_SQL.update(_ROUND5_MEDIA_ORACLES)
