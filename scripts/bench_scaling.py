@@ -120,8 +120,18 @@ def main():
     # contamination the leg protocol exists to avoid.
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="lg_scaling_")
-    edges_path = f"{tmp}/edges"
+    # LG_SCALE_EDGES: reuse an already-generated edge parquet (the
+    # generation is deterministic in n_files/seed, so a relaunch after a
+    # leg failure — OOM, steal storm — need not pay the ~13-min synthesis
+    # again; the caller owns the path/file-count match)
+    pre = os.environ.get("LG_SCALE_EDGES")
+    if pre:
+        n_edges = None
+        edges_path = pre
+        tmp = None
+    else:
+        tmp = tempfile.mkdtemp(prefix="lg_scaling_")
+        edges_path = f"{tmp}/edges"
     gen_script = f"""
 import sys
 sys.path.insert(0, {repo!r})
@@ -136,17 +146,19 @@ derive_edges(corpus, cochange_cap=16).write.mode("overwrite").parquet({edges_pat
 corpus.unpersist()
 print("N_EDGES=" + str(spark.read.parquet({edges_path!r}).count()))
 """
-    gen = subprocess.run(
-        [sys.executable, "-c", gen_script], capture_output=True, text=True,
-        timeout=3600,
-    )
-    marks = [l for l in gen.stdout.splitlines() if l.startswith("N_EDGES=")]
-    if not marks:
-        print("input generation failed; stderr tail:")
-        print("\n".join(gen.stderr.strip().splitlines()[-30:]))
-        sys.exit(1)
-    n_edges = int(marks[-1].split("=")[1])
-    print(f"input: {n_edges} edges from {n_files} files → {edges_path}")
+    if not pre:
+        gen = subprocess.run(
+            [sys.executable, "-c", gen_script], capture_output=True, text=True,
+            timeout=3600,
+        )
+        marks = [l for l in gen.stdout.splitlines() if l.startswith("N_EDGES=")]
+        if not marks:
+            print("input generation failed; stderr tail:")
+            print("\n".join(gen.stderr.strip().splitlines()[-30:]))
+            sys.exit(1)
+        n_edges = int(marks[-1].split("=")[1])
+    print(f"input: {n_edges or 'pre-generated'} edges from {n_files} files "
+          f"→ {edges_path}")
 
     # Shared-tenancy host steal swings single legs by 2-4x (one measured
     # local[32] leg ran 4x slower than the identical job an hour earlier).
@@ -216,6 +228,8 @@ print("N_EDGES=" + str(spark.read.parquet({edges_path!r}).count()))
     cap_4n = calib["speedup_8"] if n4_c == 8 else (calib["speedup_32"] if n4_c == 32 else n4_c)
     cap_ratio = cap_4n / cap_n
     eff_norm = (thr_4n / thr_n) / cap_ratio
+    if n_edges is None:  # pre-generated input: take the count from a leg
+        n_edges = all_runs[core_pair[0]][0]["edges"]
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
 
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
