@@ -79,26 +79,31 @@ def _first_passage(graph, targets, max_iter, tol, mode):
                 .groupBy(SRC)
                 .agg((base + F.sum(F.col("prob") * F.col("_hv"))).alias("_new"))
             )
+            # ONE materialization per superstep (r5: the old shape
+            # checkpointed nv and then checkpointed a projection of it
+            # AGAIN — two full state passes per round, the profiled gap
+            # vs pagerank's ~1 s/superstep on the same corpus); the
+            # previous value rides along as _prev so the convergence
+            # delta is a pure scan of this round's own output, exactly
+            # pagerank's convergence-stats shape
             nv = (
-                v.select(ID, "_t", "val")
+                v.select(ID, "_t", F.col("val").alias("_prev"))
                 .join(msg.select(F.col(SRC).alias(ID), "_new"), ID, "left")
                 .select(
                     ID,
                     "_t",
-                    "val",
+                    "_prev",
                     F.when(F.col("_t"), F.when(F.lit(mode == "absorb"), 1.0).otherwise(0.0))
                     .otherwise(F.coalesce("_new", F.lit(0.0) + base))
-                    .alias("_nv"),
+                    .alias("val"),
                 )
                 .localCheckpoint(eager=True)
             )
             if tol > 0.0:
                 delta = nv.agg(
-                    F.max(F.abs(F.col("_nv") - F.col("val")))
+                    F.max(F.abs(F.col("val") - F.col("_prev")))
                 ).collect()[0][0]
-            v = nv.select(ID, "_t", F.col("_nv").alias("val")).localCheckpoint(
-                eager=True
-            )
+            v = nv.select(ID, "_t", "val")  # narrow view over the checkpoint
             if tol > 0.0 and delta is not None and delta <= tol:
                 converged = True
                 break

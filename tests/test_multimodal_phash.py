@@ -96,8 +96,10 @@ def test_banding_is_exact_vs_brute_force(spark):
 
 
 def test_dhash_brightness_invariance_ahash_not(spark):
-    img = _rng_image(3)
-    lifted = np.clip(img.astype(np.int32) + 40, 0, 215).astype(np.uint8)
+    # base bounded to [0, 215] so the +40 lift saturates nowhere — a truly
+    # uniform shift (saturation would flip gradients)
+    img = (_rng_image(3).astype(np.int32) * 215 // 255).astype(np.uint8)
+    lifted = (img.astype(np.int32) + 40).astype(np.uint8)
     df = spark.createDataFrame(
         [(0, _encode_bmp(img)), (1, _encode_bmp(lifted))],
         "media_id long, payload binary",
