@@ -227,6 +227,15 @@ def pathsim(
             .select("b")
         )
         e = e.join(keep, "b", "left_semi")
+    # pin the (T, B, n) count table: selfc, the bridge self-join, and the
+    # normalization all read it — unpinned, every reference re-runs the
+    # whole node-typing upstream (plan audit measured 87 exchanges, 32 of
+    # them the node-derivation hashpartitioning(id), zero reused); pinned,
+    # the upstream runs once and downstream exchanges are count-table-sized
+    e = pin_partitioned(e.repartition(
+        int(graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "b",
+    ))
     selfc = e.groupBy("x").agg(F.sum(F.col("n") * F.col("n")).alias("cself"))
     other = e.select(F.col("x").alias("y"), "b", F.col("n").alias("m"))
     cross = (
