@@ -237,20 +237,7 @@ class LinkGraph:
         of edges."""
         import networkx as nx
 
-        n_nodes = self._nodes.limit(max_nodes + 1).count()
-        if n_nodes > max_nodes:
-            raise ValueError(
-                f"graph exceeds max_nodes={max_nodes}; to_networkx is a "
-                "driver-local conversion — raise max_nodes explicitly only "
-                "if the collected graph fits in driver memory"
-            )
-        n_edges = self._edges.limit(max_edges + 1).count()
-        if n_edges > max_edges:
-            raise ValueError(
-                f"graph exceeds max_edges={max_edges}; to_networkx is a "
-                "driver-local conversion — raise max_edges explicitly only "
-                "if the collected graph fits in driver memory"
-            )
+        self._guard_driver_local("to_networkx", max_nodes, max_edges)
         g = nx.DiGraph() if self._directed else nx.Graph()
         for nd in self._nodes.toPandas().to_dict("records"):
             g.add_node(nd.pop(ID), **{k: v for k, v in nd.items() if v is not None})
@@ -258,6 +245,103 @@ class LinkGraph:
             u, v = ed.pop(SRC), ed.pop(DST)
             g.add_edge(u, v, **{k: v2 for k, v2 in ed.items() if v2 is not None})
         return g
+
+    def _guard_driver_local(self, op: str, max_nodes: int, max_edges: int):
+        """Probe node/edge counts (limit(k+1).count(), O(threshold)) before a
+        driver-local materialization; shared by to_networkx-style exports."""
+        n_nodes = self._nodes.limit(max_nodes + 1).count()
+        if n_nodes > max_nodes:
+            raise ValueError(
+                f"graph exceeds max_nodes={max_nodes}; {op} is a driver-local "
+                "conversion — raise max_nodes explicitly only if the collected "
+                "graph fits in driver memory"
+            )
+        n_edges = self._edges.limit(max_edges + 1).count()
+        if n_edges > max_edges:
+            raise ValueError(
+                f"graph exceeds max_edges={max_edges}; {op} is a driver-local "
+                "conversion — raise max_edges explicitly only if the collected "
+                "graph fits in driver memory"
+            )
+
+    def to_adjacency_arrays(
+        self, max_nodes: int = 100_000, max_edges: int = 1_000_000
+    ) -> dict:
+        """Dense-integer edge arrays for tensor-library handoff — the Spark
+        side of the reference's DGL hook (``graph.py:272-284,602-619``, whose
+        ``dgl.from_networkx`` path is equally driver-local). Nodes are
+        indexed ``0..n-1`` in sorted-id order (deterministic across runs and
+        partitionings); undirected graphs already carry both edge directions
+        in the canonical edge table, matching ``dgl.from_networkx`` on an
+        ``nx.Graph``. Numeric node/edge attribute columns ride along as
+        aligned float64 arrays (the reference forwards attrs the same way);
+        non-numeric attrs are omitted — tensors can't hold them.
+
+        Returns ``{"ids": list, "num_nodes": int, "src": int64[m],
+        "dst": int64[m], "node_attrs": {col: float64[n]},
+        "edge_attrs": {col: float64[m]}}`` (WEIGHT appears in edge_attrs
+        for weighted graphs). Same size guards as ``to_networkx``."""
+        import numpy as np
+
+        self._guard_driver_local("to_adjacency_arrays", max_nodes, max_edges)
+        npd = self._nodes.orderBy(ID).toPandas()
+        ids = npd[ID].tolist()
+        index = {v: i for i, v in enumerate(ids)}
+        epd = self._edges.toPandas()
+        src = epd[SRC].map(index).to_numpy(dtype=np.int64)
+        dst = epd[DST].map(index).to_numpy(dtype=np.int64)
+        num = ("int8", "int16", "int32", "int64", "float32", "float64")
+
+        def _numeric(pdf, drop):
+            return {
+                c: pdf[c].to_numpy(dtype=np.float64)
+                for c in pdf.columns
+                if c not in drop and str(pdf[c].dtype) in num
+            }
+
+        return {
+            "ids": ids,
+            "num_nodes": len(ids),
+            "src": src,
+            "dst": dst,
+            "node_attrs": _numeric(npd, (ID,)),
+            "edge_attrs": _numeric(epd, (SRC, DST)),
+        }
+
+    def to_dgl(self, max_nodes: int = 100_000, max_edges: int = 1_000_000):
+        """The reference's ``Graph.dgl`` conversion (``graph.py:272-284,
+        602-619``) rebuilt on :meth:`to_adjacency_arrays`: the Spark-side
+        work (guarded collect, dense indexing, attr alignment) runs here;
+        the final ``dgl.graph`` construction is import-gated because dgl and
+        torch are optional dependencies. Node/edge numeric attrs land in
+        ``g.ndata``/``g.edata`` exactly as the reference's
+        ``from_networkx(node_attrs=…, edge_attrs=…)`` would place them."""
+        arrays = self.to_adjacency_arrays(max_nodes, max_edges)
+        try:
+            import dgl
+            import torch
+        except ImportError as exc:
+            raise ImportError(
+                "to_dgl needs the optional 'dgl' and 'torch' packages; the "
+                "collected tensors are available without them via "
+                "to_adjacency_arrays()"
+            ) from exc
+        g = dgl.graph(
+            (torch.from_numpy(arrays["src"]), torch.from_numpy(arrays["dst"])),
+            num_nodes=arrays["num_nodes"],
+        )
+        for name, arr in arrays["node_attrs"].items():
+            g.ndata[name] = torch.from_numpy(arr)
+        for name, arr in arrays["edge_attrs"].items():
+            g.edata[name] = torch.from_numpy(arr)
+        return g
+
+    @property
+    def dgl(self):
+        """Cached DGL conversion — reference ``graph.py:272-284`` parity."""
+        if getattr(self, "_as_dgl", None) is None:
+            self._as_dgl = self.to_dgl()
+        return self._as_dgl
 
     def __str__(self) -> str:
         # Counts run two small Spark jobs — matches the reference's

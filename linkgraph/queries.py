@@ -11044,3 +11044,55 @@ QUERIES.update(
     }
 )
 ORACLE_SQL.update(_ROUND5_MEDIA_ORACLES)
+
+
+# ------------------------------------------------------- round 5: exports
+
+
+def q_adjacency_export_nation(spark, sf_dir):
+    """Dense-integer adjacency export (LinkGraph.to_adjacency_arrays — the
+    Spark side of the reference's ``Graph.dgl`` hook, graph.py:272-284,
+    602-619) on the undirected nation–region graph. Emits every directed
+    edge with BOTH its string ids and its dense indices, so a hash match
+    proves the sorted-id indexing, the undirected doubling, and the
+    id↔index alignment in one query."""
+    g = nation_region_graph(spark, sf_dir)
+    a = g.to_adjacency_arrays()
+    rows = [
+        (a["ids"][s], int(s), a["ids"][d], int(d))
+        for s, d in zip(a["src"].tolist(), a["dst"].tolist())
+    ]
+    return spark.createDataFrame(
+        rows, "src_id string, src_idx long, dst_id string, dst_idx long"
+    )
+
+
+QUERIES.update({"adjacency_export_nation": q_adjacency_export_nation})
+ORACLE_SQL.update(
+    {
+        "adjacency_export_nation": """
+            WITH e0 AS (
+              SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src,
+                     'r' || CAST(n_regionkey AS VARCHAR) AS dst
+              FROM nation
+            ),
+            e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM e0
+              )
+            ),
+            ids AS (
+              SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx
+              FROM (SELECT DISTINCT src AS id FROM e
+                    UNION SELECT DISTINCT dst FROM e)
+            )
+            SELECT e.src AS src_id, CAST(a.idx AS BIGINT) AS src_idx,
+                   e.dst AS dst_id, CAST(b.idx AS BIGINT) AS dst_idx
+            FROM e
+            JOIN ids a ON e.src = a.id
+            JOIN ids b ON e.dst = b.id
+        """,
+    }
+)
