@@ -171,7 +171,7 @@ from linkgraph.estimators import (
     SpectralClustering,
     Transition,
 )
-from linkgraph.viz import moebius_json
+from linkgraph.viz import moebius_html, moebius_json
 
 __all__ = [
     "LinkGraph",
@@ -319,6 +319,7 @@ __all__ = [
     "Transition",
     "SparkRandomWalker",
     "SparkSpreadingActivation",
+    "moebius_html",
     "moebius_json",
 ]
 
