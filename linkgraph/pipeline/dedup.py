@@ -515,6 +515,77 @@ def duplicate_span_fraction(
     )
 
 
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document line-level dedup — the CCNet / RefinedWeb / C4-family
+    boilerplate-removal transform: delete every line whose trimmed form
+    occurs in at least ``min_docs`` DISTINCT documents (nav bars, cookie
+    banners, footers — the lines that repeat across a crawl), keeping each
+    document's remaining lines in their original order. Lines whose trimmed
+    form is empty or shorter than ``min_chars`` are never removed (an empty
+    line is not evidence of boilerplate). Complements
+    :func:`duplicate_span_fraction` (a per-doc SCORE over token spans) —
+    this one REWRITES the text, line-granular.
+
+    Plan: posexplode lines once; the boilerplate test is ONE algebraic
+    distinct-docs-per-line aggregate keyed by ``xxhash64`` of the trimmed
+    line (8-byte shuffle keys, never line strings; collision odds ~n²/2^65 —
+    same trade as duplicate_span_fraction); rebuild is one per-doc
+    sort_array + array_join over bounded doc-sized lists. No windows, no
+    UDFs, no pairwise join — a line shared by 10^6 docs costs one aggregate
+    row.
+
+    Returns DataFrame[id_col, text_col (rewritten), n_lines, n_dropped];
+    a document whose every line is boilerplate comes back as ''.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2 (got {min_docs})")
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_line"),
+    ).withColumn("_k", F.trim("_line"))
+    removable = (F.length("_k") >= int(min_chars)) & (F.col("_k") != "")
+    cand = lines.filter(removable).select("_id", F.xxhash64("_k").alias("_h"))
+    dup = (
+        cand.dropDuplicates(["_id", "_h"])
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d") >= int(min_docs))
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.withColumn(
+        "_hh", F.when(removable, F.xxhash64("_k"))
+    ).join(dup, F.col("_hh") == dup["_h"], "left")
+    rebuilt = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("_dup").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_dup").isNull(), F.struct("_i", "_line")
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        F.col("_text").alias(text_col),
+        "n_lines",
+        "n_dropped",
+    )
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     threshold: float = 0.5,

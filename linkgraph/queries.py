@@ -11096,3 +11096,86 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_line_dedup_documents(spark, sf_dir):
+    """Cross-doc line-level boilerplate removal (pipeline/dedup.py:
+    drop_duplicate_lines — the CCNet/RefinedWeb transform). The documents
+    table is single-line word soup, so the query first reformats each doc
+    into 2-word lines (short lines collide heavily across docs — real
+    boilerplate pressure); lines shared by ≥5 distinct docs are removed.
+    The oracle rebuilds the rewritten TEXT byte-for-byte, so a hash match
+    pins the distinct-doc counting, the immunity rules, and the
+    order-preserving rebuild."""
+    from linkgraph.pipeline.dedup import drop_duplicate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(2)).cast("int")
+        ),
+        lambda i: F.array_join(
+            F.slice(toks, (i - F.lit(1)) * F.lit(2) + F.lit(1), F.lit(2)),
+            " ",
+        ),
+    )
+    reformatted = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return drop_duplicate_lines(reformatted, min_docs=5).select(
+        "doc_id", "text", "n_lines", "n_dropped"
+    )
+
+
+QUERIES.update({"line_dedup_documents": q_line_dedup_documents})
+ORACLE_SQL.update(
+    {
+        "line_dedup_documents": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            refm AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, CAST(ceil(len(w) / 2.0) AS INT)),
+                       i -> array_to_string(
+                              list_slice(w, (i-1)*2 + 1, (i-1)*2 + 2), ' ')
+                     ) AS ls
+              FROM base
+            ),
+            ln AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(ls))) AS i,
+                     unnest(ls) AS line
+              FROM refm
+            ),
+            dup AS (
+              SELECT trim(line) AS k FROM ln
+              WHERE trim(line) <> ''
+              GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 5
+            ),
+            stats AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN trim(line) <> ''
+                              AND trim(line) IN (SELECT k FROM dup)
+                         THEN 1 ELSE 0 END) AS n_dropped
+              FROM ln GROUP BY doc_id
+            ),
+            agg AS (
+              SELECT doc_id,
+                     coalesce(
+                       string_agg(line, chr(10) ORDER BY i), '') AS text
+              FROM ln
+              WHERE trim(line) = ''
+                 OR trim(line) NOT IN (SELECT k FROM dup)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id, coalesce(a.text, '') AS text,
+                   CAST(s.n_lines AS BIGINT) AS n_lines,
+                   CAST(s.n_dropped AS BIGINT) AS n_dropped
+            FROM stats s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        """,
+    }
+)
