@@ -443,6 +443,31 @@ def main():
 
     timed("dupspan_corpus", _dupspan_corpus)
 
+    def _line_dedup_corpus():
+        # cross-doc line-level boilerplate removal over the 300k-file
+        # corpus: popular modules' import lines repeat across importers —
+        # real removal pressure (min_docs=4: the corpus measures max 6-7
+        # distinct importers per line at 20k files, so 8 never fires);
+        # one distinct-docs-per-line aggregate on 8-byte line hashes +
+        # the per-doc ordered rebuild
+        from linkgraph.pipeline.dedup import drop_duplicate_lines
+
+        d = corpus.select(
+            F.col("path").alias("doc_id"), F.col("content").alias("text")
+        )
+        row = (
+            drop_duplicate_lines(d, min_docs=4)
+            .agg(
+                F.sum("n_dropped").alias("dropped"),
+                F.sum("n_lines").alias("lines"),
+            )
+            .collect()[0]
+        )
+        extra["line_dedup_dropped"] = int(row["dropped"] or 0)
+        extra["line_dedup_lines"] = int(row["lines"] or 0)
+
+    timed("line_dedup_corpus", _line_dedup_corpus)
+
     def _eigenvector_corpus():
         # 5 fixed supersteps of the L2-normalized (A+I)^T power iteration
         # (distributed plan; tol=0 skips the per-step delta action)
