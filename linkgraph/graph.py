@@ -288,8 +288,21 @@ class LinkGraph:
         ids = npd[ID].tolist()
         index = {v: i for i, v in enumerate(ids)}
         epd = self._edges.toPandas()
-        src = epd[SRC].map(index).to_numpy(dtype=np.int64)
-        dst = epd[DST].map(index).to_numpy(dtype=np.int64)
+        src_m = epd[SRC].map(index)
+        dst_m = epd[DST].map(index)
+        n_orphan = int(src_m.isna().sum() + dst_m.isna().sum())
+        if n_orphan:
+            # only possible with an EXPLICIT nodes table that misses edge
+            # endpoints (inferred nodes always cover them); a dense tensor
+            # has no slot for an unindexed endpoint — refuse loudly instead
+            # of NaN-casting
+            raise ValueError(
+                f"{n_orphan} edge endpoint(s) missing from the nodes table; "
+                "to_adjacency_arrays needs every edge endpoint indexed — "
+                "add the missing ids to nodes or drop the dangling edges"
+            )
+        src = src_m.to_numpy(dtype=np.int64)
+        dst = dst_m.to_numpy(dtype=np.int64)
         num = ("int8", "int16", "int32", "int64", "float32", "float64")
 
         def _numeric(pdf, drop):

@@ -541,7 +541,9 @@ def drop_duplicate_lines(
     row.
 
     Returns DataFrame[id_col, text_col (rewritten), n_lines, n_dropped];
-    a document whose every line is boilerplate comes back as ''.
+    a document whose every line is boilerplate comes back as ''. A NULL
+    text stays NULL with 0 lines (posexplode would silently drop the row —
+    the id join below keeps every input document in the output).
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2 (got {min_docs})")
@@ -578,11 +580,15 @@ def drop_duplicate_lines(
             "\n",
         ).alias("_text"),
     )
-    return rebuilt.select(
-        F.col("_id").alias(id_col),
-        F.col("_text").alias(text_col),
-        "n_lines",
-        "n_dropped",
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_text").alias(text_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
     )
 
 

@@ -80,3 +80,11 @@ def test_to_dgl_import_gated_or_real(directed_graph):
         g = directed_graph.dgl
         assert g.num_nodes() == 3 and g.num_edges() == 4
         assert g.edata["weight"].shape[0] == 4
+
+
+def test_explicit_nodes_missing_endpoint_raises(spark):
+    e = spark.createDataFrame([("a", "b"), ("a", "zz")], ["src", "dst"])
+    n = spark.createDataFrame([("a",), ("b",)], ["id"])
+    g = LinkGraph(e, nodes=n)
+    with pytest.raises(ValueError, match="missing from the nodes table"):
+        g.to_adjacency_arrays()

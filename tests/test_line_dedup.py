@@ -95,3 +95,21 @@ def test_plan_no_python_no_window(spark):
     )
     assert "EvalPython" not in plan
     assert "Window" not in plan.replace("WindowGroupLimit", "")
+
+
+def test_null_text_doc_survives(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, None)], schema
+    )
+    out = _rows(drop_duplicate_lines(docs, min_docs=2))
+    assert set(out) == {1, 2, 3}
+    assert out[3]["text"] is None
+    assert out[3]["n_lines"] == 0 and out[3]["n_dropped"] == 0
