@@ -110,12 +110,13 @@ def k_lightest_walks(
         # would displace the walk here), so only the empty walk at the
         # source needs explicit re-seeding
         # restricted like `state`: a phantom source must not be re-seeded
-        # into every iteration's candidate union either
-        seed = (
-            spark.createDataFrame([(source,)], f"{ID} {id_t}")
-            .join(graph.nodes.select(ID), ID, "left_semi")
-            .select(ID, F.lit(0.0).alias("val"))
-        )
+        # into every iteration's candidate union either. Derived from the
+        # CHECKPOINTED state (which is exactly the validated source row)
+        # rather than re-joining graph.nodes — the seed rides every
+        # superstep's candidate union, and a lazy left_semi against
+        # inferred nodes would re-run the distinct-over-all-edges node
+        # derivation once per hop.
+        seed = state.select(ID, F.lit(0.0).alias("val"))
         for _ in range(max_hops):
             ext = (
                 state.join(edges, state[ID] == edges["u"])

@@ -236,38 +236,52 @@ def pathsim(
         int(graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         "b",
     ))
-    selfc = e.groupBy("x").agg(F.sum(F.col("n") * F.col("n")).alias("cself"))
-    other = e.select(F.col("x").alias("y"), "b", F.col("n").alias("m"))
-    cross = (
-        e.join(other, "b")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.sum(F.col("n") * F.col("m")).alias("cxy"))
-    )
-    out = (
-        cross.join(selfc, "x")
-        .join(
-            selfc.select(F.col("x").alias("y"), F.col("cself").alias("cy")), "y"
+    try:
+        selfc = e.groupBy("x").agg(
+            F.sum(F.col("n") * F.col("n")).alias("cself")
         )
-        .select(
-            "x",
-            "y",
-            (2.0 * F.col("cxy") / (F.col("cself") + F.col("cy"))).alias(
-                "pathsim"
-            ),
+        other = e.select(F.col("x").alias("y"), "b", F.col("n").alias("m"))
+        cross = (
+            e.join(other, "b")
+            .filter(F.col("x") < F.col("y"))
+            .groupBy("x", "y")
+            .agg(F.sum(F.col("n") * F.col("m")).alias("cxy"))
         )
-    )
-    if k is not None:
-        from pyspark.sql import Window
-
-        both = out.unionByName(
-            out.select(
-                F.col("y").alias("x"), F.col("x").alias("y"), "pathsim"
+        out = (
+            cross.join(selfc, "x")
+            .join(
+                selfc.select(
+                    F.col("x").alias("y"), F.col("cself").alias("cy")
+                ),
+                "y",
+            )
+            .select(
+                "x",
+                "y",
+                (2.0 * F.col("cxy") / (F.col("cself") + F.col("cy"))).alias(
+                    "pathsim"
+                ),
             )
         )
-        win = Window.partitionBy("x").orderBy(F.desc("pathsim"), F.asc("y"))
-        out = (
-            both.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= k)
-        )
-    return out
+        if k is not None:
+            from pyspark.sql import Window
+
+            both = out.unionByName(
+                out.select(
+                    F.col("y").alias("x"), F.col("x").alias("y"), "pathsim"
+                )
+            )
+            win = Window.partitionBy("x").orderBy(
+                F.desc("pathsim"), F.asc("y")
+            )
+            out = (
+                both.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+            )
+        # materialize before releasing the pin (the metapath_walks
+        # convention: the result must not stay lazy over a cache this
+        # function is responsible for unpersisting — ADVICE-style leak
+        # otherwise: one orphaned persisted table per pathsim call)
+        return out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -708,10 +708,18 @@ def phash_duplicates(
     if 64 % num_bands != 0:
         raise ValueError(f"num_bands must divide 64, got {num_bands}")
     width = 64 // num_bands
-    mask = (1 << width) - 1
     h = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     )
+
+    def _band_val(b: int) -> F.Column:
+        col = F.shiftrightunsigned(F.col("_h"), b * width)
+        if width < 64:
+            # full-width band (num_bands=1, the exact-duplicate config)
+            # needs no mask — and (1<<64)-1 overflows a signed long literal
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return col
+
     bands = h.select(
         "_id",
         "_h",
@@ -719,10 +727,7 @@ def phash_duplicates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_h"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(b).alias("band"), _band_val(b).alias("val")
                     )
                     for b in range(num_bands)
                 ]

@@ -376,15 +376,23 @@ def _bpe_segment_arrow(
     ranks: dict = {}
     for i, pair in enumerate(merges):
         ranks.setdefault(pair, i)
+    if out in df.columns:
+        # withColumn-replace semantics — the HOF kernel overwrites an
+        # existing output column, and engine='auto' must not change
+        # behavior at the merge-count crossover
+        df = df.drop(out)
     out_schema = StructType(
         df.schema.fields + [StructField(out, ArrayType(StringType()), True)]
     )
-    if out in df.columns:
-        raise ValueError(f"output column {out!r} already exists")
     pat_src = word_pattern
 
     def _segment(iterator):
-        pat = _re.compile(pat_src)
+        # re.ASCII pins \s / \w to the ASCII classes — Java regex (the HOF
+        # kernel's split + rlike) is ASCII-classed, and without the flag
+        # Python's Unicode \s would split NBSP/ideographic spaces the JVM
+        # kernel keeps inside a word, making engine='auto' change answers
+        # at the 32-merge crossover
+        pat = _re.compile(pat_src, _re.ASCII)
         cache: dict = {}
 
         def word_tokens(w: str) -> list:
@@ -425,7 +433,10 @@ def _bpe_segment_arrow(
                 col.append(
                     [
                         t
-                        for w in _re.split(r"\s+", text.strip())
+                        # no .strip(): Python str.strip is Unicode-aware;
+                        # leading/trailing ASCII-ws fragments become ''
+                        # words that fail word_pattern, same as the HOF path
+                        for w in _re.split(r"\s+", text, flags=_re.ASCII)
                         if pat.search(w)
                         for t in word_tokens(w)
                     ]

@@ -76,7 +76,7 @@ _MOEBIUS_PAGE = """<!DOCTYPE html>
 <html lang="en">
 <head>
 <meta charset="utf-8">
-<title>__TITLE__</title>
+<title>${title}</title>
 <style>
   body {{ margin: 0; font: 13px system-ui, sans-serif; background: #fafafa; }}
   #hdr {{ padding: 8px 12px; color: #444; }}
@@ -87,9 +87,9 @@ _MOEBIUS_PAGE = """<!DOCTYPE html>
 </style>
 </head>
 <body>
-<div id="hdr">__TITLE__ &mdash; <span id="meta"></span></div>
+<div id="hdr">${title} &mdash; <span id="meta"></span></div>
 <svg id="g" width="960" height="640"></svg>
-<script id="payload" type="application/json">__PAYLOAD__</script>
+<script id="payload" type="application/json">${payload}</script>
 <script>
 "use strict";
 // Self-contained force layout (Fruchterman–Reingold with velocity damping,
@@ -183,18 +183,26 @@ function draw() {{
 draw();
 // drag support
 var drag = null;
+function svgXY(ev) {{
+  // offsetX/Y are relative to the EVENT TARGET (the circle under the
+  // pointer), not the svg — always measure against the svg's box
+  var r = svg.getBoundingClientRect();
+  return [ev.clientX - r.left, ev.clientY - r.top];
+}}
 svg.addEventListener("mousedown", function (ev) {{
+  var p = svgXY(ev);
   var hit = data.nodes.find(function (n) {{
-    var dx = ev.offsetX - n.x, dy = ev.offsetY - n.y;
+    var dx = p[0] - n.x, dy = p[1] - n.y;
     return dx * dx + dy * dy <= n.r * n.r;
   }});
   if (hit) drag = hit;
 }});
 svg.addEventListener("mousemove", function (ev) {{
   if (!drag) return;
-  drag.x = ev.offsetX; drag.y = ev.offsetY;
+  var p = svgXY(ev);
+  drag.x = p[0]; drag.y = p[1];
   for (var i = 0; i < 3; i++) step(2);
-  drag.x = ev.offsetX; drag.y = ev.offsetY;
+  drag.x = p[0]; drag.y = p[1];
   draw();
 }});
 svg.addEventListener("mouseup", function () {{ drag = null; }});
@@ -220,12 +228,20 @@ def moebius_html(
     seeded force layout: same payload ⇒ same picture. Node radius scales
     with full-graph degree (`count`), hover shows id + degree, nodes drag.
     Returns the HTML string; writes it to ``path`` when given."""
+    import html as _html
+    import string
+
     payload = moebius_json(graph, node_id, depth=depth, limit=limit)
-    # "</" inside a <script> block would close it early (the classic
-    # embedded-JSON injection); JSON semantics are unchanged by the escape
-    html = _MOEBIUS_PAGE.replace("{{", "{").replace("}}", "}")
-    html = html.replace("__TITLE__", title).replace(
-        "__PAYLOAD__", payload.replace("</", "<\\/")
+    page = _MOEBIUS_PAGE.replace("{{", "{").replace("}}", "}")
+    # string.Template substitutes every placeholder in ONE pass — values
+    # are never re-scanned, so a title containing '${payload}' (or a node
+    # id containing '${title}') cannot become an injection point the way
+    # chained str.replace could. Title is HTML-escaped; the payload keeps
+    # only the "</" escape ("</script>" inside a <script> block would
+    # close it early), which leaves JSON semantics unchanged.
+    html = string.Template(page).substitute(
+        title=_html.escape(title),
+        payload=payload.replace("</", "<\\/"),
     )
     if path is not None:
         with open(path, "w", encoding="utf-8") as fh:

@@ -3,6 +3,8 @@ greedy-overlap semantics, segmentation round-trip, determinism guards."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from linkgraph.pipeline.text import bpe_segment, learn_bpe_merges
 
 
@@ -175,3 +177,26 @@ def test_arrow_kernel_plan_is_one_map_in_pandas(spark):
         .toString()
     )
     assert plan.count("MapInPandas") == 1
+
+
+def test_kernel_parity_unicode_whitespace_and_overwrite(spark):
+    # Two auto-crossover hazards (round-5 review): (1) Python's Unicode \s
+    # would split NBSP where Java's ASCII \s keeps it inside a (dropped)
+    # word — kernels must agree on non-ASCII whitespace; (2) an existing
+    # output column must be overwritten by BOTH kernels (withColumn
+    # semantics), not raise only above the merge-count crossover.
+    corpus = spark.createDataFrame(
+        [("foo bar baz",), ("plain low er wide",)], ["text"]
+    ).withColumn("bpe_tokens", F.array(F.lit("stale")))
+    merges = [("l", "o"), ("lo", "w")]
+    hof = bpe_segment(corpus, merges, engine="hof").collect()
+    arrow = bpe_segment(corpus, merges, engine="arrow").collect()
+    key = lambda r: r["text"]  # noqa: E731
+    got_h = [(r["text"], r["bpe_tokens"]) for r in sorted(hof, key=key)]
+    got_a = [(r["text"], r["bpe_tokens"]) for r in sorted(arrow, key=key)]
+    assert got_h == got_a
+    assert all("stale" not in t for _, t in got_h)
+    # NBSP-joined 'foo bar' fails ^[a-z]+$ as ONE word → dropped;
+    # 'baz' survives untouched
+    nbsp_row = dict(got_h)["foo bar baz"]
+    assert nbsp_row == ["b", "a", "z"]

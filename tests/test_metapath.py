@@ -219,3 +219,25 @@ def test_parallel_edges_sum_before_sampling(spark):
             for r in metapath_walks(simple, t, ["A", "B"], 4, seed=seed).collect()
         )
         assert got_m == got_s
+
+
+def test_pathsim_releases_its_pin(spark):
+    """pathsim pins the count table internally; the pin must not outlive
+    the call (one leaked persisted table per call otherwise)."""
+    from linkgraph import LinkGraph
+    from linkgraph.algorithms.metapath import pathsim
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [("s1", "p1"), ("s2", "p1"), ("s2", "p2"), ("s3", "p2")],
+        ["src", "dst"],
+    )
+    g = LinkGraph(e, keys={"directed": True})
+    types = g.nodes.select(
+        "id", F.upper(F.substring("id", 1, 1)).alias("type")
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = pathsim(g, types, ["S", "P", "S"], k=3)
+    assert out.count() > 0  # result survives the released pin
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before

@@ -149,3 +149,22 @@ def test_audio_quality_validation():
         audio_quality(None, silence_threshold=-1)
     with pytest.raises(ValueError, match="silence_threshold"):
         audio_quality(None, silence_threshold=500, clip_threshold=400)
+
+
+def test_phash_duplicates_single_band_exact_config(spark):
+    # num_bands=1 / max_distance=0 is the exact-duplicate configuration:
+    # the full-width band needs no mask ((1<<64)-1 overflows a signed
+    # long literal — round-5 review crash)
+    from linkgraph.pipeline.multimodal import phash_duplicates
+
+    hashes = spark.createDataFrame(
+        [(1, 12345), (2, 12345), (3, -99), (4, -99), (5, 7)],
+        ["media_id", "phash"],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_duplicates(
+            hashes, max_distance=0, num_bands=1
+        ).collect()
+    )
+    assert got == [(1, 2, 0), (3, 4, 0)]

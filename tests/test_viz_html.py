@@ -77,3 +77,22 @@ def test_layout_script_executes_headless(small_graph, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert "HEADLESS OK" in proc.stdout
+
+
+def test_title_html_escaped_and_injection_proof(small_graph):
+    html = moebius_html(small_graph, "c", title='<b>&"x ${payload}')
+    assert "&lt;b&gt;&amp;&quot;x" in html
+    # single-pass Template substitution: a '${payload}' in the title must
+    # NOT become a second payload insertion point — it survives as literal
+    # title text, and the template's own markers are fully consumed
+    assert html.count('<script id="payload"') == 1
+    assert "${title}" not in html
+    assert "<title>&lt;b&gt;" in html
+
+
+def test_drag_measures_against_svg_box(small_graph):
+    html = moebius_html(small_graph, "c")
+    # offsetX/Y are target-relative (the circle), not svg-relative — the
+    # hit-test must use clientX/Y against the svg bounding box
+    assert "getBoundingClientRect" in html
+    assert "ev.offsetX" not in html and "ev.offsetY" not in html
