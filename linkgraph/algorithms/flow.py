@@ -85,7 +85,16 @@ def _bfs_parents(
         if nxt.filter(F.col(ID) == F.lit(t)).limit(1).count() > 0:
             return settled, True, level
         frontier = nxt.select(ID)
-    return settled, False, budget
+    # Budget exhausted with a LIVE frontier: t's reachability is UNKNOWN.
+    # Returning reached=False here would let min_st_cut/max_flow read the
+    # truncated settled set as a proven minimum cut (a wrong answer, not a
+    # slow one). The default budget is the node count — always sufficient —
+    # so this only fires on an explicit too-small max_hops.
+    raise ValueError(
+        f"BFS hop budget {budget} exhausted with an unsettled frontier; "
+        "raise max_hops (the default, the graph's node count, always "
+        "suffices) — a truncated BFS cannot prove a minimum cut"
+    )
 
 
 def _augmenting_path(settled: DataFrame, s, t, id_t: str, levels: int) -> list:
@@ -236,6 +245,12 @@ def min_st_cut(
                 .filter(F.col("cap") > 0)
                 .localCheckpoint(eager=True)
             )
+            # note: unpersist() is a CacheManager call and does NOT free
+            # localCheckpoint blocks — those are reclaimed by the
+            # ContextCleaner once the superseded generation is
+            # garbage-collected (rebinding `residual` drops the last
+            # reference); worst-case storage lag is a handful of
+            # edge-table-sized generations, bounded by the flow cap.
             old.unpersist()
             flow += 1
 
@@ -419,6 +434,12 @@ def max_flow(
                 .filter(F.col("cap") > 0)
                 .localCheckpoint(eager=True)
             )
+            # note: unpersist() is a CacheManager call and does NOT free
+            # localCheckpoint blocks — those are reclaimed by the
+            # ContextCleaner once the superseded generation is
+            # garbage-collected (rebinding `residual` drops the last
+            # reference); worst-case storage lag is a handful of
+            # edge-table-sized generations, bounded by the flow cap.
             old.unpersist()
             flow += b
 

@@ -16,13 +16,22 @@ JSON manifest per step, same interface either way.
                                       {rows, num_partitions,
                                        partition_rows: [..]}}}
     <root>/LATEST                    text file with the last complete step
+
+All small-file IO (manifest.json, LATEST) goes through the session's Hadoop
+``FileSystem`` — the checkpoint root lives wherever the cluster writes
+(HDFS/S3/local alike), so driver-local ``open()``/``os.path`` would split
+the snapshot across two filesystems and break resume from another driver.
+
+``partition_rows`` records the WRITE-side layout (row counts per partition
+of the DataFrame being saved — each non-empty partition writes one file),
+not a re-read scan split: a read-back count would depend on the reader's
+``spark.sql.files.maxPartitionBytes`` and spuriously mismatch across
+sessions.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,27 +39,55 @@ from pyspark.sql import functions as F
 
 class CheckpointManager:
     def __init__(self, root: str, spark: SparkSession | None = None):
-        self.root = root
+        self.root = root.rstrip("/")
         self.spark = spark or SparkSession.getActiveSession()
-        os.makedirs(root, exist_ok=True)
+        fs, p, _ = self._fs(self.root)
+        fs.mkdirs(p)
+
+    # ------------------------------------------------------------- hadoop fs
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p, jvm
+
+    def _write_text(self, path: str, text: str) -> None:
+        fs, p, _ = self._fs(path)
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, path: str) -> str | None:
+        fs, p, jvm = self._fs(path)
+        if not fs.exists(p):
+            return None
+        ins = fs.open(p)
+        try:
+            # commons-io ships inside Spark's JVM classpath
+            return jvm.org.apache.commons.io.IOUtils.toString(ins, "UTF-8")
+        finally:
+            ins.close()
 
     # ------------------------------------------------------------------ write
 
     def save(self, step: int, tables: dict[str, DataFrame], metrics: dict) -> dict:
         """Write each DataFrame + a manifest; returns the manifest dict.
 
-        Per-partition lineage: row counts per physical partition recorded via
-        spark_partition_id(), so a resumed run can verify the snapshot and a
-        reader can reason about balance/skew at this step.
+        Per-partition lineage: row counts per physical partition of the
+        DataFrame being written (``spark_partition_id()`` over ``df``
+        itself — the write-side layout, stable across reader configs), so
+        a resumed run can verify the snapshot and a reader can reason
+        about balance/skew at this step.
         """
-        step_dir = os.path.join(self.root, f"step={step}")
+        step_dir = f"{self.root}/step={step}"
         manifest: dict = {"step": step, "metrics": metrics, "tables": {}}
         for name, df in tables.items():
-            path = os.path.join(step_dir, name)
+            path = f"{step_dir}/{name}"
             df.write.mode("overwrite").parquet(path)
             part_rows = (
-                self.spark.read.parquet(path)
-                .groupBy(F.spark_partition_id().alias("pid"))
+                df.groupBy(F.spark_partition_id().alias("pid"))
                 .count()
                 .orderBy("pid")
                 .collect()
@@ -61,28 +98,28 @@ class CheckpointManager:
                 "partition_rows": [r["count"] for r in part_rows],
                 "schema": df.schema.jsonValue(),
             }
-        with open(os.path.join(step_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        with open(os.path.join(self.root, "LATEST"), "w") as f:
-            f.write(str(step))
+        self._write_text(f"{step_dir}/manifest.json", json.dumps(manifest))
+        self._write_text(f"{self.root}/LATEST", str(step))
         return manifest
 
     # ------------------------------------------------------------------- read
 
     def latest_step(self) -> int | None:
-        p = os.path.join(self.root, "LATEST")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
+        text = self._read_text(f"{self.root}/LATEST")
+        return None if text is None else int(text.strip())
 
     def manifest(self, step: int) -> dict:
-        with open(os.path.join(self.root, f"step={step}", "manifest.json")) as f:
-            return json.load(f)
+        text = self._read_text(f"{self.root}/step={step}/manifest.json")
+        if text is None:
+            raise FileNotFoundError(
+                f"no manifest for step {step} under {self.root}"
+            )
+        return json.loads(text)
 
     def load(self, step: int, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, f"step={step}", name))
+        return self.spark.read.parquet(f"{self.root}/step={step}/{name}")
 
     def clear(self):
-        shutil.rmtree(self.root, ignore_errors=True)
-        os.makedirs(self.root, exist_ok=True)
+        fs, p, _ = self._fs(self.root)
+        fs.delete(p, True)
+        fs.mkdirs(p)

@@ -86,9 +86,14 @@ def _c(x) -> Column:
 
 
 def _auth(url) -> Column:
-    """Authority with fragment influence removed and userinfo stripped."""
+    """Authority with fragment influence removed and userinfo stripped.
+
+    Userinfo is cut at the LAST '@' (greedy ``^.*@``), matching
+    urllib.parse (``netloc.rpartition('@')``): dirty crawl data carries
+    unencoded '@' inside passwords, and a first-'@' cut would leave
+    'p@ss@host' truncated to a garbage host instead of the real one."""
     base = F.regexp_replace(_c(url), r"#.*$", "")
-    return F.regexp_replace(F.regexp_extract(base, _AUTH_RE, 1), r"^[^@]*@", "")
+    return F.regexp_replace(F.regexp_extract(base, _AUTH_RE, 1), r"^.*@", "")
 
 
 def url_host(url) -> Column:

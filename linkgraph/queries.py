@@ -9772,7 +9772,7 @@ _URL_ORACLES = {
                  regexp_replace(
                    regexp_extract(regexp_replace(u, '#.*$', ''),
                                   '^[^:/?#]+://([^/?#]*)', 1),
-                   '^[^@]*@', '') AS auth,
+                   '^.*@', '') AS auth,
                  regexp_extract(regexp_replace(u, '#.*$', ''),
                                 '^[^:/?#]+://[^/?#]*(.*)$', 1) AS tail
           FROM raw),

@@ -147,11 +147,20 @@ def dedup_stream(
         n_add, mn = 0, None
         for pdf in pdfs:
             n_add += len(pdf)
-            m = pdf["_id"].min()
-            mn = m if mn is None else min(mn, m)
+            # dropna: Arrow hands pandas a float64 _id when nulls are
+            # present (numeric path), and .min() over an all-null group
+            # would return NaN — which neither LongType state nor the
+            # batch exact_dedup keeper (F.min skips nulls) would accept
+            ids = pdf["_id"].dropna()
+            if len(ids):
+                m = ids.min()
+                mn = m if mn is None else min(mn, m)
+        if numeric_id and mn is not None:
+            mn = int(mn)  # float64 under nulls; state column is LongType
         if state.exists:
             n0, k0 = state.get
-            n, k = n0 + n_add, min(k0, mn)
+            n = n0 + n_add
+            k = mn if k0 is None else (k0 if mn is None else min(k0, mn))
         else:
             n, k = n_add, mn
         state.update((n, k))
@@ -224,19 +233,52 @@ def streaming_components(
     over the union of those batches' edges (min-id per component), which
     is what makes the operator oracle-checkable.
 
-    Returns the ``StreamingQuery``; callers read ``labels_path`` between
-    or after triggers."""
+    State durability: each batch writes the new label table to a staging
+    directory and promotes it with a filesystem rename, and a committed
+    marker (``labels_path + "._lg_committed"``) records that state has
+    ever existed — so an unreadable/missing label table AFTER the first
+    commit raises instead of silently re-solving from one batch's edges
+    (which would discard every previously accumulated component). The
+    fold itself is idempotent (re-folding a batch whose edges are already
+    in the labels yields the same labels), so foreachBatch retries after
+    a loud failure are safe once the state is restored.
+
+    Edge columns: ``src``/``dst`` by name when present; otherwise a
+    two-column batch is read positionally; anything else raises (a
+    reordered upstream must not silently build a wrong graph).
+
+    Returns the configured ``DataStreamWriter`` — the caller picks the
+    trigger and calls ``.start()``; read ``labels_path`` between or after
+    triggers."""
     from pyspark.errors import AnalysisException
 
     from linkgraph.algorithms.components import connected_components
     from linkgraph.graph import LinkGraph
 
+    marker = labels_path.rstrip("/") + "._lg_committed"
+    staging = labels_path.rstrip("/") + "._staging"
+
+    def _hfs(spark, path):
+        # the session's Hadoop filesystem — labels live wherever the
+        # cluster writes (HDFS/S3/local alike), so os.path is wrong here
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
     def fold(batch_df, batch_id):
         spark = batch_df.sparkSession
-        edges = batch_df.select(
-            F.col(batch_df.columns[0]).alias("src"),
-            F.col(batch_df.columns[1]).alias("dst"),
-        )
+        cols = batch_df.columns
+        if "src" in cols and "dst" in cols:
+            edges = batch_df.select("src", "dst")
+        elif len(cols) == 2:
+            edges = batch_df.select(
+                F.col(cols[0]).alias("src"), F.col(cols[1]).alias("dst")
+            )
+        else:
+            raise ValueError(
+                "streaming_components needs src/dst columns (by name) or "
+                f"an exactly-two-column edge batch; got {cols}"
+            )
         prev = None
         ends = (
             edges.select(F.col("src").alias("id"))
@@ -244,11 +286,21 @@ def streaming_components(
             .distinct()
         )
         try:
-            # probe via the session's filesystem, not os.path — the label
-            # table lives wherever the cluster writes (HDFS/S3/local alike)
             prev = spark.read.parquet(labels_path).select("id", "component")
             prev.schema  # force analysis so a missing path raises HERE
         except AnalysisException:
+            fs, mp, _ = _hfs(spark, marker)
+            if fs.exists(mp):
+                # state has been committed before but is now unreadable —
+                # a silent prev=None here would fold history away into a
+                # single-batch solve; surface it instead
+                raise RuntimeError(
+                    f"label state at {labels_path!r} is committed (marker "
+                    "present) but unreadable; restore it (a crashed "
+                    "promote leaves it at the ._staging path) or delete "
+                    "both the labels and the ._lg_committed marker to "
+                    "cold-start"
+                )
             prev = None
         if prev is not None:
             # the solve's node set must be batch ∪ history: CC emits labels
@@ -260,8 +312,14 @@ def streaming_components(
         labels = connected_components(
             g, max_iter=max_iter, with_sizes=False, initial_labels=prev
         )
-        out = labels.localCheckpoint(eager=True)  # sever lineage before overwrite
-        out.write.mode("overwrite").parquet(labels_path)
+        out = labels.localCheckpoint(eager=True)  # sever lineage before write
+        # stage-then-promote: the live labels dir is never a partial write
+        out.write.mode("overwrite").parquet(staging)
+        fs, lp, jvm = _hfs(spark, labels_path)
+        sp = jvm.org.apache.hadoop.fs.Path(staging)
+        fs.delete(lp, True)
+        fs.rename(sp, lp)
+        fs.createNewFile(jvm.org.apache.hadoop.fs.Path(marker))
 
     return (
         edge_stream.writeStream.foreachBatch(fold)

@@ -264,3 +264,21 @@ def test_walk_back_detects_broken_parent_table(spark):
     )
     with pytest.raises(RuntimeError, match="inconsistent"):
         _augmenting_path(settled, 0, 2, "long", 2)
+
+
+def test_truncated_bfs_raises_instead_of_fake_cut(spark):
+    # round-5 review: a too-small max_hops used to return reached=False,
+    # letting the truncated settled set masquerade as a proven minimum
+    # cut (flow=0 "disconnected" plus a nonempty cut, on a connected pair)
+    from linkgraph import LinkGraph
+    from linkgraph.algorithms.flow import min_st_cut
+
+    e = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "t")], ["src", "dst"]
+    )
+    g = LinkGraph(e, keys={"directed": False})
+    with pytest.raises(ValueError, match="hop budget"):
+        min_st_cut(g, "s", "t", max_hops=2)
+    # the default budget (node count) still proves the true cut
+    res = min_st_cut(g, "s", "t")
+    assert res.flow == 1 and res.saturated is False

@@ -179,3 +179,66 @@ def test_session_stats_batch_and_stream_agree(spark, edge_stream_dir):
         for r in spark.sql("SELECT * FROM sess_stats").collect()
     }
     assert got == want
+
+
+def test_dedup_stream_null_ids(spark, tmp_path):
+    """Null ids must not poison the keeper state: Arrow hands pandas a
+    float64 id column when nulls are present, and an all-null group's
+    min() is NaN — the kernel drops nulls (matching batch F.min) and
+    casts the keeper back to int for LongType state (round-5 review)."""
+    from pyspark.sql import types as T
+
+    from linkgraph.streaming import dedup_stream
+
+    d = str(tmp_path / "docs_null")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows1 = [(None, "shared text"), (7, "shared text"), (None, "orphan")]
+    rows2 = [(3, "shared text")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    ds = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        dedup_stream(ds)
+        .writeStream.format("memory")
+        .queryName("dd_null_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+    final = {
+        r["fingerprint"]: (r["n_copies"], r["keeper"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY fingerprint ORDER BY n_copies DESC) rn "
+            "FROM dd_null_test) WHERE rn = 1"
+        ).collect()
+    }
+    by_text = {}
+    from linkgraph.pipeline.text import doc_fingerprint
+
+    fps = doc_fingerprint(
+        spark.createDataFrame(
+            [("shared text",), ("orphan",)], ["text"]
+        ),
+        "text",
+    ).collect()
+    for r in fps:
+        by_text[r["text"]] = r["fingerprint"]
+    # shared text: 3 copies (one null id), keeper = min(7, 3) = 3
+    assert final[by_text["shared text"]] == (3, 3)
+    # orphan: only a null id — counted, keeper stays NULL
+    assert final[by_text["orphan"]] == (1, None)

@@ -242,3 +242,16 @@ def test_path_prefix_counts_depth_zero_and_validation(spark):
     assert len(out) == 1 and out[0]["prefix"] == "/" and out[0]["n_pages"] == 1
     with pytest.raises(ValueError, match="max_depth"):
         path_prefix_counts(_one_col(spark, ["http://a.com/"]), max_depth=-1)
+
+
+def test_userinfo_stripped_at_last_at(spark):
+    # dirty-crawl case: unencoded '@' inside the password — urllib cuts
+    # userinfo at the LAST '@' (netloc.rpartition), and so must we
+    from urllib.parse import urlsplit
+
+    from linkgraph.pipeline.urls import url_host
+
+    raw = "http://user:p@ss@example.com/x"
+    df = spark.createDataFrame([(raw,)], ["url"])
+    got = df.select(url_host("url").alias("h")).collect()[0]["h"]
+    assert got == urlsplit(raw).hostname == "example.com"
