@@ -25,11 +25,21 @@ _SPACE = 16**8
 
 
 def _bucket(key_cols: list[str], seed: int) -> F.Column:
-    """Uniform hex bucket in [0, 16^8) as an 8-char lowercase hex string."""
+    """Uniform hex bucket in [0, 16^8) as an 8-char lowercase hex string.
+
+    NULL key components are encoded as a \\x00 sentinel BEFORE the
+    concat_ws: concat_ws silently SKIPS nulls, which would make
+    ('x', NULL) and (NULL, 'x') hash identically and fold every all-NULL
+    key onto one bucket — an entire null-key population then rides one
+    coin flip instead of sampling at the requested rate. (\\x00 never
+    appears in real key text; the DuckDB oracle replays use `||`, whose
+    NULL propagation differs — they assume non-null keys, which holds for
+    every oracle input.)"""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+    ]
     return F.substring(
-        F.md5(F.concat_ws(_SEP, *[F.col(c) for c in key_cols], F.lit(str(seed)))),
-        1,
-        8,
+        F.md5(F.concat_ws(_SEP, *parts, F.lit(str(seed)))), 1, 8
     )
 
 
@@ -181,10 +191,16 @@ def temperature_sample(
         ).alias("_th"),
     )
     u = F.conv(_bucket(key_cols, seed), 16, 10).cast("long")
+    # null-safe group join: groupBy counted a NULL group and its weight is
+    # in _W, so an equi-join (NULL never equals NULL) would silently drop
+    # every null-group row while still letting its weight dilute all other
+    # groups' quotas
+    thr = th.withColumnRenamed(group_col, "_g")
     return (
-        df.join(F.broadcast(th), group_col)
+        df.join(
+            F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("_g"))
+        )
         .filter(u < F.col("_th"))
-        .drop("_th")
         .select(*df.columns)
     )
 

@@ -39,8 +39,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine against the embedding of ``query_id``."""
+    """Exact top-k by cosine against the embedding of ``query_id``.
+    Raises if ``query_id`` matches no (or several) rows — a typo'd id
+    must not masquerade as an empty result (the quantized_cosine_topk
+    contract)."""
     q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    nq = q.limit(2).count()
+    if nq != 1:
+        raise ValueError(
+            f"query_id {query_id!r} matches {'no' if nq == 0 else 'multiple'} "
+            f"rows in {id_col!r}"
+        )
     scored = emb.crossJoin(F.broadcast(q)).select(
         id_col, cosine_expr(vec_col, "_q").alias("cosine")
     )
@@ -75,7 +84,14 @@ def hyperplane_signature(
     seed: int = 42,
 ) -> DataFrame:
     """Adds ``bits``: array<int> of hyperplane sign bits — Arrow batch kernel."""
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        # zero vectors to sign — return the empty result the brute path
+        # would produce instead of TypeError-ing on None[0]
+        return emb.select(
+            id_col, vec_col, F.lit(None).cast("array<int>").alias("bits")
+        ).limit(0)
+    dim = len(probe[0])
     planes = _planes(dim, n_planes, seed)
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -104,6 +120,14 @@ class IVFIndex(BaseEstimator):
       ``_list`` and read back, so a probe's list filter becomes a Catalyst
       partition filter — only n_probe/n_centroids of the FILES are read.
       This is the 100 TB layout (asserted by a plan test).
+
+    Metric pairing: the coarse quantizer is EUCLIDEAN KMeans over raw
+    vectors while probe selection and reranking are cosine — the standard
+    FAISS IVF-flat pairing, which is exact-equivalent only when vectors
+    are L2-normalized. For unnormalized embeddings with heterogeneous
+    norms, lists partition partly by magnitude and a cosine-near vector
+    can hide in an unprobed list: normalize upstream (or raise n_probe)
+    when recall matters on such data.
 
     Search: centroid distances are computed driver-side (n_centroids is
     small by design), the probed lists are pruned as above, reranked with
@@ -196,8 +220,16 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band with the query,
     re-ranked by exact cosine. Recall grows with bands (n_planes/band_planes).
-    """
+    Raises if ``query_id`` matches no (or several) rows — a typo'd id
+    must not masquerade as an empty result (the quantized_cosine_topk
+    contract)."""
     assert n_planes % band_planes == 0
+    nq = emb.filter(F.col(id_col) == query_id).limit(2).count()
+    if nq != 1:
+        raise ValueError(
+            f"query_id {query_id!r} matches {'no' if nq == 0 else 'multiple'} "
+            f"rows in {id_col!r}"
+        )
     bands = n_planes // band_planes
     sig = hyperplane_signature(emb, id_col, vec_col, n_planes, seed)
     band_col = F.posexplode(
@@ -345,6 +377,18 @@ def random_projection(
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    import re as _re
+
+    # both strings are interpolated into a SQL expression (kept textual so
+    # the DuckDB oracle replays it byte-for-byte) — constrain them so a
+    # quote can neither break parsing nor inject SQL
+    if not _re.fullmatch(r"[A-Za-z0-9_.-]+", seed):
+        raise ValueError(
+            f"seed must match [A-Za-z0-9_.-]+ (got {seed!r}); it is "
+            "interpolated into a SQL expression"
+        )
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_col):
+        raise ValueError(f"vec_col must be a plain identifier (got {vec_col!r})")
     inv = 1.0 / math.sqrt(out_dim)
     terms = [
         (
@@ -578,6 +622,15 @@ def kmeans_clusters(
     engine: init = the k smallest-id vectors, exactly ``n_iter`` centroid
     updates, assignment = squared-L2 argmin with ties to the lowest
     centroid index, empty clusters keep their previous centroid.
+
+    Determinism caveat (honest bound): the centroid update averages
+    float64 cell values with a distributed sum, whose accumulation order
+    follows the partitioning — centroids can differ in the last ulps
+    between partitionings, and a point EXACTLY on a cluster boundary
+    could then flip. The structural choices (seedless init, fixed
+    iteration count, deterministic ties) remove every discrete source of
+    divergence; the floating-point residual is the same one any
+    distributed mean carries, and the oracle fixture pins it in practice.
 
     Scale shape: per iteration ONE scan assigns points (distances via JVM
     zip_with/aggregate against the centroid matrix inlined as literals — no

@@ -71,7 +71,11 @@ def count_min_sketch(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("_c"), w.alias("_w"))
+        # NULL keys dropped, same contract as bloom_build/hll_distinct/
+        # kmv_sketch — otherwise every null-key row folds into one phantom
+        # key and inflates the sketch's total mass N (and the εN bound)
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("_c"), w.alias("_w"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
         .agg(F.sum("_w").alias("cnt"))
     )
@@ -231,16 +235,26 @@ def kmv_sketch(
     )
 
 
-def kmv_jaccard(sketches: DataFrame, k: int = 256) -> DataFrame:
+def kmv_jaccard(
+    sketches: DataFrame, k: int | None = None, set_col: str | None = None
+) -> DataFrame:
     """DataFrame[set1, set2, est] — KMV Jaccard estimate for every pair of
     sketched sets (set1 < set2): merge the two sketches, keep the k
     smallest distinct values of the union, and count how many of those
     appear in BOTH sketches (Beyer et al., SIGMOD'07). Exact whenever both
     sets had ≤ k keys (the sketches are then the full hash sets).
 
+    ``k`` MUST equal the ``kmv_sketch`` build k — a larger k silently
+    biases estimates low (union values past a sketch's capacity look like
+    non-members). The default (None) infers it as the largest observed
+    sketch size, which equals the build k whenever any set was sketched
+    at capacity; pass k explicitly when every set is smaller than that.
+
     Pure JVM array math on ≤ 2k-element arrays per pair — the pair join is
     over SKETCH rows (one per set), never over the raw keys."""
-    set_col = sketches.columns[0]
+    set_col = set_col or sketches.columns[0]
+    if k is None:
+        k = sketches.agg(F.max(F.size("ks"))).collect()[0][0] or 1
     a = sketches.select(
         F.col(set_col).alias("set1"), F.col("ks").alias("_ka")
     )
@@ -312,13 +326,29 @@ def bloom_contains(
         "_pos",
         F.explode(F.array(*[_cell(key, j, m, salt) for j in range(n_hashes)])),
     )
-    hits = (
+    # membership per DISTINCT candidate row: every distinct probe position
+    # must hit. Distinct-position counting (not a hit SUM == n_hashes):
+    # duplicate candidate rows fold into one group whose summed hits would
+    # be k·n_hashes and fail an equality — a FALSE NEGATIVE on a true
+    # member — and two hash functions colliding on one position must not
+    # double-count. The left_semi back onto the input preserves row
+    # multiplicity instead of collapsing duplicates.
+    members = (
         probes.join(
-            F.broadcast(bloom.select(F.col("pos").alias("_pos"), F.lit(1).alias("_hit"))),
+            F.broadcast(
+                bloom.select(F.col("pos").alias("_pos"), F.lit(1).alias("_hit"))
+            ),
             "_pos",
             "left",
         )
         .groupBy(*candidates.columns)
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nhit"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("_hit").isNotNull(), F.col("_pos"))
+            ).alias("_d"),
+            F.countDistinct("_pos").alias("_t"),
+        )
+        .filter(F.col("_d") == F.col("_t"))
+        .drop("_d", "_t")
     )
-    return hits.filter(F.col("_nhit") == n_hashes).drop("_nhit")
+    return candidates.join(members, candidates.columns, "left_semi")

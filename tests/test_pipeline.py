@@ -363,3 +363,25 @@ def test_random_projection_deterministic_and_jl(spark):
     assert 0.8 < ratio < 1.2  # JL: expected 1.0, k=16 concentration
     with _pt.raises(ValueError):
         random_projection(df, out_dim=0)
+
+
+def test_cosine_topk_rejects_phantom_query(spark, emb):
+    # round-5 review: a typo'd id must raise, not masquerade as an empty
+    # result (the quantized_cosine_topk contract, now on all query paths)
+    with pytest.raises(ValueError, match="matches no"):
+        cosine_topk(emb, query_id=99999)
+    with pytest.raises(ValueError, match="matches no"):
+        lsh_cosine_topk(emb, query_id=99999)
+
+
+def test_hyperplane_signature_empty_input(spark, emb):
+    from linkgraph.pipeline.similarity import hyperplane_signature
+
+    assert hyperplane_signature(emb.limit(0)).count() == 0
+
+
+def test_random_projection_rejects_hostile_seed(spark, emb):
+    from linkgraph.pipeline.similarity import random_projection
+
+    with pytest.raises(ValueError, match="seed"):
+        random_projection(emb, seed="a'b")

@@ -276,3 +276,51 @@ def test_bloom_null_keys_and_validation(spark):
         bloom_build(df, "k", m=0)
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_hashes=0)
+
+
+def test_bloom_contains_keeps_duplicate_members(spark):
+    # round-5 review: duplicate candidate rows folded into one group whose
+    # summed hits failed the equality — a false negative on a true member
+    from linkgraph.pipeline.sketches import bloom_build, bloom_contains
+
+    members = spark.createDataFrame([("k1",), ("k2",)], ["key"])
+    bloom = bloom_build(members, "key")
+    cands = spark.createDataFrame(
+        [("k1", 1), ("k1", 1), ("k2", 2), ("zz-not-member", 3)],
+        ["key", "payload"],
+    )
+    got = sorted(
+        (r["key"], r["payload"])
+        for r in bloom_contains(bloom, cands, "key").collect()
+    )
+    # both duplicate copies of the member survive; multiplicity preserved
+    assert got[:2] == [("k1", 1), ("k1", 1)]
+    assert ("k2", 2) in got
+
+
+def test_cms_drops_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.pipeline.sketches import count_min_sketch
+
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,), ("a",)], ["k"]
+    )
+    sk = count_min_sketch(df, "k", width=64, depth=2)
+    # total mass per depth row = non-null rows only
+    mass = sk.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+    assert all(r["m"] == 2 for r in mass)
+
+
+def test_kmv_jaccard_infers_build_k(spark):
+    from linkgraph.pipeline.sketches import kmv_jaccard, kmv_sketch
+
+    rows = [("A", f"x{i}") for i in range(100)] + [
+        ("B", f"x{i}") for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    sk = kmv_sketch(df, "grp", "key", k=32)
+    # default k=None infers 32 from the sketches; a stale default of 256
+    # biased the estimate low (true J = 50/150 ≈ 0.333)
+    est = kmv_jaccard(sk).collect()[0]["est"]
+    assert 0.15 < est < 0.55
