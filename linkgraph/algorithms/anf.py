@@ -100,7 +100,12 @@ def neighborhood_function(
                     edges["u"].alias(ID), "_u"
                 )
                 state_n = state.unionByName(contrib).distinct()
-            state_n = state_n.repartition(npart, ID).localCheckpoint(eager=True)
+            # the groupBy/distinct already leaves the state hash-partitioned
+            # at npart — an explicit repartition here re-exchanged the full
+            # node×sketch table every hop for nothing (guide §2.4); and
+            # eager=False fuses checkpoint materialization into the estimate
+            # action: ONE job per hop instead of two (pagerank's pattern)
+            state_n = state_n.localCheckpoint(eager=False)
             n = int(state_n.agg(est.alias("n")).first()["n"])
             state = state_n
             if n == history[-1]:
@@ -243,8 +248,10 @@ def hyperball_harmonic(
                     .localCheckpoint(eager=True)
                 )
             if method == "hll":
-                # join output is already hash(id)-partitioned (see init)
-                state_n = state_n.localCheckpoint(eager=True)
+                # join output is already hash(id)-partitioned (see init);
+                # eager=False: the total-estimate action below materializes
+                # the checkpoint — one job per hop instead of two
+                state_n = state_n.localCheckpoint(eager=False)
                 new_total = float(state_n.agg(F.sum("est")).first()[0])
                 state = state_n
             else:

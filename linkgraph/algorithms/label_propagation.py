@@ -62,12 +62,15 @@ def _und_edges(graph: LinkGraph, weighted: bool):
     both directions, self-loops dropped, parallel edges weight-summed.
     Caller persists/unpersists.
 
-    Repartitioned by ``u`` AFTER the dedup groupBy: the groupBy leaves the
-    table hash(u, v)-partitioned, which does NOT satisfy the per-superstep
-    join's hash(u) requirement — without this one extra build-time exchange
-    the (edge-sized!) table would re-exchange EVERY superstep; with it,
-    only the node-sized label table shuffles per round (same contract as
-    pagerank's edges_norm, pagerank.py)."""
+    Repartitioned by ``u`` BEFORE the dedup groupBy: hash(u) co-locates
+    every (u, v) group (HashPartitioning(u) satisfies the aggregate's
+    ClusteredDistribution(u, v)), so the groupBy runs exchange-free on the
+    repartitioned layout and its output KEEPS the hash(u) partitioning the
+    per-superstep join requires — ONE edge-sized exchange at build instead
+    of the former two (groupBy's own hash(u, v) exchange followed by a
+    repartition(u); guide §2.4 "two operations keyed the same way share
+    one exchange"). Only the node-sized label table shuffles per round
+    (same contract as pagerank's edges_norm, pagerank.py)."""
     w = graph.weight_col() if weighted else F.lit(1.0)
     npart = int(
         graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -80,9 +83,9 @@ def _und_edges(graph: LinkGraph, weighted: bool):
             )
         )
         .filter(F.col("u") != F.col("v"))
+        .repartition(npart, "u")
         .groupBy("u", "v")
         .agg(F.sum("w").alias("w"))
-        .repartition(npart, "u")
     )
 
 

@@ -269,13 +269,30 @@ def _scc_distributed(
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     _pinned: list[DataFrame] = []
 
-    def _by_u(e: DataFrame) -> DataFrame:
-        df = e.repartition(npart, "u").persist()
+    def _by_u(e: DataFrame, pre_partitioned: bool = False) -> DataFrame:
+        # pre_partitioned: the caller's plan already ends in a hash(u)
+        # exchange at npart (e.g. a shuffle-hash semi-join keyed u), so the
+        # explicit repartition would be a pure duplicate edge-sized
+        # exchange (guide §2.4)
+        df = e if pre_partitioned else e.repartition(npart, "u")
+        df = df.persist()
         df.count()  # materialize BEFORE releasing the generation it reads
         while _pinned:
             _pinned.pop().unpersist()
         _pinned.append(df)
         return df
+
+    def _shrunk(e: DataFrame, keep: DataFrame) -> DataFrame:
+        # restrict to keep-endpoints v-side FIRST, u-side LAST: the final
+        # shuffle-hash semi-join leaves the table hash(u)-partitioned at
+        # npart, exactly the layout _by_u pins — one edge-sized exchange
+        # fewer per generation rebuild than filter-u/filter-v/repartition-u.
+        # The hint pins the physical strategy: a broadcast here would keep
+        # the hash(v) partitioning and silently re-exchange every superstep.
+        step = _semi_on(e, keep.hint("shuffle_hash"), "v")
+        return _by_u(
+            _semi_on(step, keep.hint("shuffle_hash"), "u"), pre_partitioned=True
+        )
 
     def _restrict(labels: DataFrame) -> DataFrame:
         # parity with connected_components: outside endpoints shape
@@ -437,7 +454,7 @@ def _scc_distributed(
                     .localCheckpoint(eager=False)
                 )
                 active, n_active = core, n_core
-                edges = _by_u(_semi_on(_semi_on(edges, core, "u"), core, "v"))
+                edges = _shrunk(edges, core)
                 _maybe_save_mid("trim")
                 if n_active == 0:
                     break
@@ -491,6 +508,14 @@ def _scc_distributed(
             # ---- 3. backward reach from pivots within each color class.
             # `intra` is a pure derivation of (edges, color): rebuilt here on
             # mid-phase resume rather than checkpointed.
+            # PINNED (persist, not localCheckpoint): the second join leaves
+            # intra hash(v)-partitioned at npart — exactly the key the reach
+            # semi-join probes — and a persist keeps that partitioning
+            # visible to Catalyst, so only the node-sized reached set
+            # shuffles per reach superstep. The former localCheckpoint
+            # degraded intra to an unknown-partitioning RDD scan and
+            # re-exchanged the edge-sized table EVERY superstep (12 of the
+            # 28 bench supersteps were reach rounds).
             intra = (
                 edges.join(
                     color.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u"
@@ -500,7 +525,7 @@ def _scc_distributed(
                 )
                 .filter(F.col("cu") == F.col("cv"))
                 .select("u", "v")
-                .localCheckpoint(eager=False)
+                .persist()
             )
             while True:
                 grown = (
@@ -516,6 +541,7 @@ def _scc_distributed(
                     break
                 reached, n_reached = grown, n_grown
                 _maybe_save_mid("reach")
+            intra.unpersist()
 
             parts.append(
                 reached.join(color, "id").select("id", F.col("c").alias("scc"))
@@ -524,7 +550,7 @@ def _scc_distributed(
             active = active.join(reached, "id", "left_anti").localCheckpoint(
                 eager=False
             )
-            edges = _by_u(_semi_on(_semi_on(edges, active, "u"), active, "v"))
+            edges = _shrunk(edges, active)
             n_active = active.count()
             _spend("other")
             stats["rounds"] += 1

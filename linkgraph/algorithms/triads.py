@@ -122,9 +122,13 @@ def triad_census(graph: LinkGraph) -> DataFrame:
 
         # wedge enumeration with all six direction bits; only the closing
         # (u,v) pair needs a join (legs carry their bits from adjb).
-        # Materialized ONCE — the code histogram AND the pair-cn aggregate
-        # both consume it (the graphlets.py persisted-wedge pattern,
-        # A/B-verified there at 1.26x)
+        # The wedge rows are COLLAPSED to one row per endpoint pair with 16
+        # leg-code counters in the SAME aggregate that used to compute cn —
+        # the former plan materialized the wedge table (Σ C(d,2) rows) and
+        # shuffled it AGAIN into the closing join and a second cn groupBy;
+        # this one pays a single wedge-sized exchange with map-side partial
+        # aggregation (guide §2.3 "aggregate before you shuffle") and joins
+        # pairs at distinct-pair granularity.
         left = adjb.select(
             F.col("c").alias("w"), F.col("n").alias("u"),
             F.col("c2n").alias("wu"), F.col("n2c").alias("uw"),
@@ -133,39 +137,48 @@ def triad_census(graph: LinkGraph) -> DataFrame:
             F.col("c").alias("w"), F.col("n").alias("v"),
             F.col("c2n").alias("wv"), F.col("n2c").alias("vw"),
         )
-        wedges = (
-            left.join(right, "w").filter(F.col("u") < F.col("v")).persist()
+        leg = (
+            F.col("wu") + 2 * F.col("uw") + 4 * F.col("wv") + 8 * F.col("vw")
         )
-        closed = wedges.join(
+        wp = (
+            left.join(right, "w")
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(
+                *[
+                    F.sum((leg == k).cast("long")).alias(f"c{k}")
+                    for k in range(16)
+                ]
+            )
+            .persist()
+        )
+        closed = wp.join(
             pairs.select(
                 F.col("a").alias("u"), F.col("b").alias("v"),
                 F.col("ab").alias("uv"), F.col("ba").alias("vu"),
             ),
             ["u", "v"],
             "left",
-        ).select(
-            (
-                F.col("wu")
-                + 2 * F.col("uw")
-                + 4 * F.col("wv")
-                + 8 * F.col("vw")
-                + 16 * F.coalesce("uv", F.lit(0))
-                + 32 * F.coalesce("vu", F.lit(0))
-            ).alias("code")
-        )
-        hist = {
-            int(r["code"]): int(r["cnt"])
-            for r in closed.groupBy("code").agg(
-                F.count(F.lit(1)).alias("cnt")
-            ).collect()
-        }
+        ).groupBy(
+            F.coalesce("uv", F.lit(0)).alias("uv"),
+            F.coalesce("vu", F.lit(0)).alias("vu"),
+        ).agg(*[F.sum(f"c{k}").alias(f"c{k}") for k in range(16)])
+        hist: dict[int, int] = {}
+        for r in closed.collect():
+            base = 16 * int(r["uv"]) + 32 * int(r["vu"])
+            for k in range(16):
+                c = int(r[f"c{k}"] or 0)
+                if c:
+                    hist[base + k] = hist.get(base + k, 0) + c
 
-        # closed forms for the one-connected-pair classes
+        # closed forms for the one-connected-pair classes; cn per pair is
+        # the sum of the 16 leg-code counters
         da = deg.select(F.col(ID).alias("a"), F.col("deg").alias("da"))
         db = deg.select(F.col(ID).alias("b"), F.col("deg").alias("db"))
-        cn = wedges.groupBy(
-            F.col("u").alias("a"), F.col("v").alias("b")
-        ).agg(F.count(F.lit(1)).alias("cn"))
+        cn_col = sum((F.col(f"c{k}") for k in range(1, 16)), F.col("c0"))
+        cn = wp.select(
+            F.col("u").alias("a"), F.col("v").alias("b"), cn_col.alias("cn")
+        )
         iso_rows = (
             pairs.join(da, "a")
             .join(db, "b")
@@ -183,7 +196,7 @@ def triad_census(graph: LinkGraph) -> DataFrame:
             .agg(F.sum("iso").alias("s"))
             .collect()
         )
-        wedges.unpersist()
+        wp.unpersist()
     finally:
         pairs.unpersist()
 
