@@ -52,8 +52,10 @@ def _forward_level(frontier: DataFrame, fwd: DataFrame, seen: DataFrame) -> Data
     """One forward-BFS superstep: expand the frontier along ``fwd``, sum
     shortest-path counts per (source, node), drop already-settled pairs.
     Factored out for the plan-audit tests (algebraic, window-free)."""
+    # shuffle_hash: build the (source, node) frontier, stream the pinned
+    # edge table (guide §3.1 — the checkpointed frontier has no stats)
     return (
-        frontier.join(fwd, frontier[ID] == fwd["u"])
+        frontier.hint("shuffle_hash").join(fwd, frontier[ID] == fwd["u"])
         .select("s", F.col("v").alias(ID), "sigma")
         .groupBy("s", ID)
         .agg(F.sum("sigma").alias("sigma"))
@@ -68,7 +70,7 @@ def _backward_contribs(w: DataFrame, rev: DataFrame, prev: DataFrame) -> DataFra
     onto both the edge (edge betweenness) and the predecessor u (node
     betweenness), so both sweeps share this join."""
     return (
-        w.join(rev, w[ID] == rev["v"])
+        w.hint("shuffle_hash").join(rev, w[ID] == rev["v"])
         .select(
             "s",
             "u",

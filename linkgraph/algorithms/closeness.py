@@ -72,7 +72,8 @@ def shortest_path_lengths(
         frontier = settled
         for hop in range(1, max_hops + 1):
             nxt = (
-                frontier.join(rev, frontier[ID] == rev["u"])
+                # shuffle_hash: build the frontier, stream the pinned edges
+                frontier.hint("shuffle_hash").join(rev, frontier[ID] == rev["u"])
                 .select(F.col("v").alias(ID), "landmark", F.lit(hop).alias("dist"))
                 .distinct()
                 .join(settled.select(ID, "landmark"), [ID, "landmark"], "left_anti")

@@ -49,8 +49,13 @@ def _large_star(pairs: DataFrame) -> DataFrame:
     und = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = und.groupBy("u").agg(F.min("v").alias("_mn"))
     mins = mins.select("u", F.least("u", "_mn").alias("m"))
+    # shuffle_hash: build the node-sized min table, stream the pair table —
+    # the aggregate's size estimate inherits the pair table's, so without
+    # the hint the planner sort-merges and SORTS the 2|E| rows every round
+    # (guide §3.1); the pair-side exchange stays shared with the groupBy's
+    # via ReuseExchange either way
     return (
-        und.join(mins, "u")
+        und.join(mins.hint("shuffle_hash"), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -64,7 +69,7 @@ def _small_star(pairs: DataFrame) -> DataFrame:
     ).filter(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     out = (
-        oriented.join(mins, "u")
+        oriented.join(mins.hint("shuffle_hash"), "u")  # see _large_star
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(mins.select(F.col("u"), F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))
@@ -343,10 +348,10 @@ def _cc_min_label(
     )
     for _ in range(max_iter):
         nbr_min = (
-            und.join(labels, und["u"] == labels[ID])
+            und.join(labels.hint("shuffle_hash"), und["u"] == labels[ID])
             .groupBy("v")
             .agg(F.min("component").alias("_nbr"))
-        )
+        )  # build the node-sized label table, stream the pinned edges
         # carry the old label through: convergence check is a scan, no join
         staged = labels.join(nbr_min, labels[ID] == nbr_min["v"], "left").select(
             ID,

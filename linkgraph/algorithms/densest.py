@@ -63,8 +63,18 @@ def densest_subgraph(
             thresh = 2.0 * (1.0 + epsilon) * density
             keep = deg.filter(F.col("deg") > thresh).select(ID)
             edges = (
-                edges.join(keep.withColumnRenamed(ID, "a"), "a", "left_semi")
-                .join(keep.withColumnRenamed(ID, "b"), "b", "left_semi")
+                # shuffle_hash: build the node-sized keep set in both semi
+                # joins, stream the edge table (guide §3.1)
+                edges.join(
+                    keep.withColumnRenamed(ID, "a").hint("shuffle_hash"),
+                    "a",
+                    "left_semi",
+                )
+                .join(
+                    keep.withColumnRenamed(ID, "b").hint("shuffle_hash"),
+                    "b",
+                    "left_semi",
+                )
                 .localCheckpoint(eager=False)
             )
         else:

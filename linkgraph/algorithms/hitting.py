@@ -56,7 +56,9 @@ def _first_passage(graph, targets, max_iter, tol, mode):
     with static_plans(spark):
         # the superstep joins tm on DST: pre-partition + pin so only the
         # node-sized value table exchanges per round
-        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from linkgraph.session import shuffle_partitions
+
+        npart = shuffle_partitions(spark)  # 'auto'-proof (ADVICE r5)
         tm = pin_partitioned(transition_matrix(graph).repartition(npart, DST))
         init = F.lit(1.0) if mode == "absorb" else F.lit(0.0)
         v = (
@@ -74,7 +76,12 @@ def _first_passage(graph, targets, max_iter, tol, mode):
         for it in range(1, max_iter + 1):
             msg = (
                 tm.join(
-                    v.select(F.col(ID).alias(DST), F.col("val").alias("_hv")), DST
+                    # shuffle_hash: build the node-sized value table,
+                    # stream the pinned transition matrix (guide §3.1)
+                    v.select(F.col(ID).alias(DST), F.col("val").alias("_hv")).hint(
+                        "shuffle_hash"
+                    ),
+                    DST,
                 )
                 .groupBy(SRC)
                 .agg((base + F.sum(F.col("prob") * F.col("_hv"))).alias("_new"))

@@ -80,7 +80,7 @@ def katz_centrality(
         err = sumsq = float("nan")
         for _ in range(max_iter):
             contrib = (
-                x.join(edges, x[ID] == edges["u"])
+                x.hint("shuffle_hash").join(edges, x[ID] == edges["u"])
                 .select(edges["v"].alias(ID), (F.col("x") * F.col("w")).alias("c"))
                 .groupBy(ID)
                 .agg(F.sum("c").alias("c"))
@@ -164,14 +164,14 @@ def hits(
         converged = False
         for _ in range(max_iter):
             a_un = (
-                h.join(fwd, h[ID] == fwd["u"])
+                h.hint("shuffle_hash").join(fwd, h[ID] == fwd["u"])
                 .select(fwd["v"].alias(ID), (F.col("h") * F.col("w")).alias("a"))
                 .groupBy(ID)
                 .agg(F.sum("a").alias("a"))
                 .localCheckpoint(eager=False)
             )
             h_un = (
-                a_un.join(rev, a_un[ID] == rev["v"])
+                a_un.hint("shuffle_hash").join(rev, a_un[ID] == rev["v"])
                 .select(rev["u"].alias(ID), (F.col("a") * F.col("w")).alias("hn"))
                 .groupBy(ID)
                 .agg(F.sum("hn").alias("hn"))
@@ -264,7 +264,7 @@ def eigenvector_centrality(
         converged = tol <= 0
         for _ in range(max_iter):
             contrib = (
-                x.join(edges, x[ID] == edges["u"])
+                x.hint("shuffle_hash").join(edges, x[ID] == edges["u"])
                 .select(edges["v"].alias(ID), (F.col("x") * F.col("w")).alias("c"))
                 .groupBy(ID)
                 .agg(F.sum("c").alias("c"))

@@ -73,11 +73,20 @@ def _peel(pairs: DataFrame, k: int, max_iter: int) -> DataFrame:
             .filter(F.col("_d") >= k)
             .select("u")
         )
+        # v-side semi first, u-side LAST: the final shuffle-hash semi-join
+        # (build = node-sized keep set, guide §3.1) leaves the survivors
+        # hash(u)-partitioned at npart — the layout the pin needs — so the
+        # explicit repartition (a full edge-sized exchange per round) goes
+        # away; the hint also keeps the planner off sort-merge, which would
+        # sort the pair table twice per round
         nxt = gens.pin(
-            pairs.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            pairs.join(
+                keep.select(F.col("u").alias("v")).hint("shuffle_hash"),
+                "v",
+                "left_semi",
+            )
+            .join(keep.hint("shuffle_hash"), "u", "left_semi")
             .select("u", "v")
-            .repartition(npart, "u")
         )
         n_next = nxt.count()
         if n_next == n_pairs:
@@ -248,11 +257,16 @@ def s_core(graph: LinkGraph, s: float, max_iter: int = 10_000) -> DataFrame:
                 .filter(F.col("_wd") >= s)
                 .select("u")
             )
+            # same v-first/u-last shuffle-hash shape as _peel: the final
+            # semi-join leaves hash(u) partitioning, no repartition needed
             nxt = gens.pin(
-                pairs.join(keep, "u", "left_semi")
-                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                pairs.join(
+                    keep.select(F.col("u").alias("v")).hint("shuffle_hash"),
+                    "v",
+                    "left_semi",
+                )
+                .join(keep.hint("shuffle_hash"), "u", "left_semi")
                 .select("u", "v", "w")
-                .repartition(npart, "u")
             )
             n_next = nxt.count()
             if n_next == n_pairs:

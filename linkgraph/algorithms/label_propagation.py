@@ -93,8 +93,12 @@ def _best_labels(und: DataFrame, labels: DataFrame) -> DataFrame:
     """One superstep's label choice: most-frequent (weighted) neighbor label,
     ties to the minimum label. Both aggregates are algebraic — no window —
     so map-side combine bounds hub fan-in (see module docstring)."""
+    # shuffle_hash: build the node-sized label table, stream the pinned
+    # edge table — the checkpointed labels carry no statistics, so left
+    # alone the planner sort-merges (sorting the edge side every
+    # superstep) or hash-builds the EDGE side (guide §3.1)
     nbr = (
-        und.join(labels, und["u"] == labels[ID])
+        und.join(labels.hint("shuffle_hash"), und["u"] == labels[ID])
         .groupBy("v", "label")
         .agg(F.sum("w").alias("wsum"))
     )

@@ -54,7 +54,6 @@ def metapath_walks(
     if walks_per_node <= 0:
         raise ValueError(f"walks_per_node must be > 0, got {walks_per_node}")
     spark = graph.edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tcols = node_types.columns
     types = node_types.select(
         F.col(tcols[0]).cast("string").alias("_tid"),
@@ -77,15 +76,24 @@ def metapath_walks(
             # r4). Same collapse convention as sssp/kpaths (which use min).
             .groupBy("u", "v")
             .agg(F.sum("w").alias("w"))
+            # type joins v-side FIRST, u-side LAST: the final shuffle-hash
+            # join leaves the table hash(u)-partitioned at npart — exactly
+            # the pin's layout — so the former explicit repartition (a
+            # fourth edge-sized exchange) is gone; the hints keep the
+            # node-sized type table as build side instead of sort-merging
+            # the edge table (guide §3.1, §2.4)
             .join(
-                types.select(F.col("_tid").alias("u"), F.col("_tt").alias("ut")),
-                "u",
-            )
-            .join(
-                types.select(F.col("_tid").alias("v"), F.col("_tt").alias("vt")),
+                types.select(
+                    F.col("_tid").alias("v"), F.col("_tt").alias("vt")
+                ).hint("shuffle_hash"),
                 "v",
             )
-            .repartition(npart, "u")
+            .join(
+                types.select(
+                    F.col("_tid").alias("u"), F.col("_tt").alias("ut")
+                ).hint("shuffle_hash"),
+                "u",
+            )
         )
         reps = spark.range(walks_per_node).select(
             F.col("id").cast("int").alias("_rep")
@@ -105,7 +113,9 @@ def metapath_walks(
         try:
             for step in range(len(metapath) - 1):
                 ft, tt = str(metapath[step]), str(metapath[step + 1])
-                cand = state.filter(F.col("curr").isNotNull()).join(
+                cand = state.filter(F.col("curr").isNotNull()).hint(
+                    "shuffle_hash"  # build the walk state, stream the edges
+                ).join(
                     tedges.filter(
                         (F.col("ut") == ft) & (F.col("vt") == tt)
                     ),
@@ -232,9 +242,10 @@ def pathsim(
     # whole node-typing upstream (plan audit measured 87 exchanges, 32 of
     # them the node-derivation hashpartitioning(id), zero reused); pinned,
     # the upstream runs once and downstream exchanges are count-table-sized
+    from linkgraph.session import shuffle_partitions
+
     e = pin_partitioned(e.repartition(
-        int(graph.edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        "b",
+        shuffle_partitions(graph.edges.sparkSession), "b"
     ))
     try:
         selfc = e.groupBy("x").agg(

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import pin_partitioned, static_plans
+from linkgraph.session import static_plans
 
 
 def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
@@ -62,12 +62,17 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
     from linkgraph.algorithms.components import connected_components
 
     spark = graph.edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with static_plans(spark):
-        # canonical simple edges: a < b, parallel edges -> min weight
-        # static across rounds (contraction happens in the label table):
-        # pinned so hash(a) stays visible and only labels shuffle per round
-        edges = pin_partitioned(
+        # canonical simple edges a < b (parallel edges -> min weight),
+        # carrying their endpoints' CURRENT component labels as columns
+        # (ca, cb) — contraction relabels the EDGE rows through the
+        # pick-sized mapping instead of re-joining the full edge table
+        # against a node-sized label table every round. Intra-component
+        # edges are dropped as soon as their endpoints merge, so the
+        # working set SHRINKS monotonically; the former label-table plan
+        # re-scanned and re-exchanged the full edge set in every one of
+        # the O(log V) rounds.
+        cross = (
             graph.edges.select(
                 F.least(SRC, DST).alias("a"),
                 F.greatest(SRC, DST).alias("b"),
@@ -76,21 +81,13 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
             .filter(F.col("a") != F.col("b"))  # self-loops never span
             .groupBy("a", "b")
             .agg(F.min("w").alias("w"))
-            .repartition(npart, "a")
+            .select(
+                "w", "a", "b", F.col("a").alias("ca"), F.col("b").alias("cb")
+            )
+            .localCheckpoint(eager=False)
         )
-        labels = graph.nodes.select(
-            ID, F.col(ID).alias("comp")
-        ).localCheckpoint(eager=True)
         forest: DataFrame | None = None
         for _ in range(max_iter):
-            la = labels.select(F.col(ID).alias("a"), F.col("comp").alias("ca"))
-            lb = labels.select(F.col(ID).alias("b"), F.col("comp").alias("cb"))
-            cross = (
-                edges.join(la, "a")
-                .join(lb, "b")
-                .filter(F.col("ca") != F.col("cb"))
-                .localCheckpoint(eager=False)
-            )
             # one algebraic min per component over its incident cross edges;
             # struct order (w, a, b) is the total order that makes the pick
             # set acyclic (module docstring)
@@ -110,27 +107,40 @@ def minimum_spanning_forest(graph: LinkGraph, max_iter: int = 64) -> DataFrame:
             forest = forest.localCheckpoint(eager=False)
             # contract: CC over the picked component pairs (<= one pick per
             # component, so this graph halves the component count); reuse
-            # the engine's auto-gated solver rather than a bespoke loop
+            # the engine's auto-gated solver rather than a bespoke loop.
+            # The mapping is pick-sized — under the local gate it comes back
+            # as a LocalRelation and BROADCASTS into both relabel joins, so
+            # no round shuffles anything edge-sized at all.
             cg = LinkGraph(
                 picks.select(F.col("ca").alias(SRC), F.col("cb").alias(DST)),
                 keys={"directed": False},
             )
-            mapping = connected_components(cg, with_sizes=False).select(
-                F.col(ID).alias("comp"), F.col("component").alias("newc")
+            mapping = connected_components(cg, with_sizes=False)
+            ma = mapping.select(
+                F.col(ID).alias("ca"), F.col("component").alias("_na")
             )
-            labels = (
-                labels.join(mapping, "comp", "left")
-                .select(ID, F.coalesce("newc", "comp").alias("comp"))
-                .localCheckpoint(eager=True)
+            mb = mapping.select(
+                F.col(ID).alias("cb"), F.col("component").alias("_nb")
+            )
+            cross = (
+                cross.join(ma, "ca", "left")
+                .join(mb, "cb", "left")
+                .select(
+                    "w",
+                    "a",
+                    "b",
+                    F.coalesce("_na", "ca").alias("ca"),
+                    F.coalesce("_nb", "cb").alias("cb"),
+                )
+                .filter(F.col("ca") != F.col("cb"))
+                .localCheckpoint(eager=False)
             )
         else:
-            edges.unpersist()
             raise RuntimeError(
                 f"minimum_spanning_forest did not contract within max_iter="
                 f"{max_iter} rounds — components must at least halve per "
                 "round; this indicates an engine bug"
             )
-        edges.unpersist()
     if forest is None:
         # edge-free (or all-self-loop) graph: empty forest, typed to the
         # graph's node id type

@@ -378,11 +378,15 @@ def _pagerank_loop(
 
     w = graph.weight_col()
     # Out-weight per source; pre-normalize edges once. Persisted partitioned
-    # by src so the per-superstep join only shuffles the rank table.
+    # by src so the per-superstep join only shuffles the rank table. The
+    # shuffle_hash hint keeps the build on the node-sized aggregate: the
+    # aggregate's size ESTIMATE inherits the scan's, so without the hint the
+    # planner falls back to a SortMergeJoin and sorts the edge table twice
+    # at build (guide §3.1 — pick the strategy deliberately).
     out_w = graph.edges.groupBy(SRC).agg(F.sum(w).alias("_out_w"))
     edges_norm = (
         graph.edges.select(SRC, DST, w.alias("_w"))
-        .join(out_w, SRC)
+        .join(out_w.hint("shuffle_hash"), SRC)
         .select(SRC, DST, (F.col("_w") / F.col("_out_w")).alias("frac"))
         .repartition(num_partitions, SRC)
         .persist()
@@ -504,9 +508,16 @@ def _pagerank_loop(
     it = start_step
     for it in range(start_step + 1, max_iter + 1):
         _t0 = _time.time()
+        # shuffle_hash on the RANK side: the checkpointed state has no size
+        # statistics, so left alone the planner either sort-merges (sorting
+        # the cached edge table EVERY superstep) or builds the hash map over
+        # the edge side; the hint pins the build to the node-sized rank
+        # table and streams the pinned edges (guide §3.1)
         contrib = (
             edges_norm.join(
-                state.select(F.col(ID).alias("_rid"), "pagerank"),
+                state.select(F.col(ID).alias("_rid"), "pagerank").hint(
+                    "shuffle_hash"
+                ),
                 F.col(SRC) == F.col("_rid"),
             )
             .groupBy(DST)

@@ -99,7 +99,10 @@ def personalized_pagerank_batch(
             )
             outw = raw.groupBy("u").agg(F.sum("w").alias("wsum"))
             edges = pin_partitioned(
-                raw.join(outw, "u")
+                # shuffle_hash: the aggregate's size estimate inherits the
+                # scan's, so left alone this build falls back to a
+                # SortMergeJoin that sorts the edge table twice (guide §3.1)
+                raw.join(outw.hint("shuffle_hash"), "u")
                 .select("u", "v", (F.col("w") / F.col("wsum")).alias("frac"))
                 .repartition(npart, "u")
             )

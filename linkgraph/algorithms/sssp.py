@@ -41,7 +41,8 @@ def _relax_round(dist: DataFrame, frontier: DataFrame, edges: DataFrame) -> Data
     into ``dist``, and flag improvements. Pure dataflow (factored out so the
     plan-audit tests can assert it stays algebraic and window-free)."""
     cand = (
-        frontier.join(edges, frontier[ID] == edges["u"])
+        # shuffle_hash: build the frontier, stream the pinned edges
+        frontier.hint("shuffle_hash").join(edges, frontier[ID] == edges["u"])
         .select(F.col("v").alias(ID), (F.col("dist") + F.col("w")).alias("d"))
         .groupBy(ID)
         .agg(F.min("d").alias("d"))
@@ -170,7 +171,7 @@ def shortest_path_lengths_weighted(
         frontier = dist
         for _ in range(max_iter):
             cand = (
-                frontier.join(rev, frontier[ID] == rev["v"])
+                frontier.hint("shuffle_hash").join(rev, frontier[ID] == rev["v"])
                 .select(
                     F.col("u").alias(ID), "landmark",
                     (F.col("dist") + F.col("w")).alias("d"),
@@ -286,7 +287,7 @@ def shortest_path_tree(
         frontier = state
         for _ in range(max_iter):
             cand = (
-                frontier.join(edges, frontier[ID] == edges["u"])
+                frontier.hint("shuffle_hash").join(edges, frontier[ID] == edges["u"])
                 .select(
                     F.col("v").alias(ID),
                     F.struct(

@@ -61,7 +61,9 @@ def topological_layers(graph: LinkGraph, max_depth: int | None = None) -> DataFr
             frontier = layer
             for _ in range(budget + 1):
                 cand = (
-                    frontier.join(edges, frontier[ID] == edges["u"])
+                    # shuffle_hash: build the frontier, stream pinned edges
+                    frontier.hint("shuffle_hash")
+                    .join(edges, frontier[ID] == edges["u"])
                     .select(F.col("v").alias(ID), (F.col("layer") + 1).alias("l"))
                     .groupBy(ID)
                     .agg(F.max("l").alias("l"))
@@ -154,7 +156,9 @@ def critical_path(
         for _ in range(budget + 1):
             # best incoming finish per head: algebraic max, no window
             cand = (
-                frontier.join(edges, frontier[ID] == edges["u"])
+                # shuffle_hash: build the frontier, stream the pinned edges
+                frontier.hint("shuffle_hash")
+                .join(edges, frontier[ID] == edges["u"])
                 .groupBy("v")
                 .agg(F.max("ef").alias("_in"))
             )

@@ -52,7 +52,11 @@ def voterank(graph: LinkGraph, k: int = 10) -> DataFrame:
         for rnd in range(k):
             scores = (
                 edges.join(
-                    abilities.select(F.col(ID).alias(DST), "_a"), DST
+                    # build the node-sized ability table, stream the edges
+                    abilities.select(F.col(ID).alias(DST), "_a").hint(
+                        "shuffle_hash"
+                    ),
+                    DST,
                 )
                 .groupBy(SRC)
                 .agg(F.sum("_a").alias("_score"))

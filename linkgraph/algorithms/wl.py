@@ -72,7 +72,9 @@ def wl_colors(
             # mode even for a 10^9-degree hub (2^30 x 2^33 < 2^63); the
             # collision trade is 2^-30 per color pair, still negligible
             msg = (
-                edges.join(colors, edges["u"] == colors[ID])
+                # shuffle_hash: build the node-sized color table, stream
+                # the pinned edge table (guide §3.1)
+                edges.join(colors.hint("shuffle_hash"), edges["u"] == colors[ID])
                 .select(
                     F.col("v").alias(ID),
                     F.pmod(_bucket32(F.col("c")), F.lit(1 << 30)).alias("b"),

@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 class CheckpointManager:
     def __init__(self, root: str, spark: SparkSession | None = None):
-        self.root = root.rstrip("/")
+        # strip trailing slashes only while a path component remains:
+        # root='/' (or 'hdfs:///') must not collapse to an empty string,
+        # which Hadoop Path construction rejects (ADVICE r5)
+        stripped = root.rstrip("/")
+        if not stripped or stripped.endswith(":"):
+            stripped = root  # bare '/' or scheme root like 'hdfs:///'
+        self.root = stripped
         self.spark = spark or SparkSession.getActiveSession()
         fs, p, _ = self._fs(self.root)
         fs.mkdirs(p)

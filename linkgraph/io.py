@@ -87,20 +87,26 @@ def write_transition_pruned(
         F.col(SRC).alias("u"), F.col(DST).alias("v"), w.alias("w")
     )
     outw = raw.groupBy("u").agg(F.sum("w").alias("wsum"))
+    # Layout: ONE flat parquet directory, range-partitioned + sorted by the
+    # bucket id ``_b`` kept as a DATA column. Each file then covers a
+    # contiguous bucket range, so a frontier's ``_b`` predicate prunes
+    # whole files/row groups from the footer min/max stats — while a DENSE
+    # frontier (the common late-superstep case) scans a handful of large
+    # files instead of `buckets` hive directories. The former
+    # partitionBy("_b") layout paid `buckets` tiny files + directory
+    # listings on every cold read: the r5 bench measured the pruned COLD
+    # path slower than the unpruned scan from exactly that overhead
+    # (guide §6 — small files hurt twice).
+    n_files = max(1, buckets // 32)
     (
-        raw.join(outw, "u")
+        raw.join(outw.hint("shuffle_hash"), "u")
         .select(
             "u", "v", (F.col("w") / F.col("wsum")).alias("frac"),
             F.pmod(F.xxhash64("u"), F.lit(buckets)).cast("int").alias("_b"),
         )
-        # one task per bucket ⇒ ONE file per partition directory — without
-        # this every writer task emits a file into every bucket dir
-        # (tasks × buckets tiny files), and the per-round pruned scans pay
-        # the listing bill every superstep (measured 9 s/round at 2.3M
-        # edges from listing alone)
-        .repartition(buckets, "_b")
+        .repartitionByRange(n_files, "_b")
+        .sortWithinPartitions("_b")
         .write.mode("overwrite")
-        .partitionBy("_b")
         .parquet(f"{path}/edges")
     )
     (
@@ -126,9 +132,12 @@ def scan_transition_for_frontier(
     """DataFrame[u, v, frac] — ONLY the transition-edge buckets the
     frontier's source nodes can live in: the frontier's distinct bucket
     ids (≤ ``buckets`` ints, driver-tiny by construction) become a literal
-    partition filter, so the scan file-prunes everything else. Per-round
-    work then tracks the frontier, not the graph — the upgrade path named
-    in ``ppr_batch``'s docstring."""
+    ``_b`` predicate that pushes down to the bucket-range-sorted parquet
+    layout (file/row-group pruning from footer stats). Per-round work then
+    tracks the frontier, not the graph — the upgrade path named in
+    ``ppr_batch``'s docstring. A frontier covering EVERY bucket skips the
+    predicate outright (nothing to prune, and the filter would only cost
+    scan time)."""
     from pyspark.sql import functions as F
 
     if buckets is None:
@@ -142,8 +151,7 @@ def scan_transition_for_frontier(
         .distinct()
         .collect()
     ]
-    return (
-        spark.read.parquet(f"{path}/edges")
-        .filter(F.col("_b").isin(bids))
-        .select("u", "v", "frac")
-    )
+    scan = spark.read.parquet(f"{path}/edges")
+    if len(bids) < buckets:
+        scan = scan.filter(F.col("_b").isin(bids))
+    return scan.select("u", "v", "frac")

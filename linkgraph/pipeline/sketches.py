@@ -351,4 +351,16 @@ def bloom_contains(
         .filter(F.col("_d") == F.col("_t"))
         .drop("_d", "_t")
     )
-    return candidates.join(members, candidates.columns, "left_semi")
+    # null-SAFE semi-join back onto the input: plain column-list equality
+    # drops any candidate row with a NULL in ANY attribute column — a false
+    # negative on a true member, violating the documented contract
+    # (ADVICE r5). eqNullSafe per column keeps those rows matched to their
+    # own grouped member row.
+    mem = members.select(
+        *[F.col(c).alias(f"_m_{i}") for i, c in enumerate(members.columns)]
+    )
+    cond = None
+    for i, c in enumerate(candidates.columns):
+        e = F.col(c).eqNullSafe(F.col(f"_m_{i}"))
+        cond = e if cond is None else cond & e
+    return candidates.join(mem, cond, "left_semi")

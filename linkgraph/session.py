@@ -85,6 +85,16 @@ def get_session(
     return spark
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Numeric shuffle-partition count, falling back to the cluster's
+    default parallelism on environments where the conf is non-numeric
+    (e.g. Databricks sets ``spark.sql.shuffle.partitions=auto``)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 @contextmanager
 def static_plans(spark: SparkSession):
     """Disable AQE for the duration of an iterative superstep loop.

@@ -313,7 +313,14 @@ def streaming_components(
             g, max_iter=max_iter, with_sizes=False, initial_labels=prev
         )
         out = labels.localCheckpoint(eager=True)  # sever lineage before write
-        # stage-then-promote: the live labels dir is never a partial write
+        # stage-then-promote: the live labels dir is never a PARTIAL write.
+        # Known reader-side transient (ADVICE r5): between fs.delete(live)
+        # and fs.rename(staging, live) the live path does not exist — and on
+        # object stores without atomic rename the window is the copy time —
+        # so a concurrent reader between triggers must retry on
+        # FileNotFound (or read the committed marker first). Crash-loss
+        # inside the window is loud, not silent: the marker is only written
+        # after the rename lands.
         out.write.mode("overwrite").parquet(staging)
         fs, lp, jvm = _hfs(spark, labels_path)
         sp = jvm.org.apache.hadoop.fs.Path(staging)

@@ -53,7 +53,9 @@ def test_frontier_scan_prunes_partitions(spark, tpath):
     frontier = spark.createDataFrame([("a",)], "id string")
     scan = scan_transition_for_frontier(spark, tpath, frontier)
     plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "_b" in plan
+    # the bucket predicate must reach the parquet scan as a pushed data
+    # filter (the flat bucket-range-sorted layout prunes via footer stats)
+    assert "PushedFilters" in plan and "_b" in plan
     rows = {(r["u"], r["v"]) for r in scan.collect()}
     # a's edges MUST be present; anything extra must share a's bucket
     assert {("a", "b"), ("a", "c")} <= rows
