@@ -114,29 +114,16 @@ def _tour_positions(
         .localCheckpoint(eager=True)
     )
     rounds = max(1, math.ceil(math.log2(max(2, n_arcs))))
-    for _ in range(rounds):
-        s2 = state.select(
-            F.col("au").alias("bu"),
-            F.col("av").alias("bv"),
-            F.col("su").alias("s2u"),
-            F.col("sv").alias("s2v"),
-            F.col("dist").alias("d2"),
-        )
-        state = (
-            state.join(
-                s2,
-                (state["su"] == s2["bu"]) & (state["sv"] == s2["bv"]),
-                "left",
-            )
-            .select(
-                "au",
-                "av",
-                F.col("s2u").alias("su"),
-                F.col("s2v").alias("sv"),
-                (F.col("dist") + F.coalesce("d2", F.lit(0))).alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    # shared doubling fold (bridges._list_fold): per-round persist re-bases
+    # plan statistics to real cached sizes — a checkpoint-per-round
+    # self-join SQUARES sizeInBytes every round (Spark 4 checkpoints
+    # preserve origin stats) until the JVM's big-number paths throw
+    from linkgraph.algorithms.bridges import _list_fold
+
+    state = _list_fold(
+        state.withColumn("dist", F.col("dist").cast("long")), rounds,
+        sum_col="dist",
+    )
     return state.select("au", "av", (-F.col("dist")).alias("pos"))
 
 

@@ -15,25 +15,32 @@ tagging used in dynamic-connectivity literature, e.g. Kapron-King-Mountjoy
 SODA'13) works over ANY spanning forest:
 
 1. build a spanning forest T (Borůvka — O(log n) contraction rounds);
-2. root each tree at its component's min node id; BFS over tree edges
-   gives (parent, depth) — a node's tree path is unique, so no
-   tie-breaking is ever needed;
+2. Euler-tour each tree (successor = next sorted neighbor, the tour cut
+   at the component's min-id root) and pointer-double the successor list
+   TWICE, ⌈log₂ 2n⌉ rounds each: pass A ranks every arc (its distance to
+   the tour end — Tarjan–Vishkin list ranking, the machinery
+   ``biconnectivity.py`` also uses), which orients every tree edge (the
+   earlier arc of the pair is the parent→child "down" arc); pass B folds
+   a suffix XOR of per-arc values down the same list;
 3. give every NON-tree edge {u, v} a 60-bit md5 tag and XOR it into both
-   endpoints' accumulators;
-4. leaf-peel the forest: each node, once all children are peeled, pushes
-   its accumulated XOR to its parent; the value a node holds when peeled
-   is the XOR of tags of non-tree edges with EXACTLY ONE endpoint in its
-   subtree (both-inside tags cancel, outside tags never enter);
-5. the tree edge above node c is a bridge iff that XOR is 0 — no non-tree
+   endpoints' accumulators acc(·); the down arc p→c carries value
+   acc(c), up arcs carry 0, so pass B's suffix XOR at the down and up
+   arcs of c differ by exactly XOR of acc over subtree(c) — the XOR of
+   tags of non-tree edges with EXACTLY ONE endpoint in the subtree
+   (both-inside tags cancel, outside tags never enter);
+4. the tree edge above node c is a bridge iff that XOR is 0 — no non-tree
    edge crosses the cut, w.h.p. (a NONEMPTY set of distinct md5 tags XORs
    to 0 with probability ~2^-60 per edge; deterministic given ``seed``).
    Non-tree edges are never bridges (they close a tree cycle).
 
-Scale shape: every round is one frontier join against a pinned
-hash-partitioned tree-adjacency table + one algebraic aggregate — the
-same rank-side-only-shuffle plan as ``closeness.shortest_path_lengths``;
-state is node-sized throughout. Round count = O(Borůvka log n) +
-2 × (forest height). No windows, no UDFs, no driver-side graph.
+Scale shape: the two doubling passes are arc-table self-joins —
+2⌈log₂ 2n⌉ rounds REGARDLESS of tree height (the former BFS-root +
+leaf-peel formulation paid 2 × forest-height rounds, unbounded on
+path-shaped components — pagination or redirect chains); everything else
+is one aggregate or one join. The Euler successor build materializes each
+node's TREE-incident sorted neighbor list — tree-degree-sized rows, the
+same bounded-array contract as ``biconnectivity.py``. No windows, no
+UDFs, no driver-side graph.
 
 Semantics: simple-graph (parallel edges collapse to one — same as
 ``networkx.bridges`` on ``Graph``); self-loops ignored; undirected only
@@ -47,7 +54,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import DST, ID, SRC, LinkGraph
-from linkgraph.session import pin_partitioned, static_plans
+from linkgraph.session import static_plans
 
 
 def _canonical_simple_edges(graph: LinkGraph) -> DataFrame:
@@ -91,32 +98,105 @@ def _root_forest(
     )
 
 
-def _peel_round(state: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One leaf-peel round over ``state[id, parent, acc, pending]`` →
-    (ready, next_state). Algebraic only: a bit_xor groupBy on the ready
-    children + one left_anti + one left join — no window ever sees a
-    node's whole child set in one task."""
-    ready = state.filter((F.col("pending") == 0) & F.col("parent").isNotNull())
-    push = (
-        ready.groupBy("parent")
-        .agg(F.bit_xor("acc").alias("px"), F.count("*").alias("pc"))
-        .withColumnRenamed("parent", ID)
+def _euler_succ(arcs: DataFrame, roots: DataFrame) -> DataFrame:
+    """DataFrame[au, av, su, sv] — Euler-tour successor per tree arc
+    (``arcs`` = both orientations of the forest edges): succ((u, v)) =
+    (v, next neighbor after u in sorted order at v); the arc whose
+    successor would be the root's first arc terminates its tree's list
+    (NULL successor). Shared logic with ``biconnectivity._tour_positions``
+    — the bounded-tree-degree neighbor arrays are the same contract."""
+    nb = (
+        arcs.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("ns"))
+        .withColumnRenamed("u", "_nbu")
     )
-    nxt = (
-        state.join(ready.select(ID), ID, "left_anti")
-        .join(push, ID, "left")
-        .select(
-            ID,
-            "parent",
-            F.when(
-                F.col("px").isNotNull(), F.col("acc").bitwiseXOR(F.col("px"))
-            )
-            .otherwise(F.col("acc"))
-            .alias("acc"),
-            (F.col("pending") - F.coalesce("pc", F.lit(0))).alias("pending"),
+    succ = arcs.join(nb, F.col("v") == F.col("_nbu")).select(
+        F.col("u").alias("au"),
+        F.col("v").alias("av"),
+        F.col("v").alias("su"),
+        F.element_at(
+            "ns",
+            (F.array_position("ns", F.col("u")) % F.size("ns") + 1).cast("int"),
+        ).alias("sv"),
+    )
+    starts = roots.join(nb, roots[ID] == nb["_nbu"]).select(
+        F.col("_nbu").alias("ru"), F.element_at("ns", 1).alias("rv")
+    )
+    return succ.join(
+        starts,
+        (succ["su"] == starts["ru"]) & (succ["sv"] == starts["rv"]),
+        "left",
+    ).select(
+        "au",
+        "av",
+        F.when(F.col("ru").isNotNull(), F.lit(None)).otherwise(F.col("su")).alias(
+            "su"
+        ),
+        F.when(F.col("ru").isNotNull(), F.lit(None)).otherwise(F.col("sv")).alias(
+            "sv"
+        ),
+    )
+
+
+def _list_fold(state: DataFrame, rounds: int, sum_col: str | None = None,
+               xor_col: str | None = None) -> DataFrame:
+    """Pointer-doubling fold down a successor list: ``state[au, av, su,
+    sv, <val>]`` → after ⌈log₂ L⌉ rounds every row's value aggregates its
+    whole suffix (self inclusive). ``sum_col`` folds with +, ``xor_col``
+    with bitwise XOR. Each round is ONE arc-table self-join — round count
+    is list-length-logarithmic, independent of tree shape.
+
+    Round state is PERSISTED per round (PinnedGenerations) and
+    localCheckpoint'ed only every few rounds: a checkpoint-per-round
+    self-join SQUARES the plan's sizeInBytes statistic every round
+    (Spark 4's checkpoint preserves origin stats; a join's size estimate
+    is the product of its children's), which after ~12 rounds produces
+    BigIntegers of 100k+ digits and an ArithmeticException inside the
+    JVM. The per-round cache re-bases the estimate to the real cached
+    size, and the periodic checkpoint bounds logical-plan growth."""
+    from linkgraph.session import PinnedGenerations
+
+    gens = PinnedGenerations()
+    for rnd in range(rounds):
+        cols = [c for c in (sum_col, xor_col) if c]
+        s2 = state.select(
+            F.col("au").alias("bu"),
+            F.col("av").alias("bv"),
+            F.col("su").alias("s2u"),
+            F.col("sv").alias("s2v"),
+            *[F.col(c).alias(f"_{c}2") for c in cols],
         )
-    )
-    return ready, nxt
+        folded = []
+        if sum_col:
+            folded.append(
+                (F.col(sum_col) + F.coalesce(f"_{sum_col}2", F.lit(0))).alias(
+                    sum_col
+                )
+            )
+        if xor_col:
+            folded.append(
+                F.col(xor_col)
+                .bitwiseXOR(F.coalesce(f"_{xor_col}2", F.lit(0)))
+                .alias(xor_col)
+            )
+        state = gens.pin(
+            state.join(
+                s2,
+                (state["su"] == s2["bu"]) & (state["sv"] == s2["bv"]),
+                "left",
+            )
+            .select(
+                "au",
+                "av",
+                F.col("s2u").alias("su"),
+                F.col("s2v").alias("sv"),
+                *folded,
+            )
+        )
+        if (rnd + 1) % 5 == 0 or rnd == rounds - 1:
+            state = state.localCheckpoint(eager=True)
+            gens.release()
+    return state
 
 
 def bridges(
@@ -125,39 +205,40 @@ def bridges(
     """DataFrame[src, dst] — the bridge edges of an undirected graph, in
     canonical ``src < dst`` order.
 
-    ``max_hops`` bounds the BFS-rooting / leaf-peel rounds (both equal the
-    forest height); default is the node count — hitting it means an engine
-    bug, reported loudly rather than looping.
+    ``max_hops`` is accepted for API compatibility; the Euler-tour
+    formulation's round count is ⌈log₂ 2n⌉ per doubling pass regardless of
+    tree shape, so there is no height budget left to bound.
     """
+    del max_hops  # height-independent since the Euler-tour rewrite
     if graph.is_directed:
         raise ValueError(
             "bridges requires an undirected graph (directed 2-edge-"
             "connectivity is a strong-connectivity problem)"
         )
+    import math
+
     from linkgraph.algorithms.components import connected_components
     from linkgraph.algorithms.mst import minimum_spanning_forest
 
     spark = graph.edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     id_t = graph.nodes.schema[ID].dataType.simpleString()
     empty = spark.createDataFrame([], f"{SRC} {id_t}, {DST} {id_t}")
 
     forest = minimum_spanning_forest(graph).select(
         F.col(SRC).alias("a"), F.col(DST).alias("b")
     )
-    if forest.isEmpty():
+    n_tree = forest.count()
+    if n_tree == 0:
         return empty  # edge-free graph: nothing to cut
-    budget = max_hops if max_hops is not None else graph.number_of_nodes()
 
     with static_plans(spark):
-        tree = pin_partitioned(
+        arcs = (
             forest.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .unionByName(forest.select(F.col("b").alias("u"), F.col("a").alias("v")))
-            .repartition(npart, "u")
         )
         # roots = per-component min id; CC over the forest (n-1 edges) is
-        # the cheap way to get them and covers isolated nodes via the node
-        # table (their trees are single roots with nothing to peel)
+        # the cheap way to get them (isolated nodes have no arcs and no
+        # tree edges to test)
         fg = LinkGraph(
             forest.select(F.col("a").alias(SRC), F.col("b").alias(DST)),
             nodes=graph.nodes,
@@ -166,11 +247,15 @@ def bridges(
         comp = connected_components(fg, with_sizes=False)
         roots = comp.select(F.col("component").alias(ID)).distinct()
 
-        try:
-            settled = _root_forest(tree, roots, id_t, budget)
-        except RuntimeError:
-            tree.unpersist()
-            raise
+        succ0 = _euler_succ(arcs, roots).localCheckpoint(eager=True)
+        rounds = max(1, math.ceil(math.log2(max(2, 2 * n_tree))))
+
+        # pass A: list-rank the tour — dist = arcs from self to list end,
+        # so the DOWN arc of a tree edge is the one with the LARGER dist
+        pos = _list_fold(
+            succ0.withColumn("dist", F.lit(1).cast("long")), rounds,
+            sum_col="dist",
+        )
 
         # 60-bit md5 tags on non-tree edges, XOR-folded per endpoint
         nontree = _canonical_simple_edges(graph).join(
@@ -197,51 +282,51 @@ def bridges(
             .groupBy(ID)
             .agg(F.bit_xor("tag").alias("acc"))
         )
-        kids = (
-            settled.filter(F.col("parent").isNotNull())
-            .groupBy("parent")
-            .agg(F.count("*").alias("nkids"))
-            .withColumnRenamed("parent", ID)
+
+        # per-arc value: acc(child) on the down arc, 0 on the up arc —
+        # orientation from pass A (mate self-join), acc broadcast-or-hash
+        # joined on the arc head
+        mate = pos.select(
+            F.col("au").alias("av"), F.col("av").alias("au"),
+            F.col("dist").alias("_mdist"),
         )
-        state = (
-            settled.join(acc0, ID, "left")
-            .join(kids, ID, "left")
+        oriented = pos.join(mate, ["au", "av"]).select(
+            "au", "av", (F.col("dist") > F.col("_mdist")).alias("is_down")
+        )
+        vals = (
+            succ0.join(oriented, ["au", "av"])
+            .join(acc0.withColumnRenamed(ID, "av"), "av", "left")
             .select(
-                ID,
-                "parent",
-                F.coalesce("acc", F.lit(0)).alias("acc"),
-                F.coalesce("nkids", F.lit(0)).alias("pending"),
+                "au",
+                "av",
+                "su",
+                "sv",
+                F.when(F.col("is_down"), F.coalesce("acc", F.lit(0)))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("x"),
             )
             .localCheckpoint(eager=True)
         )
-        tree.unpersist()
 
-        # leaf peel: nodes with no unpeeled children finalize their subtree
-        # XOR and push it to their parent; one aggregate + one join a round
-        peeled: DataFrame | None = None
-        for _ in range(budget + 1):
-            ready, nxt = _peel_round(state)
-            ready = ready.localCheckpoint(eager=True)
-            if ready.limit(1).count() == 0:
-                break
-            done = ready.select(ID, "parent", F.col("acc").alias("sub_xor"))
-            peeled = done if peeled is None else peeled.unionByName(done)
-            peeled = peeled.localCheckpoint(eager=False)
-            state = nxt.localCheckpoint(eager=True)
-        else:
-            raise RuntimeError(
-                f"leaf peel did not drain within max_hops={budget} rounds — "
-                "every tree peels in height rounds; engine bug"
-            )
-
-    if peeled is None:
-        return empty  # star-free forest of isolated roots
-    return (
-        peeled.filter(F.col("sub_xor") == 0)
-        .select(
-            F.least(ID, "parent").alias(SRC), F.greatest(ID, "parent").alias(DST)
+        # pass B: suffix XOR down the same list; for tree edge {u, v} the
+        # two arcs' suffix XORs differ by exactly the subtree XOR of the
+        # child endpoint (module docstring step 3)
+        sfx = _list_fold(vals, rounds, xor_col="x")
+        smate = sfx.select(
+            F.col("au").alias("av"), F.col("av").alias("au"),
+            F.col("x").alias("_mx"),
         )
-    )
+        out = (
+            sfx.join(smate, ["au", "av"])
+            .join(oriented, ["au", "av"])
+            .filter(F.col("is_down") & (F.col("x").bitwiseXOR(F.col("_mx")) == 0))
+            .select(
+                F.least("au", "av").alias(SRC),
+                F.greatest("au", "av").alias(DST),
+            )
+        )
+        return out.localCheckpoint(eager=True)
 
 
 def two_edge_connected_components(

@@ -778,21 +778,39 @@ def test_hyperball_hop_two_exchanges_no_carry_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
 
 
-def test_bridges_peel_round_is_algebraic(spark):
-    """The leaf-peel round of distributed bridges must be a bit_xor
-    groupBy + left_anti + left join — a window partitioned by parent
-    would sort a hub parent's whole child set in one task."""
-    from linkgraph.algorithms.bridges import _peel_round
+def test_bridges_doubling_round_is_algebraic(spark):
+    """One pointer-doubling round of the bridges list fold must be a
+    single self-join + projection — no Window, no Python. (The leaf-peel
+    formulation this replaced was height-bounded; the fold is
+    ⌈log₂ 2n⌉-bounded regardless of tree shape.)"""
+    from linkgraph.algorithms.bridges import _list_fold
 
     state = spark.createDataFrame(
-        [("a", None, 3, 2), ("b", "a", 5, 0), ("c", "a", 6, 0)],
-        "id string, parent string, acc long, pending long",
+        [("a", "b", "b", "a", 1), ("b", "a", None, None, 1)],
+        "au string, av string, su string, sv string, dist long",
     )
-    ready, nxt = _peel_round(state)
-    for df in (ready, nxt):
-        plan = _plan(df)
-        assert "Window" not in plan
-        assert "EvalPython" not in plan
+    out = _list_fold(state, 1, sum_col="dist")
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bridges_deep_path_is_round_bounded(spark):
+    """Height-independence fixture (the scale hazard of the old
+    BFS-root + leaf-peel: rounds = 2 × depth): a 2000-node path plus a
+    handful of chords finishes in ⌈log₂ 2n⌉-bounded doubling rounds and
+    labels exactly the off-chord edges as bridges."""
+    from linkgraph import LinkGraph
+    from linkgraph.algorithms.bridges import bridges
+
+    n = 2000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    chords = [(0, 500), (1000, 1500)]  # cover [0,500] and [1000,1500]
+    df = spark.createDataFrame(edges + chords, "src long, dst long")
+    got = sorted(tuple(r) for r in bridges(LinkGraph(df, keys={"directed": False})).collect())
+    covered = set(range(0, 500)) | set(range(1000, 1500))
+    want = sorted((i, i + 1) for i in range(n - 1) if i not in covered)
+    assert got == want
 
 
 def test_flow_bfs_round_is_algebraic(spark):
