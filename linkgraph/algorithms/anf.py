@@ -100,12 +100,13 @@ def neighborhood_function(
                     edges["u"].alias(ID), "_u"
                 )
                 state_n = state.unionByName(contrib).distinct()
-            # the groupBy/distinct already leaves the state hash-partitioned
-            # at npart — an explicit repartition here re-exchanged the full
-            # node×sketch table every hop for nothing (guide §2.4); and
-            # eager=False fuses checkpoint materialization into the estimate
-            # action: ONE job per hop instead of two (pagerank's pattern)
-            state_n = state_n.localCheckpoint(eager=False)
+            # KEEP the explicit repartition + eager checkpoint (the r5
+            # form): the r6 optimization pass tried dropping the
+            # repartition and fusing the checkpoint into the estimate
+            # action, and interleaved A/B legs at 2.3M edges could not
+            # separate either variant from host noise (walls swung 22-65 s
+            # across legs for BOTH trees), so the proven shape stays.
+            state_n = state_n.repartition(npart, ID).localCheckpoint(eager=True)
             n = int(state_n.agg(est.alias("n")).first()["n"])
             state = state_n
             if n == history[-1]:
@@ -249,9 +250,10 @@ def hyperball_harmonic(
                 )
             if method == "hll":
                 # join output is already hash(id)-partitioned (see init);
-                # eager=False: the total-estimate action below materializes
-                # the checkpoint — one job per hop instead of two
-                state_n = state_n.localCheckpoint(eager=False)
+                # eager=True deliberately (same A/B note as
+                # neighborhood_function: the lazy variant was not
+                # separable from host noise, keep the proven shape)
+                state_n = state_n.localCheckpoint(eager=True)
                 new_total = float(state_n.agg(F.sum("est")).first()[0])
                 state = state_n
             else:

@@ -146,14 +146,19 @@ def _list_fold(state: DataFrame, rounds: int, sum_col: str | None = None,
     with bitwise XOR. Each round is ONE arc-table self-join — round count
     is list-length-logarithmic, independent of tree shape.
 
-    Round state is PERSISTED per round (PinnedGenerations) and
-    localCheckpoint'ed only every few rounds: a checkpoint-per-round
-    self-join SQUARES the plan's sizeInBytes statistic every round
-    (Spark 4's checkpoint preserves origin stats; a join's size estimate
-    is the product of its children's), which after ~12 rounds produces
-    BigIntegers of 100k+ digits and an ArithmeticException inside the
-    JVM. The per-round cache re-bases the estimate to the real cached
-    size, and the periodic checkpoint bounds logical-plan growth."""
+    Rounds run in lazy EPOCHS of four: three rounds chain without any
+    materialization (the whole epoch is one 8-exchange job), then the
+    epoch end persists (PinnedGenerations) and localCheckpoints. The pin
+    before each checkpoint is load-bearing twice over: (1) it keeps job
+    count at 2 per 4 rounds instead of 1-2 per round (the fold is
+    overhead-bound — each round moves only a few MB of arc rows); (2) a
+    checkpoint-per-round self-join SQUARES the plan's sizeInBytes
+    statistic every round (Spark 4 checkpoints preserve origin stats; a
+    join's size estimate is the product of its children's), which after
+    ~12 rounds produces BigIntegers of 100k+ digits and an
+    ArithmeticException inside the JVM — checkpointing a just-pinned
+    cache captures the REAL cached size instead, so estimates re-base
+    every epoch."""
     from linkgraph.session import PinnedGenerations
 
     gens = PinnedGenerations()
@@ -179,22 +184,19 @@ def _list_fold(state: DataFrame, rounds: int, sum_col: str | None = None,
                 .bitwiseXOR(F.coalesce(f"_{xor_col}2", F.lit(0)))
                 .alias(xor_col)
             )
-        state = gens.pin(
-            state.join(
-                s2,
-                (state["su"] == s2["bu"]) & (state["sv"] == s2["bv"]),
-                "left",
-            )
-            .select(
-                "au",
-                "av",
-                F.col("s2u").alias("su"),
-                F.col("s2v").alias("sv"),
-                *folded,
-            )
+        state = state.join(
+            s2,
+            (state["su"] == s2["bu"]) & (state["sv"] == s2["bv"]),
+            "left",
+        ).select(
+            "au",
+            "av",
+            F.col("s2u").alias("su"),
+            F.col("s2v").alias("sv"),
+            *folded,
         )
-        if (rnd + 1) % 5 == 0 or rnd == rounds - 1:
-            state = state.localCheckpoint(eager=True)
+        if (rnd + 1) % 4 == 0 or rnd == rounds - 1:
+            state = gens.pin(state).localCheckpoint(eager=True)
             gens.release()
     return state
 
@@ -248,7 +250,17 @@ def bridges(
         roots = comp.select(F.col("component").alias(ID)).distinct()
 
         succ0 = _euler_succ(arcs, roots).localCheckpoint(eager=True)
-        rounds = max(1, math.ceil(math.log2(max(2, 2 * n_tree))))
+        # rounds from the LARGEST tree, not the whole forest: each tree's
+        # tour is its own successor list, so a fragmented forest (many
+        # small components) needs only log2 of the biggest one
+        max_tree = int(
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+            or 2
+        )
+        rounds = max(1, math.ceil(math.log2(max(2, 2 * max_tree))))
 
         # pass A: list-rank the tour — dist = arcs from self to list end,
         # so the DOWN arc of a tree edge is the one with the LARGER dist

@@ -77,9 +77,12 @@ def k_truss(graph: LinkGraph, k: int, max_iter: int = 100) -> DataFrame:
                 break
             supp = _edge_support(und)
             keep = supp.filter(F.col("support") >= k - 2).select("a", "b")
-            survivors = und.join(keep, ["a", "b"], "left_semi").localCheckpoint(
-                eager=True
-            )
+            # build the (≤ triangle-edge-sized) keep set, stream the edge
+            # table — both sides are stats-free checkpoints, so the planner
+            # would otherwise sort-merge and sort both per round
+            survivors = und.join(
+                keep.hint("shuffle_hash"), ["a", "b"], "left_semi"
+            ).localCheckpoint(eager=True)
             n_new = survivors.count()
             und = survivors
             if n_new == n_edges:
@@ -121,9 +124,9 @@ def truss_decomposition(
             for _ in range(max_iter):
                 supp = _edge_support(cur)
                 keep = supp.filter(F.col("support") >= k - 2).select("a", "b")
-                nxt = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
-                    eager=True
-                )
+                nxt = cur.join(
+                    keep.hint("shuffle_hash"), ["a", "b"], "left_semi"
+                ).localCheckpoint(eager=True)
                 n_nxt = nxt.count()
                 if n_nxt == n_cur:
                     break

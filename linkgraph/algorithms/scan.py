@@ -57,10 +57,25 @@ def structural_similarity(graph: LinkGraph, _und: DataFrame | None = None) -> Da
     und = _canonical_undirected(graph).persist() if owned else _und
     deg = _degrees_of(und)
     supp = _edge_support(und)  # materialized (localCheckpoint) inside
+    # shuffle_hash hints: supp/deg carry no usable size statistics (supp is
+    # checkpointed, deg is an aggregate inheriting the edge scan's
+    # estimate), so left alone the planner sort-merges and SORTS the
+    # canonical edge table three times; building the (smaller) support and
+    # degree tables streams the edge side instead (guide §3.1)
     sim = (
-        und.join(supp, ["a", "b"], "left")
-        .join(deg.select(F.col(ID).alias("a"), F.col("deg").alias("da")), "a")
-        .join(deg.select(F.col(ID).alias("b"), F.col("deg").alias("db")), "b")
+        und.join(supp.hint("shuffle_hash"), ["a", "b"], "left")
+        .join(
+            deg.select(F.col(ID).alias("a"), F.col("deg").alias("da")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col(ID).alias("b"), F.col("deg").alias("db")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
         .select(
             "a",
             "b",

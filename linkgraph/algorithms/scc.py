@@ -475,7 +475,13 @@ def _scc_distributed(
             while True:
                 inc = (
                     edges.join(
-                        color.select(F.col("id").alias("u"), F.col("c").alias("cu")),
+                        # shuffle_hash: build the node-sized color table,
+                        # stream the pinned edges — the checkpointed color
+                        # has no stats, so the planner would sort-merge and
+                        # SORT the cached edge table every color superstep
+                        color.select(
+                            F.col("id").alias("u"), F.col("c").alias("cu")
+                        ).hint("shuffle_hash"),
                         "u",
                     )
                     .groupBy("v")
@@ -530,7 +536,12 @@ def _scc_distributed(
             while True:
                 grown = (
                     reached.union(
-                        _semi_on(intra, reached, "v").select(F.col("u").alias("id"))
+                        # build the node-sized reached set (hint), stream
+                        # the pinned intra view — sort-merge would re-sort
+                        # the cached edge side every reach superstep
+                        _semi_on(
+                            intra, reached.hint("shuffle_hash"), "v"
+                        ).select(F.col("u").alias("id"))
                     )
                     .distinct()
                     .localCheckpoint(eager=False)
