@@ -310,8 +310,9 @@ def main():
     def voterank_corpus():
         from linkgraph import voterank
 
-        voterank(g, 3).collect()
-        return None
+        out = voterank(g, 3)
+        out.collect()
+        return out
 
     @q
     def prefix_jaccard_docs():
@@ -344,8 +345,9 @@ def main():
         from linkgraph import hitting_times
 
         targets = [r["id"] for r in g.nodes.orderBy("id").limit(100).collect()]
-        hitting_times(g, targets, max_iter=5, tol=0.0).values.count()
-        return None
+        out = hitting_times(g, targets, max_iter=5, tol=0.0).values
+        out.count()
+        return out
 
     @q
     def ic_spread_corpus():
@@ -374,9 +376,12 @@ def main():
             write_transition_pruned(g, f"{d}/t", buckets=256)
             print("pruned write sec:", round(time.time() - t0, 2))
             seeds = [r["id"] for r in g.nodes.orderBy("id").limit(64).collect()]
-            personalized_pagerank_batch(
+            out = personalized_pagerank_batch(
                 g, seeds, tol=0.0, max_iter=5, transition_path=f"{d}/t"
-            ).count()
+            )
+            out.count()
+            if plan_dir:
+                _plan("ppr_batch64_pruned_corpus", out)
         finally:
             shutil.rmtree(d, ignore_errors=True)
         return None
@@ -433,7 +438,7 @@ def main():
         types = tg.nodes.select("id", F.upper(F.substring("id", 1, 1)).alias("type"))
         walks = metapath_walks(tg, types, ["S", "P", "O"], 4, seed=11)
         walks.filter("completed").count()
-        return None
+        return walks
 
     @q
     def pathsim_suppliers_corpus():
